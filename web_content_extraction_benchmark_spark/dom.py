@@ -1,0 +1,168 @@
+"""Lightweight HTML DOM built on stdlib ``html.parser``.
+
+The sandbox ships neither lxml, bs4 nor resiliparse, so every extractor in
+this engine parses through this module.  It builds a minimal element tree
+with a small HTML5-ish auto-close subset (p/li/tr/td/...), raw-text handling
+for script/style (delegated to HTMLParser's CDATA mode) and entity decoding
+(``convert_charrefs=True`` — same behavior bs4's html.parser builder gives
+the reference's ``extract_bs4`` at extractors.py:18-23).
+
+The DOM is per-document transient state inside extraction UDFs — it is never
+a dataset-level abstraction (mirrors the reference where the tree lives only
+inside an extractor call, extractors.py:33-38).
+"""
+
+from __future__ import annotations
+
+from html.parser import HTMLParser
+from typing import Iterator, Optional
+
+VOID_ELEMENTS = frozenset(
+    "area base br col embed hr img input link meta param source track wbr".split()
+)
+
+# Elements whose raw content should never surface as page text.
+NON_TEXT_ELEMENTS = frozenset({"script", "style", "noscript", "template"})
+
+# Block-level elements: segment boundaries for block classifiers and
+# paragraph breaks for formatted output.
+BLOCK_ELEMENTS = frozenset(
+    (
+        "address article aside blockquote body center dd details dir div dl dt "
+        "fieldset figcaption figure footer form h1 h2 h3 h4 h5 h6 header hgroup "
+        "hr li main menu nav ol p pre section summary table tbody td tfoot th "
+        "thead tr ul"
+    ).split()
+)
+
+# When a start tag (key) arrives, implicitly close an open element whose tag
+# is in the value set if it sits on top of the stack chain.
+_IMPLICIT_CLOSE = {
+    "p": frozenset({"p"}),
+    "li": frozenset({"li"}),
+    "td": frozenset({"td", "th"}),
+    "th": frozenset({"td", "th"}),
+    "tr": frozenset({"tr", "td", "th"}),
+    "dd": frozenset({"dd", "dt"}),
+    "dt": frozenset({"dd", "dt"}),
+    "option": frozenset({"option"}),
+}
+
+
+class Node:
+    """Element or text node. Text nodes have ``tag is None``."""
+
+    __slots__ = ("tag", "attrs", "children", "parent", "text")
+
+    def __init__(self, tag: Optional[str], attrs: Optional[dict] = None,
+                 text: str = ""):
+        self.tag = tag
+        self.attrs = attrs or {}
+        self.children: list[Node] = []
+        self.parent: Optional[Node] = None
+        self.text = text
+
+    @property
+    def is_text(self) -> bool:
+        return self.tag is None
+
+    def append(self, child: "Node") -> None:
+        child.parent = self
+        self.children.append(child)
+
+    def iter(self, skip_tags: frozenset = frozenset()) -> Iterator["Node"]:
+        """Pre-order traversal; subtrees rooted at ``skip_tags`` are pruned."""
+        stack = [self]
+        while stack:
+            node = stack.pop()
+            if node.tag in skip_tags:
+                continue
+            yield node
+            stack.extend(reversed(node.children))
+
+    def find(self, tag: str) -> Optional["Node"]:
+        for node in self.iter():
+            if node.tag == tag:
+                return node
+        return None
+
+    def attr(self, name: str) -> str:
+        return self.attrs.get(name) or ""
+
+    def own_text(self) -> str:
+        """Concatenated direct text children (raw, no normalization)."""
+        return "".join(c.text for c in self.children if c.is_text)
+
+    def text_content(self, skip: frozenset = NON_TEXT_ELEMENTS) -> str:
+        """All descendant text in document order, raw concatenation."""
+        parts = []
+        for node in self.iter(skip_tags=skip):
+            if node.is_text:
+                parts.append(node.text)
+        return "".join(parts)
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = Node("#document")
+        self._open = [self.root]
+
+    # -- helpers -----------------------------------------------------
+    def _top(self) -> Node:
+        return self._open[-1]
+
+    def _push(self, node: Node) -> None:
+        self._top().append(node)
+        self._open.append(node)
+
+    # -- HTMLParser hooks --------------------------------------------
+    def handle_starttag(self, tag: str, attrs) -> None:
+        closers = _IMPLICIT_CLOSE.get(tag)
+        if closers:
+            while len(self._open) > 1 and self._top().tag in closers:
+                self._open.pop()
+        node = Node(tag, dict(attrs))
+        if tag in VOID_ELEMENTS:
+            self._top().append(node)
+        else:
+            self._push(node)
+
+    def handle_startendtag(self, tag: str, attrs) -> None:
+        self._top().append(Node(tag, dict(attrs)))
+
+    def handle_endtag(self, tag: str) -> None:
+        if tag in VOID_ELEMENTS:
+            return
+        for i in range(len(self._open) - 1, 0, -1):
+            if self._open[i].tag == tag:
+                del self._open[i:]
+                return
+        # Unmatched end tag: ignored (lenient real-world parsing).
+
+    def handle_data(self, data: str) -> None:
+        if data:
+            self._top().append(Node(None, text=data))
+
+    # Comments / doctype / processing instructions are dropped.
+    def handle_comment(self, data: str) -> None:
+        pass
+
+    def handle_decl(self, decl: str) -> None:
+        pass
+
+    def handle_pi(self, data: str) -> None:
+        pass
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a :class:`Node` tree (root ``#document``)."""
+    builder = _TreeBuilder()
+    builder.feed(html)
+    builder.close()
+    return builder.root
+
+
+def body_or_root(root: Node) -> Node:
+    """The ``<body>`` element if present, else the document root."""
+    return root.find("body") or root

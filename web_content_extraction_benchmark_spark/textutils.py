@@ -1,0 +1,45 @@
+"""Shared tokenizers and whitespace normalization.
+
+Semantics mirror the reference's text utilities
+(/root/reference/src/extraction_benchmark/util.py:44-70): whitespace
+tokenization strips first and returns [] for blank input; word
+tokenization extracts Unicode ``\\w+`` runs.
+"""
+
+from __future__ import annotations
+
+import re
+
+_WS_RUN = re.compile(r"\s+", re.UNICODE)
+_WORD = re.compile(r"\w+", re.UNICODE)
+
+# Whitespace squeeze used by the xpath-text style extractor
+# (reference extractors.py:37-38).
+_NL_SQUEEZE = re.compile(r"(\s+\n\s*)")
+_SPACE_SQUEEZE = re.compile(r"[ \t]{2,}")
+
+
+def ws_tokens(text: str) -> list[str]:
+    """Whitespace tokenizer: strip, split on ``\\s+``; [] when blank."""
+    text = text.strip()
+    if not text:
+        return []
+    return _WS_RUN.split(text)
+
+
+def word_tokens(text: str) -> list[str]:
+    """Unicode word tokenizer (``\\w+`` runs, punctuation dropped)."""
+    return _WORD.findall(text)
+
+
+def squeeze_ws(text: str) -> str:
+    """Collapse any whitespace run to a single space and strip ends."""
+    return _WS_RUN.sub(" ", text).strip()
+
+
+def squeeze_xpath_style(text: str) -> str:
+    """The two-regex squeeze applied by the xpath-text extractor:
+    whitespace-around-newline -> single newline, then >=2 spaces/tabs -> one
+    space (reference extractors.py:37-38)."""
+    text = _NL_SQUEEZE.sub("\n", text)
+    return _SPACE_SQUEEZE.sub(" ", text)
