@@ -1,0 +1,160 @@
+"""Arrow-batched pandas UDFs — the only Python/JVM crossing points.
+
+Everything row-wise in this engine funnels through these Series->Series
+vectorized UDFs (never per-row Python UDFs): the reference's per-row
+``model(in_data['html'])`` loop (extract.py:102-119) becomes one Arrow
+batch per ~512 documents.  Per-document errors map to '' exactly as the
+reference harness swallows them (extract.py:106-119).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+from ..dom import NON_TEXT_ELEMENTS, body_or_root, parse_html
+from ..encoding import decode_html
+from ..extractors import get_extractor
+from ..extractors.density import extract_main_content_with_blocks
+from ..functions.scoring import rouge_lsum, token_levenshtein_ratio
+from ..textutils import word_tokens
+
+BLOCKS_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("start", T.IntegerType(), False),
+            T.StructField("end", T.IntegerType(), False),
+            T.StructField("tag", T.StringType(), False),
+            T.StructField("text", T.StringType(), False),
+        ]
+    )
+)
+
+ROUGE_TYPE = T.StructType(
+    [
+        T.StructField("prec", T.DoubleType(), False),
+        T.StructField("rec", T.DoubleType(), False),
+        T.StructField("f1", T.DoubleType(), False),
+    ]
+)
+
+HTML_FEATURE_TAGS = [
+    "h1", "h2", "h3", "h4", "h5", "h6", "p", "li", "table", "a", "div",
+    "br", "strong", "em",
+]
+HTML_FEATURES_TYPE = T.StructType(
+    [T.StructField(t, T.DoubleType(), False) for t in HTML_FEATURE_TAGS]
+    + [T.StructField("html_to_non_html", T.DoubleType(), False)]
+)
+
+
+def decode_series(raw: pd.Series) -> pd.Series:
+    return raw.map(lambda b: decode_html(b) if b is not None else "")
+
+
+@pandas_udf(T.StringType())
+def decode_html_udf(raw: pd.Series) -> pd.Series:
+    """binary html -> decoded text (gunzip + BOM/meta sniff + fallbacks)."""
+    return decode_series(raw)
+
+
+def extraction_udf(model: str):
+    """Series[binary html] -> Series[plaintext] for one extractor."""
+    fn = get_extractor(model)
+
+    @pandas_udf(T.StringType())
+    def _extract(raw: pd.Series) -> pd.Series:
+        out = []
+        for blob in raw:
+            try:
+                out.append(fn(decode_html(blob)) or "")
+            except Exception:
+                out.append("")
+        return pd.Series(out, dtype="object")
+
+    return _extract
+
+
+@pandas_udf(BLOCKS_TYPE)
+def main_content_blocks_udf(raw: pd.Series) -> pd.Series:
+    """Block-level spans of the main-content extractor (north-star output)."""
+    out = []
+    for blob in raw:
+        try:
+            _, spans = extract_main_content_with_blocks(decode_html(blob))
+            out.append([
+                {"start": s, "end": e, "tag": tag, "text": text}
+                for s, e, tag, text in spans
+            ])
+        except Exception:
+            out.append([])
+    return pd.Series(out, dtype="object")
+
+
+@pandas_udf(T.DoubleType())
+def token_levenshtein_udf(target: pd.Series, pred: pd.Series) -> pd.Series:
+    out = [
+        token_levenshtein_ratio(t or "", p or "")
+        for t, p in zip(target, pred)
+    ]
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(ROUGE_TYPE)
+def rouge_lsum_udf(target: pd.Series, pred: pd.Series) -> pd.DataFrame:
+    rows = [rouge_lsum(t or "", p or "") for t, p in zip(target, pred)]
+    return pd.DataFrame(rows, columns=["prec", "rec", "f1"])
+
+
+@pandas_udf(T.IntegerType())
+def src_word_count_udf(raw: pd.Series) -> pd.Series:
+    """Word-token count of the body text (script/style excluded) — the
+    denominator of the page-complexity score (reference complexity.py:52-73)."""
+    counts = []
+    for blob in raw:
+        try:
+            body = body_or_root(parse_html(decode_html(blob)))
+            counts.append(len(word_tokens(body.text_content(NON_TEXT_ELEMENTS))))
+        except Exception:
+            counts.append(0)
+    return pd.Series(counts, dtype="int32")
+
+
+@pandas_udf(HTML_FEATURES_TYPE)
+def html_features_udf(raw: pd.Series) -> pd.DataFrame:
+    """15 structural features per page (reference complexity.py:93-122):
+    tag-count ratios over total body tags + tags-per-word-token ratio."""
+    rows = []
+    for blob in raw:
+        feats = {t: 0.0 for t in HTML_FEATURE_TAGS}
+        feats["html_to_non_html"] = 0.0
+        try:
+            body = body_or_root(parse_html(decode_html(blob)))
+            counts = {t: 0 for t in HTML_FEATURE_TAGS}
+            n_tags = 0
+            text_parts = []
+            for node in body.iter(skip_tags=NON_TEXT_ELEMENTS):
+                if node.is_text:
+                    text_parts.append(node.text)
+                    continue
+                if node is body:
+                    continue
+                n_tags += 1
+                if node.tag in counts:
+                    counts[node.tag] += 1
+            if n_tags:
+                for t in HTML_FEATURE_TAGS:
+                    feats[t] = counts[t] / n_tags
+            n_words = len(word_tokens("".join(text_parts)))
+            feats["html_to_non_html"] = n_tags / n_words if n_words else 0.0
+        except Exception:
+            pass
+        rows.append(feats)
+    return pd.DataFrame(rows, columns=HTML_FEATURE_TAGS + ["html_to_non_html"])
+
+
+def word_count_col(col):
+    """JVM-side Unicode word-token count (reference util.py:60-70)."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"(?U)\w+"), 0))

@@ -1,0 +1,302 @@
+"""The flagship extraction pipeline as declarative DataFrame plans.
+
+Replaces the reference's (model x dataset) spawn-Pool fan-out
+(/root/reference/src/extraction_benchmark/extract.py:139-157) with:
+
+    pages --salted repartition--> mapInPandas(decode once, run all
+    extractors per batch) --> answers (+ per-partition lineage sidecar)
+    --> join truth --> score UDFs --> groupBy aggregations
+
+Scale notes (100 TB / 1000 executors):
+- one decode per page feeds *all* extractors (the reference re-reads and
+  re-decodes per model job);
+- the salted url-hash repartition defuses host/page-size skew before the
+  expensive Python stage (north_rule);
+- answers are written partitioned by model so downstream scoring scans
+  prune;
+- truth joins broadcast when small, sort-merge otherwise — left to
+  Catalyst/AQE.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import EXTRACTOR_VERSION
+from ..encoding import decode_html
+from ..extractors import EXTRACTORS
+from ..extractors.density import extract_main_content_with_blocks
+from ..extractors.ensemble import majority_vote, normalize_answer
+from ..functions.udfs import rouge_lsum_udf, token_levenshtein_udf
+
+ANSWERS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("model", T.StringType(), False),
+        T.StructField("plaintext", T.StringType(), False),
+        T.StructField("block_count", T.IntegerType(), False),
+        T.StructField("error", T.BooleanType(), False),
+    ]
+)
+
+LINEAGE_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_id", T.LongType(), False),
+        T.StructField("partition_id", T.IntegerType(), False),
+        T.StructField("model", T.StringType(), False),
+        T.StructField("extractor_version", T.StringType(), False),
+        T.StructField("docs_in", T.LongType(), False),
+        T.StructField("docs_out", T.LongType(), False),
+        T.StructField("errors", T.LongType(), False),
+        T.StructField("block_count", T.LongType(), False),
+        T.StructField("bytes_in", T.LongType(), False),
+        T.StructField("wall_ms", T.LongType(), False),
+    ]
+)
+
+_COMBINED_SCHEMA = T.StructType(
+    [T.StructField("kind", T.IntegerType(), False)]
+    + ANSWERS_SCHEMA.fields
+    + [T.StructField(f.name, f.dataType, True) for f in LINEAGE_SCHEMA.fields
+       if f.name not in {"model", "block_count"}]
+)
+
+
+def repartition_salted(pages: DataFrame, num_partitions: int,
+                       salt: int = 0) -> DataFrame:
+    """Uniform repartition on salted url hash: breaks host clustering and
+    spreads giant-page tails (north_rule skew handling)."""
+    return pages.repartition(
+        num_partitions, F.xxhash64(F.col("url"), F.lit(salt))
+    )
+
+
+def _run_extractors(models: list[str], snapshot_id: int):
+    fns = {m: EXTRACTORS[m] for m in models}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        partition_id = TaskContext.get().partitionId()
+        stats = {
+            m: {"docs_in": 0, "docs_out": 0, "errors": 0, "blocks": 0,
+                "bytes_in": 0, "wall_ns": 0}
+            for m in models
+        }
+        for pdf in batches:
+            out = {k: [] for k in
+                   ("url", "model", "plaintext", "block_count", "error")}
+            for url, blob in zip(pdf["url"], pdf["html"]):
+                n_bytes = len(blob) if blob is not None else 0
+                html = decode_html(blob)
+                for model, fn in fns.items():
+                    st = stats[model]
+                    st["docs_in"] += 1
+                    st["bytes_in"] += n_bytes
+                    started = time.perf_counter_ns()
+                    blocks = 0
+                    try:
+                        if model == "main_content":
+                            text, spans = extract_main_content_with_blocks(html)
+                            blocks = len(spans)
+                        else:
+                            text = fn(html) or ""
+                            blocks = text.count("\n") + 1 if text else 0
+                        error = False
+                    except Exception:
+                        text = ""
+                        error = True
+                        st["errors"] += 1
+                    st["wall_ns"] += time.perf_counter_ns() - started
+                    if text:
+                        st["docs_out"] += 1
+                    st["blocks"] += blocks
+                    out["url"].append(url)
+                    out["model"].append(model)
+                    out["plaintext"].append(text)
+                    out["block_count"].append(blocks)
+                    out["error"].append(error)
+            frame = pd.DataFrame(out)
+            frame.insert(0, "kind", 0)
+            for name in ("snapshot_id", "partition_id", "extractor_version",
+                         "docs_in", "docs_out", "errors", "bytes_in",
+                         "wall_ms"):
+                frame[name] = None
+            yield frame
+        # Per-partition lineage sidecar rows (north_rule).
+        lineage = {
+            "kind": [], "url": [], "model": [], "plaintext": [],
+            "block_count": [], "error": [], "snapshot_id": [],
+            "partition_id": [], "extractor_version": [], "docs_in": [],
+            "docs_out": [], "errors": [], "bytes_in": [], "wall_ms": [],
+        }
+        for model, st in stats.items():
+            lineage["kind"].append(1)
+            lineage["url"].append("")
+            lineage["model"].append(model)
+            lineage["plaintext"].append("")
+            lineage["block_count"].append(st["blocks"])
+            lineage["error"].append(False)
+            lineage["snapshot_id"].append(snapshot_id)
+            lineage["partition_id"].append(partition_id)
+            lineage["extractor_version"].append(EXTRACTOR_VERSION)
+            lineage["docs_in"].append(st["docs_in"])
+            lineage["docs_out"].append(st["docs_out"])
+            lineage["errors"].append(st["errors"])
+            lineage["bytes_in"].append(st["bytes_in"])
+            lineage["wall_ms"].append(st["wall_ns"] // 1_000_000)
+        yield pd.DataFrame(lineage)
+
+    return run
+
+
+def extract_answers(
+    pages: DataFrame,
+    models: list[str] | None = None,
+    snapshot_id: int = 0,
+    with_lineage: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """pages -> answers table (url, model, plaintext, block_count, error).
+
+    Decodes each page once and runs every requested extractor on it inside
+    a single Arrow batch pass.  With ``with_lineage=True`` returns
+    ``(answers, lineage)``; the combined frame is split by a marker column,
+    so persist upstream if both sides will be consumed.
+    """
+    models = models or list(EXTRACTORS)
+    combined = pages.select("url", "html").mapInPandas(
+        _run_extractors(models, snapshot_id), schema=_COMBINED_SCHEMA
+    )
+    answers = combined.filter(F.col("kind") == 0).select(
+        *[f.name for f in ANSWERS_SCHEMA.fields]
+    )
+    if not with_lineage:
+        return answers
+    lineage = combined.filter(F.col("kind") == 1).select(
+        "snapshot_id", "partition_id", "model",
+        "extractor_version", "docs_in", "docs_out", "errors",
+        F.col("block_count").cast("long").alias("block_count"),
+        "bytes_in", "wall_ms",
+    )
+    return answers, lineage
+
+
+def ensemble_answers(
+    answers: DataFrame,
+    pages: DataFrame,
+    input_models: list[str],
+    model_name: str = "ensemble_majority",
+    weights: dict[str, int] | None = None,
+    vote_fraction: float = 0.66,
+) -> DataFrame:
+    """Majority-vote ensemble as a grouped plan: per-page answer map via
+    ``map_from_entries(collect_list(...))`` (replaces the reference's
+    in-memory global answer cache, ensemble.py:24-37), joined back to the
+    page and voted inside one Arrow batch pass."""
+    vote_threshold = int(len(input_models) * vote_fraction)
+    answer_maps = (
+        answers.filter(F.col("model").isin(input_models))
+        .groupBy("url")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("model", "plaintext"))
+            ).alias("answers")
+        )
+    )
+    joined = pages.select("url", "html").join(answer_maps, "url", "left")
+
+    def vote(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractors.baseline import extract_plain
+
+        for pdf in batches:
+            texts = []
+            for blob, amap in zip(pdf["html"], pdf["answers"]):
+                try:
+                    full_text = extract_plain(decode_html(blob))
+                    normalized = {
+                        m: normalize_answer(a or "")
+                        for m, a in (amap or {}).items()
+                    }
+                    texts.append(
+                        majority_vote(
+                            full_text, normalized,
+                            weights=weights, vote_threshold=vote_threshold,
+                        )
+                    )
+                except Exception:
+                    texts.append("")
+            yield pd.DataFrame({"url": pdf["url"], "plaintext": texts})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("plaintext", T.StringType(), False),
+        ]
+    )
+    voted = joined.mapInPandas(vote, schema=out_schema)
+    return voted.select(
+        "url",
+        F.lit(model_name).alias("model"),
+        "plaintext",
+        F.lit(0).alias("block_count"),
+        F.lit(False).alias("error"),
+    )
+
+
+def score_answers(answers: DataFrame, truth: DataFrame) -> DataFrame:
+    """answers x truth (inner on url, reference eval.py:84-91) -> per-page
+    scores: token-Levenshtein ratio + ROUGE-LSum struct."""
+    pred = answers.select("url", "model", F.col("plaintext").alias("pred"))
+    target = truth.select(
+        "url", "dataset", F.col("plaintext").alias("target")
+    )
+    joined = pred.join(target, "url", "inner")
+    rouge = rouge_lsum_udf(F.col("target"), F.col("pred"))
+    return joined.select(
+        "url",
+        "model",
+        "dataset",
+        token_levenshtein_udf(F.col("target"), F.col("pred")).alias("dist"),
+        rouge["prec"].alias("prec"),
+        rouge["rec"].alias("rec"),
+        rouge["f1"].alias("f1"),
+    )
+
+
+def aggregate_scores(scores: DataFrame,
+                     score_cols: tuple[str, ...] = ("dist", "prec", "rec", "f1")
+                     ) -> DataFrame:
+    """Mean + median per (model, dataset) plus the reference's `_micro`
+    (all pages pooled) and `_macro` (mean of per-dataset means / median of
+    per-dataset medians) pseudo-datasets (eval.py:255-274)."""
+    mean_aggs = [F.mean(c).alias(f"mean_{c}") for c in score_cols]
+    median_aggs = [F.median(c).alias(f"median_{c}") for c in score_cols]
+
+    per_ds = scores.groupBy("model", "dataset").agg(*mean_aggs, *median_aggs)
+    micro = scores.groupBy("model").agg(*mean_aggs, *median_aggs).select(
+        "model", F.lit("_micro").alias("dataset"),
+        *[f"mean_{c}" for c in score_cols],
+        *[f"median_{c}" for c in score_cols],
+    )
+    macro = per_ds.groupBy("model").agg(
+        *[F.mean(f"mean_{c}").alias(f"mean_{c}") for c in score_cols],
+        *[F.median(f"median_{c}").alias(f"median_{c}") for c in score_cols],
+    ).select(
+        "model", F.lit("_macro").alias("dataset"),
+        *[f"mean_{c}" for c in score_cols],
+        *[f"median_{c}" for c in score_cols],
+    )
+    ordered = ["model", "dataset"] + [f"mean_{c}" for c in score_cols] + [
+        f"median_{c}" for c in score_cols
+    ]
+    return (
+        per_ds.select(*ordered)
+        .unionByName(micro.select(*ordered))
+        .unionByName(macro.select(*ordered))
+    )
