@@ -1,10 +1,16 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator family as a
+(spark, sf_dir) -> DataFrame callable; ``oracle_sql()`` gives the DuckDB
+equivalent over the same parquet tables.  Extraction queries synthesize the
+Common-Crawl-style pages table deterministically from ``documents``
+(web_content_extraction_benchmark_spark.sources.pages), whose expected
+extraction output is SQL-expressible — so even the HTML decode -> DOM parse
+-> extract -> score pipeline is oracle-checked end-to-end, not just the
+relational tail.
+
+Float outputs are rounded to 6 decimals on BOTH sides to absorb
+summation-order noise; timestamps are formatted to strings.
 """
 
 from __future__ import annotations
@@ -12,27 +18,830 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from web_content_extraction_benchmark_spark.operators.dedup import (
+    exact_duplicates,
+    minhash_lsh_pairs,
+    minhash_signature,
+    ngram_jaccard_pairs,
+    shingle_col,
+    simhash64_udf,
+)
+from web_content_extraction_benchmark_spark.operators.relational import (
+    band_counts,
+    complexity_quantiles,
+    page_complexity,
+)
+from web_content_extraction_benchmark_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from web_content_extraction_benchmark_spark.operators.textstats import (
+    STOPWORDS,
+    language_id,
+    quality_score,
+    token_counts,
+    winnowing_fingerprints,
+)
+from web_content_extraction_benchmark_spark.operators.multimodal import (
+    extract_media_features,
+    synthesize_media,
+)
+from web_content_extraction_benchmark_spark.plans.pipeline import (
+    aggregate_scores,
+    extract_answers,
+    score_answers,
+)
+from web_content_extraction_benchmark_spark.sources.pages import (
+    GOLD_SQL,
+    PLAIN_SQL,
+    URL_SQL,
+    synthesize_pages,
+    truth_table,
+)
+from web_content_extraction_benchmark_spark.streaming.events import (
+    windowed_event_counts,
+)
+
+# ---------------------------------------------------------------------------
+# shared helpers
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _tpch(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_with_mutants(docs: DataFrame) -> DataFrame:
+    """documents UNION mutated near-dup copies (drop last 2 words),
+    mirrored in SQL by _MUTANTS_SQL."""
+    words = F.split(F.col("text"), " ")
+    mutants = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 2)).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(mutants)
+
+
+_MUTANTS_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 1000000 AS doc_id,
+       array_to_string(
+           string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' '
+       ) AS text
+FROM documents WHERE doc_id % 10 = 0
+"""
+
+# gold / plain token lengths (whitespace tokens; '' -> 0)
+_GLEN_SQL = (
+    "CASE WHEN g = '' THEN 0 ELSE len(string_split_regex(g, '\\s+')) END"
+)
+_PLEN_SQL = (
+    "CASE WHEN p = '' THEN 0 ELSE len(string_split_regex(p, '\\s+')) END"
+)
+
+# word-token (\\w+) counts for the complexity score, per template variant;
+# n = word count of the document text (all corpus words are \\w-only).
+_N_SQL = "len(string_split(text, ' '))"
+_TRUTH_TOKENS_SQL = f"""
+CASE WHEN doc_id % 101 = 0 THEN 0
+     WHEN doc_id % 5 IN (0, 4) THEN {_N_SQL} + 2
+     ELSE {_N_SQL} END
+"""
+_SRC_TOKENS_SQL = f"""
+CASE WHEN doc_id % 101 = 0 THEN 0
+     WHEN doc_id % 5 = 0 THEN {_N_SQL} + 11
+     WHEN doc_id % 5 = 1 THEN {_N_SQL} + 6
+     WHEN doc_id % 5 = 4 THEN {_N_SQL} + 8
+     ELSE {_N_SQL} END
+"""
+_COMPLEXITY_SQL = f"""
+SELECT {URL_SQL} AS url, source AS dataset,
+       CASE WHEN s = 0 THEN 1.0
+            ELSE round(1.0 - least(1.0, greatest(0.0, CAST(t AS DOUBLE) / s)), 6)
+       END AS complexity
+FROM (SELECT doc_id, source, text, {_TRUTH_TOKENS_SQL} AS t,
+             {_SRC_TOKENS_SQL} AS s
+      FROM documents)
+"""
+
+_SHINGLES_SQL = """
+-- distinct word 3-gram shingles per doc over the mutant-augmented corpus
+WITH corpus AS ({mutants}),
+words AS (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS word,
+           generate_subscripts(string_split(text, ' '), 1) AS pos
+    FROM corpus
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           word || ' ' || lead(word, 1) OVER win || ' ' ||
+           lead(word, 2) OVER win AS sh
+    FROM words
+    WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY sh IS NOT NULL
+)
+"""
+
+
+def _lev_from_counts() -> str:
+    return (
+        "CASE WHEN gl + pl = 0 THEN 1.0 "
+        "ELSE round(2.0 * gl / (gl + pl), 6) END"
+    )
+
+
+# ---------------------------------------------------------------------------
+# query implementations
+# ---------------------------------------------------------------------------
+
+
+def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship byte-identity check: binary html -> decode (gzip/BOM) ->
+    DOM parse -> density main-content extraction, per url."""
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["main_content"])
+    return answers.select("url", "plaintext")
+
+
+def q_extract_plain_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["plain"])
+    return answers.select("url", "plaintext")
+
+
+def q_extract_block_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["main_content"])
+    return answers.select("url", F.col("block_count").cast("int").alias("n_blocks"))
+
+
+def q_score_levenshtein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full extract+score pipeline: token-Levenshtein of the plain
+    extractor vs gold truth, per url."""
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["plain"])
+    scores = score_answers(answers, truth_table(pages))
+    return scores.select("url", F.round("dist", 6).alias("dist"))
+
+
+def q_score_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["plain"])
+    scores = score_answers(answers, truth_table(pages))
+    return scores.select(
+        "url",
+        F.round("prec", 6).alias("prec"),
+        F.round("rec", 6).alias("rec"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
+def q_agg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean/median score aggregation incl. _micro/_macro pseudo-datasets
+    (reference eval.py:255-274)."""
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["plain"])
+    scores = score_answers(answers, truth_table(pages))
+    # round per-row BEFORE aggregating — the oracle's dist is rounded per
+    # row too, so means/medians must aggregate identical inputs
+    scores = scores.withColumn("dist", F.round("dist", 6))
+    agg = aggregate_scores(scores, score_cols=("dist",))
+    return agg.select(
+        "model", "dataset",
+        F.round("mean_dist", 6).alias("mean_dist"),
+        F.round("median_dist", 6).alias("median_dist"),
+    )
+
+
+def q_page_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages(spark, sf_dir)
+    compl = page_complexity(pages, truth_table(pages))
+    return compl.select(
+        "url", "dataset", F.round("complexity", 6).alias("complexity")
+    )
+
+
+def q_complexity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages(spark, sf_dir)
+    compl = page_complexity(pages, truth_table(pages))
+    compl = compl.withColumn("complexity", F.round("complexity", 6))
+    q = complexity_quantiles(compl)
+    return q.select(
+        "dataset",
+        *[F.round(c, 6).alias(c) for c in ("q25", "q33", "q50", "q66", "q75")],
+    )
+
+
+def q_complexity_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pages = synthesize_pages(spark, sf_dir)
+    compl = page_complexity(pages, truth_table(pages))
+    compl = compl.withColumn("complexity", F.round("complexity", 6))
+    return band_counts(compl, low=0.1, high=0.3)
+
+
+def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R1-style equi joins + hash aggregate: revenue per nation."""
+    orders = _tpch(spark, sf_dir, "orders")
+    customer = _tpch(spark, sf_dir, "customer")
+    nation = _tpch(spark, sf_dir, "nation")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("total_price"),
+        )
+    )
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2: customers having at least one order (left semi)."""
+    orders = _tpch(spark, sf_dir, "orders")
+    customer = _tpch(spark, sf_dir, "customer")
+    return (
+        customer.join(
+            orders.select(F.col("o_custkey").alias("c_custkey")),
+            "c_custkey", "left_semi",
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R3: customers with no high-value order (resume/skip-existing shape)."""
+    orders = _tpch(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 350000
+    )
+    customer = _tpch(spark, sf_dir, "customer")
+    return customer.join(
+        orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey", "left_anti",
+    ).select("c_custkey", "c_name")
+
+
+def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R11-R13 family: grouped means/medians with rollup totals."""
+    lineitem = _tpch(spark, sf_dir, "lineitem")
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.median("l_discount"), 6).alias("median_disc"),
+        )
+    )
+
+
+def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14/R17: exact interpolated percentiles per group."""
+    lineitem = _tpch(spark, sf_dir, "lineitem")
+    return lineitem.groupBy("l_returnflag").agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(
+                f"p{int(p * 100)}"
+            )
+            for p in (0.25, 0.5, 0.75)
+        ]
+    )
+
+
+def q_topk_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R16: rank within group (top-3 suppliers by acctbal per nation)."""
+    from pyspark.sql.window import Window
+
+    supplier = _tpch(spark, sf_dir, "supplier")
+    window = Window.partitionBy("s_nationkey").orderBy(
+        F.desc("s_acctbal"), F.asc("s_suppkey")
+    )
+    return (
+        supplier.withColumn("rnk", F.row_number().over(window))
+        .filter(F.col("rnk") <= 3)
+        .select("s_nationkey", "s_suppkey", "rnk")
+    )
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R21: conditional aggregation over events."""
+    events = _events(spark, sf_dir)
+    return events.groupBy("event_type").agg(
+        F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).alias("n_high"),
+        F.sum(F.when(F.col("value") <= 50, 1).otherwise(0)).alias("n_low"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1h windows over events (streaming-equivalent batch plan)."""
+    events = _events(spark, sf_dir)
+    out = windowed_event_counts(events, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON prop extraction + grouped count."""
+    events = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return events.select(k.alias("k")).groupBy("k").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_mutants(_docs(spark, sf_dir))
+    # mutants change text, so add true duplicates: re-union originals
+    dup_corpus = corpus.unionByName(
+        _docs(spark, sf_dir).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+        )
+    )
+    return exact_duplicates(dup_corpus)
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-independent MinHash signatures (md5-min per seed)."""
+    docs = _docs(spark, sf_dir)
+    sh = shingle_col(F.col("text"))
+    return docs.select("doc_id", *minhash_signature(sh, 8))
+
+
+def q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_mutants(_docs(spark, sf_dir))
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.6)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_mutants(_docs(spark, sf_dir)).filter(
+        (F.col("doc_id") % 20 == 0)
+    )
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.8)
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash signatures (no SQL oracle: bit-vector kernel)."""
+    docs = _docs(spark, sf_dir)
+    return docs.select("doc_id", simhash64_udf(F.col("text")).alias("sig"))
+
+
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-5 for sampled queries."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = cosine_topk(emb, queries, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed ANN (scale path; no SQL oracle: seeded hyperplanes)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = lsh_cosine_topk(emb, queries, dim=64, k=5)
+    return topk.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = language_id(docs, "text")
+    return out.select(
+        "doc_id", "lang_pred", *[f"hits_{lang}" for lang in sorted(STOPWORDS)]
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    out = quality_score(docs, "text")
+    return out.select("doc_id", F.round("quality", 6).alias("quality"))
+
+
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return token_counts(docs, "text").select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_text_chars"
+    )
+
+
+def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir)
+    fp = winnowing_fingerprints(docs, "text")
+    return fp.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
+
+
+def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing (fake decoder; no SQL oracle)."""
+    media = synthesize_media(spark, n_rows=64)
+    feats = extract_media_features(media)
+    return feats.select("media_id", "kind", "n_bytes")
+
+
+# ---------------------------------------------------------------------------
+# driver contract
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: synthesize pages at sf0.001, extract with two models,
+    score vs truth, aggregate with micro/macro rollups."""
+    sf_dir = "/root/testdata/sf0.001"
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["main_content", "plain"])
+    scores = score_answers(answers, truth_table(pages))
+    return aggregate_scores(scores)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "extract_main_text": q_extract_main_text,
+        "extract_plain_text": q_extract_plain_text,
+        "extract_block_counts": q_extract_block_counts,
+        "score_levenshtein": q_score_levenshtein,
+        "score_rouge": q_score_rouge,
+        "agg_scores": q_agg_scores,
+        "page_complexity": q_page_complexity,
+        "complexity_quantiles": q_complexity_quantiles,
+        "complexity_band_counts": q_complexity_band_counts,
+        "join_agg": q_join_agg,
+        "semi_join": q_semi_join,
+        "anti_join": q_anti_join,
+        "rollup_agg": q_rollup_agg,
+        "percentiles": q_percentiles,
+        "topk_window": q_topk_window,
+        "conditional_agg": q_conditional_agg,
+        "hourly_windows": q_hourly_windows,
+        "json_extract": q_json_extract,
+        "dedup_exact": q_dedup_exact,
+        "minhash_signatures": q_minhash_signatures,
+        "minhash_lsh_pairs": q_minhash_lsh_pairs,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "simhash": q_simhash,
+        "ann_cosine_topk": q_ann_cosine_topk,
+        "ann_lsh_topk": q_ann_lsh_topk,
+        "language_id": q_language_id,
+        "quality_score": q_quality_score,
+        "token_counts": q_token_counts,
+        "fingerprints": q_fingerprints,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
+    gold_plain = (
+        f"SELECT {URL_SQL} AS url, {GOLD_SQL} AS g, {PLAIN_SQL} AS p "
+        "FROM documents"
+    )
+    lev = _lev_from_counts()
+    stop_lists = {
+        lang: "(" + ", ".join(f"'{w}'" for w in words) + ")"
+        for lang, words in STOPWORDS.items()
+    }
+    hits = {
+        lang: (
+            "len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), "
+            f"w -> w IN {stop_lists[lang]}))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    quality_sql = f"""
+    SELECT doc_id,
+           CASE WHEN n_words = 0 THEN 0.0
+                ELSE round(greatest(0.0, least(1.0,
+                     0.4 * least(n_words / 50.0, 1.0)
+                   + 0.3 * (CASE WHEN mean_wl BETWEEN 3.0 AND 9.0
+                            THEN 1.0 ELSE 0.25 END)
+                   + 0.3 * least(5.0 * hits_en / n_words, 1.0)
+                   - least(0.2 * punct_runs, 0.6))), 6) END AS quality
+    FROM (
+        SELECT doc_id,
+               len(string_split_regex(trim(text), '\\s+')) AS n_words,
+               CAST(length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1)
+                    AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))
+                    AS mean_wl,
+               {hits['en']} AS hits_en,
+               len(regexp_extract_all(text, '[!?.,;:]{{3,}}')) AS punct_runs
+        FROM documents
+    )
     """
-    return {}
+    minhash_cols = ", ".join(
+        f"min(md5('{h}:' || sh)) AS mh{h}" for h in range(8)
+    )
+    shingles_docs_only = _SHINGLES_SQL.format(mutants="SELECT doc_id, text FROM documents")
+    shingles_mutants = _SHINGLES_SQL.format(mutants=_MUTANTS_SQL)
+
+    lsh_pairs_sql = f"""
+    {shingles_mutants},
+    sig AS (
+        SELECT doc_id, {minhash_cols} FROM shingles GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id)
+    SELECT c.id_a, c.id_b,
+           round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+                 (za.n + zb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+    FROM cand c
+    LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes za ON za.doc_id = c.id_a
+    JOIN sizes zb ON zb.doc_id = c.id_b
+    WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+          (za.n + zb.n - coalesce(i.n_inter, 0)) >= 0.6
+    """
+
+    ngram_pairs_sql = f"""
+    {shingles_mutants},
+    sub AS (SELECT * FROM shingles WHERE doc_id % 20 = 0),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sub GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM sub a JOIN sub b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT i.id_a, i.id_b,
+           round(CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter), 6)
+               AS jaccard
+    FROM inter i
+    JOIN sizes za ON za.doc_id = i.id_a
+    JOIN sizes zb ON zb.doc_id = i.id_b
+    WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.8
+      AND zb.n >= za.n * 0.8 AND zb.n <= za.n / 0.8
+    """
+
+    return {
+        "extract_main_text": (
+            f"SELECT {URL_SQL} AS url, {GOLD_SQL} AS plaintext FROM documents"
+        ),
+        "extract_plain_text": (
+            f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
+        ),
+        "extract_block_counts": f"""
+            SELECT {URL_SQL} AS url,
+                   CAST(CASE WHEN doc_id % 101 = 0 THEN 0
+                        WHEN doc_id % 5 IN (0, 2, 4) THEN 2
+                        ELSE 1 END AS INT) AS n_blocks
+            FROM documents
+        """,
+        "score_levenshtein": f"""
+            SELECT url, {lev} AS dist
+            FROM (SELECT url, {_GLEN_SQL} AS gl, {_PLEN_SQL} AS pl
+                  FROM ({gold_plain}))
+        """,
+        "score_rouge": f"""
+            SELECT url,
+                   CASE WHEN gl = 0 AND pl = 0 THEN 1.0
+                        WHEN gl = 0 THEN 0.0
+                        ELSE round(CAST(gl AS DOUBLE) / pl, 6) END AS prec,
+                   1.0 AS rec,
+                   CASE WHEN gl = 0 AND pl = 0 THEN 1.0
+                        WHEN gl = 0 THEN 0.0
+                        ELSE round(2.0 * (CAST(gl AS DOUBLE) / pl) /
+                                   (1.0 + CAST(gl AS DOUBLE) / pl), 6)
+                   END AS f1
+            FROM (SELECT url, {_GLEN_SQL} AS gl, {_PLEN_SQL} AS pl
+                  FROM ({gold_plain}))
+        """,
+        "agg_scores": f"""
+            WITH s AS (
+                SELECT source AS dataset, {lev} AS dist
+                FROM (SELECT source, {_GLEN_SQL} AS gl, {_PLEN_SQL} AS pl
+                      FROM (SELECT source, {GOLD_SQL} AS g, {PLAIN_SQL} AS p
+                            FROM documents))
+            ),
+            per_ds AS (
+                SELECT 'plain' AS model, dataset,
+                       round(avg(dist), 6) AS mean_dist,
+                       round(median(dist), 6) AS median_dist
+                FROM s GROUP BY dataset
+            )
+            SELECT * FROM per_ds
+            UNION ALL
+            SELECT 'plain', '_micro', round(avg(dist), 6),
+                   round(median(dist), 6) FROM s
+            UNION ALL
+            SELECT 'plain', '_macro', round(avg(mean_dist), 6),
+                   round(median(median_dist), 6) FROM per_ds
+        """,
+        "page_complexity": _COMPLEXITY_SQL,
+        "complexity_quantiles": f"""
+            WITH c AS ({_COMPLEXITY_SQL})
+            SELECT dataset,
+                   round(quantile_cont(complexity, 0.25), 6) AS q25,
+                   round(quantile_cont(complexity, 0.33), 6) AS q33,
+                   round(quantile_cont(complexity, 0.50), 6) AS q50,
+                   round(quantile_cont(complexity, 0.66), 6) AS q66,
+                   round(quantile_cont(complexity, 0.75), 6) AS q75
+            FROM c GROUP BY dataset
+            UNION ALL
+            SELECT '_all', round(quantile_cont(complexity, 0.25), 6),
+                   round(quantile_cont(complexity, 0.33), 6),
+                   round(quantile_cont(complexity, 0.50), 6),
+                   round(quantile_cont(complexity, 0.66), 6),
+                   round(quantile_cont(complexity, 0.75), 6)
+            FROM c
+        """,
+        "complexity_band_counts": f"""
+            WITH c AS ({_COMPLEXITY_SQL})
+            SELECT dataset,
+                   CAST(sum(CASE WHEN complexity < 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   CAST(sum(CASE WHEN complexity >= 0.1 AND complexity < 0.3
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_medium,
+                   CAST(sum(CASE WHEN complexity >= 0.3 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   count(*) AS n_pages
+            FROM c GROUP BY dataset
+        """,
+        "join_agg": """
+            SELECT n_name, count(*) AS n_orders,
+                   round(sum(o_totalprice), 4) AS total_price
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "semi_join": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer
+            WHERE c_custkey IN (SELECT o_custkey FROM orders)
+            GROUP BY c_mktsegment
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer
+            WHERE c_custkey NOT IN
+                (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
+        """,
+        "rollup_agg": """
+            SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(avg(l_extendedprice), 6) AS avg_price,
+                   round(median(l_discount), 6) AS median_disc
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "percentiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+                   round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
+                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "topk_window": """
+            SELECT s_nationkey, s_suppkey, CAST(rnk AS INT) AS rnk FROM (
+                SELECT s_nationkey, s_suppkey,
+                       row_number() OVER (PARTITION BY s_nationkey
+                           ORDER BY s_acctbal DESC, s_suppkey ASC) AS rnk
+                FROM supplier
+            ) WHERE rnk <= 3
+        """,
+        "conditional_agg": """
+            SELECT event_type,
+                   CAST(sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+                   CAST(sum(CASE WHEN value <= 50 THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type
+        """,
+        "hourly_windows": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "json_extract": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+                   count(*) AS n
+            FROM events GROUP BY 1
+        """,
+        "dedup_exact": f"""
+            WITH corpus AS (
+                {_MUTANTS_SQL}
+                UNION ALL
+                SELECT doc_id + 2000000, text FROM documents
+            )
+            SELECT md5(text) AS text_hash, count(*) AS n_docs,
+                   min(doc_id) AS canonical_id
+            FROM corpus GROUP BY 1 HAVING count(*) > 1
+        """,
+        "minhash_signatures": f"""
+            {shingles_docs_only}
+            SELECT doc_id, {minhash_cols} FROM shingles GROUP BY doc_id
+        """,
+        "minhash_lsh_pairs": lsh_pairs_sql,
+        "ngram_jaccard_pairs": ngram_pairs_sql,
+        "ann_cosine_topk": """
+            WITH scored AS (
+                SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) /
+                       (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                              CAST(q.embedding AS DOUBLE[]))) *
+                        sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                              CAST(c.embedding AS DOUBLE[]))))
+                           AS cos
+                FROM embeddings q, embeddings c
+                WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id
+            )
+            SELECT query_id, neighbor_id, round(cos, 6) AS cos,
+                   CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY cos DESC, neighbor_id ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5
+        """,
+        "language_id": f"""
+            SELECT doc_id,
+                   CASE WHEN greatest({hits['de']}, {hits['en']},
+                                      {hits['es']}, {hits['fr']}) = 0
+                        THEN 'und'
+                        ELSE (CASE
+                            WHEN {hits['fr']} >= {hits['es']}
+                             AND {hits['fr']} >= {hits['en']}
+                             AND {hits['fr']} >= {hits['de']} THEN 'fr'
+                            WHEN {hits['es']} >= {hits['en']}
+                             AND {hits['es']} >= {hits['de']} THEN 'es'
+                            WHEN {hits['en']} >= {hits['de']} THEN 'en'
+                            ELSE 'de' END)
+                   END AS lang_pred,
+                   CAST({hits['de']} AS INT) AS hits_de, CAST({hits['en']} AS INT) AS hits_en,
+                   CAST({hits['es']} AS INT) AS hits_es, CAST({hits['fr']} AS INT) AS hits_fr
+            FROM documents
+        """,
+        "quality_score": quality_sql,
+        "token_counts": """
+            SELECT doc_id,
+                   CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))
+                       AS INT) AS n_bpe_tokens,
+                   CAST(length(text) AS INT) AS n_text_chars
+            FROM documents
+        """,
+        "fingerprints": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split(text, ' ')) AS word,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, pos,
+                       md5(word || ' ' || lead(word, 1) OVER win || ' ' ||
+                           lead(word, 2) OVER win) AS h
+                FROM words
+                WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+                QUALIFY h IS NOT NULL
+            ),
+            wmins AS (
+                SELECT doc_id,
+                       min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+                FROM grams
+            )
+            SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints
+            FROM wmins GROUP BY doc_id
+        """,
+    }

@@ -116,7 +116,14 @@ def src_word_count_udf(raw: pd.Series) -> pd.Series:
     for blob in raw:
         try:
             body = body_or_root(parse_html(decode_html(blob)))
-            counts.append(len(word_tokens(body.text_content(NON_TEXT_ELEMENTS))))
+            # join text nodes with a separator: adjacent element texts must
+            # not merge into one word token ("two" + "Copyright")
+            parts = [
+                node.text
+                for node in body.iter(skip_tags=NON_TEXT_ELEMENTS)
+                if node.is_text
+            ]
+            counts.append(len(word_tokens(" ".join(parts))))
         except Exception:
             counts.append(0)
     return pd.Series(counts, dtype="int32")

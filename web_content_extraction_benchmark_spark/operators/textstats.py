@@ -1,0 +1,134 @@
+"""Text-analysis operators for training-data curation.
+
+All four families stay JVM-side (built-in functions only — no Python in
+the hot path), so they survive 100 TB scans inside whole-stage codegen:
+
+- language ID: stopword-hit scoring against small per-language lists
+  (broadcast as literals), deterministic argmax;
+- quality scoring: length / punctuation / stopword-ratio / mean-word-length
+  heuristics combined into [0, 1];
+- token counting: whitespace tokens + BPE-ish subword-run count;
+- fingerprinting: winnowing-style rolling shingle hashes with a window
+  minimum -> compact document sketch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+STOPWORDS = {
+    "en": ["the", "a", "and", "of", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "nicht", "mit", "sich", "auf"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "pas", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "un", "una", "no", "por", "que"],
+}
+
+# A BPE-ish token proxy: word fragments of letters/digits, max 4 chars each
+# (counts sub-word units the way a byte-pair vocab would split long words).
+BPE_ISH_PATTERN = r"[A-Za-z0-9]{1,4}"
+
+
+def _words(text_col: Column) -> Column:
+    return F.split(F.trim(text_col), r"\s+")
+
+
+def stopword_hits(text_col: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(_words(F.lower(text_col)), lambda w: w.isin(words)))
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_pred`` + per-language hit counts; argmax with
+    lexicographic tie-break (deterministic)."""
+    out = df
+    for lang in sorted(STOPWORDS):
+        out = out.withColumn(f"hits_{lang}", stopword_hits(F.col(text_col), lang))
+    hit_structs = F.array(
+        *[
+            F.struct(F.col(f"hits_{lang}").alias("hits"),
+                     F.lit(lang).alias("lang"))
+            for lang in sorted(STOPWORDS)
+        ]
+    )
+    best = F.array_max(hit_structs)
+    return out.withColumn(
+        "lang_pred",
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    )
+
+
+def token_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Whitespace token count + BPE-ish subword count + char count."""
+    return df.select(
+        "*",
+        F.size(_words(F.col(text_col))).alias("n_ws_tokens"),
+        F.size(
+            F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0)
+        ).alias("n_bpe_tokens"),
+        F.length(text_col).alias("n_text_chars"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  lang: str = "en") -> DataFrame:
+    """[0,1] quality heuristic: length band + stopword ratio + mean word
+    length band + punctuation-run penalty (all codegen-able)."""
+    words = _words(F.col(text_col))
+    n_words = F.size(words)
+    n_chars = F.length(F.col(text_col))
+    mean_word_len = (n_chars - (n_words - 1)) / n_words
+    stop_ratio = stopword_hits(F.col(text_col), lang) / n_words
+    punct_runs = F.size(
+        F.regexp_extract_all(F.col(text_col), F.lit(r"[!?.,;:]{3,}"), 0)
+    )
+    length_component = F.least(n_words / F.lit(50.0), F.lit(1.0))
+    word_len_component = F.when(
+        mean_word_len.between(3.0, 9.0), F.lit(1.0)
+    ).otherwise(F.lit(0.25))
+    stop_component = F.least(stop_ratio * 5.0, F.lit(1.0))
+    penalty = F.least(punct_runs * F.lit(0.2), F.lit(0.6))
+    score = (
+        0.4 * length_component + 0.3 * word_len_component + 0.3 * stop_component
+        - penalty
+    )
+    return df.withColumn(
+        "quality",
+        F.when(n_words == 0, F.lit(0.0)).otherwise(
+            F.greatest(F.lit(0.0), F.least(F.lit(1.0), score))
+        ),
+    )
+
+
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document sketch: md5 over word k-grams, sliding-window
+    minimum, distinct survivors per doc -> (doc_id, fingerprint).
+
+    Uses posexplode + a range window min — all built-in, no UDF."""
+    words = F.split(F.col(text_col), " ")
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h")
+    )
+    win = (
+        Window.partitionBy("id")
+        .orderBy("pos")
+        .rowsBetween(0, window - 1)
+    )
+    return (
+        exploded.withColumn("wmin", F.min("h").over(win))
+        .select(F.col("id").alias(id_col), F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
