@@ -1,0 +1,120 @@
+"""Dedup / similarity / textstats / multimodal operator tests."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_content_extraction_benchmark_spark.operators.dedup import (
+    drop_exact_duplicates,
+    exact_duplicates,
+    minhash_lsh_pairs,
+    simhash_near_duplicates,
+    simhash64_udf,
+)
+from web_content_extraction_benchmark_spark.operators.multimodal import (
+    FEATURE_DIM,
+    extract_media_features,
+    real_decode,
+    synthesize_media,
+)
+from web_content_extraction_benchmark_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from web_content_extraction_benchmark_spark.operators.textstats import (
+    language_id,
+    quality_score,
+    token_counts,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_exact_dedup_finds_planted_duplicates(spark, docs):
+    copies = docs.select((F.col("doc_id") + 10_000).alias("doc_id"), "text")
+    corpus = docs.select("doc_id", "text").unionByName(copies)
+    groups = exact_duplicates(corpus)
+    assert groups.count() >= docs.select("text").distinct().count()
+    kept = drop_exact_duplicates(corpus)
+    assert kept.count() == corpus.select("text").distinct().count()
+    # deterministic winner: the lowest doc_id
+    assert kept.filter(F.col("doc_id") >= 10_000).count() == 0
+
+
+def test_minhash_finds_planted_near_duplicates(spark, docs):
+    words = F.split(F.col("text"), " ")
+    mutants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutants)
+    pairs = minhash_lsh_pairs(corpus, jaccard_threshold=0.5)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 10_000)
+        for r in docs.filter(F.col("doc_id") % 25 == 0).collect()
+    }
+    # banded LSH recall is < 1 by design; most planted pairs must surface
+    assert len(found & planted) >= 0.7 * len(planted)
+    for r in pairs.collect():
+        assert 0.5 <= r.jaccard <= 1.0
+
+
+def test_simhash_hamming_on_near_duplicates(spark, docs):
+    sample = docs.filter(F.col("doc_id") < 50)
+    words = F.split(F.col("text"), " ")
+    mutants = sample.select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"),
+    )
+    corpus = sample.select("doc_id", "text").unionByName(mutants)
+    pairs = simhash_near_duplicates(corpus, max_hamming=8)
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {(i, i + 10_000) for i in range(50)}
+    assert len(found & planted) >= 0.5 * len(planted)
+    # identical docs -> hamming 0
+    sig = {r.doc_id: r.sig
+           for r in sample.select("doc_id",
+                                  simhash64_udf("text").alias("sig")).collect()}
+    assert all(isinstance(v, int) for v in sig.values())
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = cosine_topk(emb, queries, k=5)
+    # few planes per table + many tables: recall/selectivity trade-off is
+    # tunable per corpus; these settings target ~0.7+ recall here
+    approx = lsh_cosine_topk(emb, queries, dim=64, k=5,
+                             n_planes=4, n_tables=12)
+    exact_set = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx_set = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.6  # multi-table LSH on random vectors
+    # ranks are 1..5 per query, deterministic
+    ranks = [(r.query_id, r.rank) for r in exact.collect()]
+    assert len(ranks) == len(set(ranks))
+
+
+def test_textstats_bounds(spark, docs):
+    out = quality_score(language_id(docs), "text")
+    rows = out.select("lang_pred", "quality").collect()
+    assert all(0.0 <= r.quality <= 1.0 for r in rows)
+    assert all(r.lang_pred in {"en", "de", "fr", "es", "und"} for r in rows)
+    counts = token_counts(docs.select("doc_id", "text")).collect()
+    assert all(r.n_bpe_tokens >= r.n_ws_tokens for r in counts)
+
+
+def test_multimodal_plumbing(spark):
+    media = synthesize_media(spark, n_rows=30)
+    feats = extract_media_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r.features) == FEATURE_DIM for r in feats)
+    assert all(r.n_bytes > 0 for r in feats)
+    # deterministic across runs
+    again = extract_media_features(synthesize_media(spark, n_rows=30)).collect()
+    assert sorted(map(repr, feats)) == sorted(map(repr, again))
+    with pytest.raises(NotImplementedError):
+        real_decode(b"x", "image")
