@@ -1,0 +1,163 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
+local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
+
+  {"metric": "docs_per_sec_main_content", "value": N, "unit": "docs/sec",
+   "queries": {...per-query seconds...}, "sf": ..., ...}
+
+The pages table is synthesized once per (sf, replicate) into a parquet
+cache (synthesis is input preparation, not the measured engine) and every
+timed query reads that parquet — the same shape a real run has reading an
+Iceberg pages table.
+
+Env knobs:
+  SPARK_GRAFT_SF_DIR     input dir   (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS       local[N]    (default 32)
+  SPARK_GRAFT_REPLICATE  page-volume multiplier (default 40 -> 200k pages
+                         at sf0.1)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from web_content_extraction_benchmark_spark.operators.dedup import (  # noqa: E402
+    minhash_lsh_pairs,
+)
+from web_content_extraction_benchmark_spark.operators.similarity import (  # noqa: E402
+    cosine_topk,
+)
+from web_content_extraction_benchmark_spark.operators.textstats import (  # noqa: E402
+    language_id,
+    quality_score,
+)
+from web_content_extraction_benchmark_spark.plans.pipeline import (  # noqa: E402
+    aggregate_scores,
+    extract_answers,
+    repartition_salted,
+    score_answers,
+)
+from web_content_extraction_benchmark_spark.session import get_spark  # noqa: E402
+from web_content_extraction_benchmark_spark.sources.pages import (  # noqa: E402
+    synthesize_pages,
+)
+
+CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/wceb_bench")
+
+
+def _pages_parquet(spark, sf_dir: str, replicate: int, cpus: int) -> str:
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}"
+    path = os.path.join(CACHE_ROOT, tag, "pages")
+    marker = os.path.join(CACHE_ROOT, tag, "_done")
+    if not os.path.exists(marker):
+        df = synthesize_pages(spark, sf_dir, replicate=replicate,
+                              partitions=cpus * 2)
+        df.write.mode("overwrite").parquet(path)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return path
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "40"))
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+
+    spark = get_spark(
+        "wceb-bench", master=f"local[{cpus}]",
+        shuffle_partitions=max(cpus, 32),
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = _pages_parquet(spark, sf_dir, replicate, cpus)
+    pages = spark.read.parquet(pages_path)
+    n_pages = pages.count()
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn) -> None:
+        started = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - started, 3)
+
+    # q1: flagship — salted repartition + decode + main-content extraction
+    def q1():
+        df = repartition_salted(pages.select("url", "html"), cpus * 2)
+        answers = extract_answers(df, ["main_content"])
+        answers.agg(F.sum(F.length("plaintext"))).collect()
+
+    # q2: three extractor families in one decode pass
+    def q2():
+        df = repartition_salted(pages.select("url", "html"), cpus * 2)
+        answers = extract_answers(df, ["main_content", "plain", "bte"])
+        answers.groupBy("model").agg(
+            F.sum(F.length("plaintext"))
+        ).collect()
+
+    # q3: extract + score vs truth + micro/macro aggregation
+    def q3():
+        df = repartition_salted(pages, cpus * 2)
+        answers = extract_answers(df, ["plain"])
+        truth = pages.select(
+            "url", "dataset", F.col("gold").alias("plaintext")
+        )
+        agg = aggregate_scores(score_answers(answers, truth),
+                               score_cols=("dist", "f1"))
+        agg.collect()
+
+    # q4: MinHash LSH near-dup pairs over the page texts
+    def q4():
+        docs = pages.select(
+            F.col("url").alias("doc_id"), F.col("gold").alias("text")
+        ).filter(F.length("text") > 0)
+        minhash_lsh_pairs(docs, id_col="doc_id",
+                          jaccard_threshold=0.8).count()
+
+    # q5: brute-force cosine top-k over embeddings
+    def q5():
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.filter(F.col("vec_id") % 20 == 0)
+        cosine_topk(emb, queries, k=10).count()
+
+    # q6: text-analysis sweep (lang-id + quality) over page texts
+    def q6():
+        docs = pages.select(F.col("gold").alias("text"))
+        quality_score(language_id(docs), "text").agg(
+            F.avg("quality"), F.count("*")
+        ).collect()
+
+    timed("q1_extract_main", q1)
+    timed("q2_extract_multi3", q2)
+    timed("q3_extract_score_agg", q3)
+    timed("q4_minhash_lsh", q4)
+    timed("q5_ann_bruteforce", q5)
+    timed("q6_textstats", q6)
+
+    docs_per_sec = round(n_pages / timings["q1_extract_main"], 1)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "docs_per_sec_main_content",
+                "value": docs_per_sec,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "n_pages": n_pages,
+                "cpus": cpus,
+                "total_sec": total,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,68 @@
+"""Single-node reference-architecture mimic: the same extraction work the
+Spark pipeline does, run the way the reference runs it — a multiprocessing
+spawn Pool over documents (extract.py:139-157 shape) — to produce the
+match-or-beat baseline throughput for BENCH/BASELINE.md.
+
+Usage: python tools/reference_harness.py [sf_dir] [replicate] [nproc]
+Prints one JSON line {"docs_per_sec": ..., "n_pages": ..., "nproc": ...}.
+"""
+
+from __future__ import annotations
+
+import json
+import multiprocessing as mp
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+
+def _work(args):
+    doc_id, source, text = args
+    from web_content_extraction_benchmark_spark.encoding import decode_html
+    from web_content_extraction_benchmark_spark.extractors import safe_extract
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        build_page_html,
+        encode_page_html,
+    )
+
+    raw = encode_page_html(doc_id, build_page_html(doc_id, source, text))
+    return len(safe_extract("main_content", decode_html(raw)))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    nproc = int(sys.argv[3]) if len(sys.argv) > 3 else os.cpu_count()
+
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    jobs = []
+    for k in range(replicate):
+        offset = k * 10_000_000
+        jobs.extend(
+            (int(d) + offset, s, t)
+            for d, s, t in zip(docs.doc_id, docs.source, docs.text)
+        )
+
+    started = time.perf_counter()
+    with mp.get_context("spawn").Pool(processes=nproc) as pool:
+        total = sum(pool.imap_unordered(_work, jobs, chunksize=256))
+    elapsed = time.perf_counter() - started
+    print(
+        json.dumps(
+            {
+                "docs_per_sec": round(len(jobs) / elapsed, 1),
+                "n_pages": len(jobs),
+                "nproc": nproc,
+                "elapsed_sec": round(elapsed, 3),
+                "total_chars": total,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
