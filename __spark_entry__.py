@@ -459,6 +459,80 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
 
 
+def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: sha256 content-hash page ids over the raw html bytes (gzip rows
+    excluded — compressed bytes are not SQL-reproducible)."""
+    pages = synthesize_pages(spark, sf_dir).filter(F.col("doc_id") % 103 != 0)
+    return pages.select("url", F.sha2(F.col("html"), 256).alias("page_id"))
+
+
+def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R25: 15 structural features per page (tag-count ratios +
+    tags-per-word)."""
+    from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        FEATURE_COLS,
+        html_feature_table,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    feats = html_feature_table(pages)
+    return feats.select(
+        "url", *[F.round(c, 6).alias(c) for c in FEATURE_COLS]
+    )
+
+
+def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20: n-gram majority vote over 3 extractor families (no SQL oracle:
+    voting kernel).  Threshold int(3*0.66)=1 -> union-of-supported-tokens."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ensemble_answers,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    models = ["main_content", "plain", "readability"]
+    answers = extract_answers(pages, models)
+    voted = ensemble_answers(answers, pages, models)
+    return voted.select("url", "plaintext")
+
+
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R26/R27: StandardScaler + KMeans(k=2) with quantile label-flip
+    (no SQL oracle: iterative ML)."""
+    from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        html_feature_table,
+        kmeans_complexity_clusters,
+    )
+
+    pages = synthesize_pages(spark, sf_dir).cache()
+    feats = html_feature_table(pages)
+    compl = page_complexity(pages, truth_table(pages))
+    out = kmeans_complexity_clusters(feats, compl, threshold=0.1)
+    return out.groupBy("kmeans_label", "quantile_label").agg(
+        F.count("*").alias("n")
+    )
+
+
+def q_lr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R29/R30: logistic regression on binarized complexity + metrics
+    (no SQL oracle: iterative ML)."""
+    from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        html_feature_table,
+        logistic_regression_classify,
+    )
+
+    pages = synthesize_pages(spark, sf_dir).cache()
+    feats = html_feature_table(pages)
+    compl = page_complexity(pages, truth_table(pages))
+    _, metrics = logistic_regression_classify(feats, compl, threshold=0.1)
+    return spark.createDataFrame(
+        [(
+            float(metrics["accuracy"]), float(metrics["f1"]),
+            float(metrics["mcc"]), int(metrics["n_test"]),
+        )],
+        "accuracy double, f1 double, mcc double, n_test long",
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (fake decoder; no SQL oracle)."""
     media = synthesize_media(spark, n_rows=64)
@@ -512,6 +586,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
+        "page_ids": q_page_ids,
+        "html_features": q_html_features,
+        "ensemble_majority": q_ensemble_majority,
+        "kmeans_clusters": q_kmeans_clusters,
+        "lr_classify": q_lr_classify,
         "media_features": q_media_features,
     }
 
@@ -613,7 +692,45 @@ def oracle_sql() -> dict[str, str]:
       AND zb.n >= za.n * 0.8 AND zb.n <= za.n / 0.8
     """
 
+    from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        FEATURE_COLS,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        VARIANT_BODY_WORD_OFFSET,
+        VARIANT_TAG_COUNTS,
+        html_sql,
+    )
+
+    feature_exprs = []
+    for col in FEATURE_COLS:
+        if col == "html_to_non_html":
+            whens = " ".join(
+                f"WHEN doc_id % 5 = {v} THEN "
+                f"round(CAST({VARIANT_TAG_COUNTS[v][0]} AS DOUBLE) / "
+                f"({_N_SQL} + {VARIANT_BODY_WORD_OFFSET[v]}), 6)"
+                for v in range(5)
+            )
+        else:
+            whens = " ".join(
+                f"WHEN doc_id % 5 = {v} THEN "
+                f"round(CAST({VARIANT_TAG_COUNTS[v][1].get(col, 0)} AS DOUBLE)"
+                f" / {VARIANT_TAG_COUNTS[v][0]}, 6)"
+                for v in range(5)
+            )
+        feature_exprs.append(
+            f"CASE WHEN doc_id % 101 = 0 THEN 0.0 {whens} END AS {col}"
+        )
+    html_features_sql = (
+        f"SELECT {URL_SQL} AS url, " + ", ".join(feature_exprs)
+        + " FROM documents"
+    )
+
     return {
+        "page_ids": (
+            f"SELECT {URL_SQL} AS url, sha256({html_sql()}) AS page_id "
+            "FROM documents WHERE doc_id % 103 != 0"
+        ),
+        "html_features": html_features_sql,
         "extract_main_text": (
             f"SELECT {URL_SQL} AS url, {GOLD_SQL} AS plaintext FROM documents"
         ),

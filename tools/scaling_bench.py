@@ -68,6 +68,20 @@ def run_level(cpus: int, pages_path: str, rounds: int = 2) -> dict:
     raise RuntimeError(f"no result from local[{cpus}]:\n{out.stderr[-2000:]}")
 
 
+def run_interleaved(cpus_a: int, cpus_b: int, pages_path: str,
+                    alternations: int = 3) -> tuple[dict, dict]:
+    """A/B/A/B measurement: fresh JVM per round, levels alternated so
+    slow drift in background tenant load hits both levels equally; best
+    round wins per level."""
+    best: dict[int, dict] = {}
+    for _ in range(alternations):
+        for cpus in (cpus_a, cpus_b):
+            res = run_level(cpus, pages_path, rounds=2)
+            if cpus not in best or res["sec"] < best[cpus]["sec"]:
+                best[cpus] = res
+    return best[cpus_a], best[cpus_b]
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 40
@@ -85,8 +99,11 @@ def main() -> None:
         subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
                        env=env, capture_output=True, text=True, timeout=1200)
 
-    small = run_level(n_small, pages_path)
-    large = run_level(n_small * 4, pages_path)
+    with open("/proc/loadavg") as f:
+        load_before = f.read().split()[0]
+    small, large = run_interleaved(n_small, n_small * 4, pages_path)
+    with open("/proc/loadavg") as f:
+        load_after = f.read().split()[0]
     speedup = large["docs_per_sec"] / small["docs_per_sec"]
     efficiency = round(speedup / 4.0, 3)
     result = {
@@ -96,6 +113,7 @@ def main() -> None:
         "scaling_efficiency": efficiency,
         "target": 0.8,
         "pass": efficiency >= 0.8,
+        "machine_load_other_tenants": [load_before, load_after],
     }
     print(json.dumps(result))
 

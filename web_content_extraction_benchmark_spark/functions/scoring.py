@@ -71,24 +71,40 @@ def token_levenshtein_ratio(target: str, pred: str) -> float:
     return 2.0 * lcs_length(a, b) / total
 
 
+def _lcs_table(ref: list[str], can: list[str]):
+    """LCS DP table built row-wise with numpy.
+
+    Recurrence per row: t[j] = max(prev[j], prev[j-1] + eq[j]) followed by
+    left-to-right propagation cur[j] = max(t[j], cur[j-1]), which is exactly
+    ``np.maximum.accumulate`` — so each row is two vector ops instead of an
+    inner Python loop.  Scoring runs over every (page, model) pair, so this
+    kernel is hot.
+    """
+    import numpy as np
+
+    m, n = len(ref), len(can)
+    ids: dict[str, int] = {}
+    can_arr = np.fromiter(
+        (ids.setdefault(t, len(ids)) for t in can), dtype=np.int64, count=n
+    )
+    ref_arr = np.fromiter(
+        (ids.setdefault(t, len(ids)) for t in ref), dtype=np.int64, count=m
+    )
+    table = np.zeros((m + 1, n + 1), dtype=np.int32)
+    for i in range(m):
+        prev = table[i]
+        t = np.maximum(prev[1:], prev[:-1] + (can_arr == ref_arr[i]))
+        table[i + 1, 1:] = np.maximum.accumulate(t)
+    return table
+
+
 def _lcs_match_indices(ref: list[str], can: list[str]) -> list[int]:
     """Indices in ``ref`` participating in one LCS with ``can`` (standard
     DP backtrack, ties resolved toward the candidate side)."""
     m, n = len(ref), len(can)
     if m == 0 or n == 0:
         return []
-    table = [[0] * (n + 1) for _ in range(m + 1)]
-    for i in range(1, m + 1):
-        row = table[i]
-        prev = table[i - 1]
-        ri = ref[i - 1]
-        for j in range(1, n + 1):
-            if ri == can[j - 1]:
-                row[j] = prev[j - 1] + 1
-            else:
-                up = prev[j]
-                left = row[j - 1]
-                row[j] = up if up >= left else left
+    table = _lcs_table(ref, can)
     indices: list[int] = []
     i, j = m, n
     while i > 0 and j > 0:

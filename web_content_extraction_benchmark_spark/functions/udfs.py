@@ -154,7 +154,8 @@ def html_features_udf(raw: pd.Series) -> pd.DataFrame:
             if n_tags:
                 for t in HTML_FEATURE_TAGS:
                     feats[t] = counts[t] / n_tags
-            n_words = len(word_tokens("".join(text_parts)))
+            # separator join: adjacent element texts must not merge tokens
+            n_words = len(word_tokens(" ".join(text_parts)))
             feats["html_to_non_html"] = n_tags / n_words if n_words else 0.0
         except Exception:
             pass

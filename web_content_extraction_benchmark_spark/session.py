@@ -14,9 +14,15 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_SHUFFLE_PARTITIONS = 32
-# Giant pages (MB-scale html) per record: keep Arrow batches small so a
-# pandas UDF batch stays comfortably inside executor memory.
-ARROW_MAX_RECORDS_PER_BATCH = 512
+# Arrow batch sizing is THE throughput lever for Python-heavy stages:
+# too small (512) and per-batch overhead dominates (measured 2.6x slower
+# than 4096 on ~1.5 kB pages); too big and one batch of MB-scale pages
+# blows executor memory.  Default suits ~1-100 kB documents; tune down
+# via SPARK_GRAFT_ARROW_BATCH for giant-page corpora (batch_rows ~
+# 256 MB / p99_page_bytes).
+ARROW_MAX_RECORDS_PER_BATCH = int(
+    os.environ.get("SPARK_GRAFT_ARROW_BATCH", "4096")
+)
 
 
 def get_spark(

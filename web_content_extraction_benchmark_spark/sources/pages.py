@@ -69,6 +69,17 @@ def build_page_html(doc_id: int, source: str, text: str) -> str:
     """One page's HTML by template variant (pure; mirrored by *_sql)."""
     variant = doc_id % 5
     host = host_for(doc_id)
+    if variant == 2:
+        part1, part2 = _split_words(text)
+        return render_template(variant, host, source, text, part1, part2)
+    return render_template(variant, host, source, text)
+
+
+def render_template(variant: int, host: str, source: str, text: str,
+                    part1: str = "", part2: str = "") -> str:
+    """The raw HTML templates — single source of truth for the Python
+    builder AND the SQL mirror (html_sql() splices SQL expressions into
+    the same strings via sentinel substitution)."""
     if variant == 0:
         return (
             f"<html><head><title>Article {source}</title>"
@@ -89,7 +100,6 @@ def build_page_html(doc_id: int, source: str, text: str) -> str:
             '<a href="/deals">Hot deals</a></aside></body></html>'
         )
     if variant == 2:
-        part1, part2 = _split_words(text)
         return (
             f"<html><head><title>{source}</title><script>track();</script>"
             f'</head><body><div class="content"><p>{part1}</p>'
@@ -252,3 +262,48 @@ PLAIN_SQL = (
     "ELSE 'Article ' || source || ' Article ' || source || ' ' || text || "
     "' tag one tag two Copyright 2023' END"
 )
+
+
+def html_sql() -> str:
+    """DuckDB expression rebuilding the page HTML *string* from documents
+    rows — generated from the same templates as the Python builder, so the
+    two cannot drift.  Covers the non-gzip rows (gzip bytes are not
+    SQL-reproducible); the BOM prefix (doc_id % 107) is chr(65279)."""
+    sentinels = {
+        "\x00HOST\x00": HOST_SQL,
+        "\x00SRC\x00": "source",
+        "\x00TXT\x00": "text",
+        "\x00P1\x00": _P1_SQL,
+        "\x00P2\x00": _P2_SQL,
+    }
+    cases = []
+    for variant in range(5):
+        rendered = render_template(
+            variant, "\x00HOST\x00", "\x00SRC\x00", "\x00TXT\x00",
+            "\x00P1\x00", "\x00P2\x00",
+        )
+        expr = "'" + rendered.replace("'", "''") + "'"
+        for marker, sql in sentinels.items():
+            expr = expr.replace(marker, f"' || {sql} || '")
+        cases.append(f"WHEN doc_id % 5 = {variant} THEN {expr}")
+    body = " ".join(cases)
+    plain_html = f"CASE {body} END"
+    return (
+        "CASE WHEN doc_id % 101 = 0 THEN '' "
+        f"WHEN doc_id % 107 = 0 THEN chr(65279) || ({plain_html}) "
+        f"ELSE ({plain_html}) END"
+    )
+
+
+# Structural tag counts of each template's <body> (script/style/noscript
+# excluded), for the html-features oracle: (total_tags, {tag: count}).
+VARIANT_TAG_COUNTS = {
+    0: (9, {"a": 3, "h1": 1, "p": 2}),
+    1: (11, {"a": 4, "li": 2, "p": 1, "div": 2}),
+    2: (3, {"p": 2, "div": 1}),
+    3: (1, {"p": 1}),
+    4: (10, {"a": 2, "h1": 1, "li": 2, "p": 1, "div": 1}),
+}
+
+# body word-token (\w+) count offsets per variant (over n text words).
+VARIANT_BODY_WORD_OFFSET = {0: 11, 1: 6, 2: 0, 3: 0, 4: 8}
