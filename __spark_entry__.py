@@ -57,6 +57,8 @@ from web_content_extraction_benchmark_spark.sources.pages import (
     GOLD_SQL,
     PLAIN_SQL,
     URL_SQL,
+    _P1_SQL,
+    _P2_SQL,
     synthesize_pages,
     truth_table,
 )
@@ -459,6 +461,27 @@ def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
 
 
+def q_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-star block-level spans: char offsets of each kept block into
+    the extracted plaintext, exploded to one row per block."""
+    from web_content_extraction_benchmark_spark.functions.udfs import (
+        main_content_blocks_udf,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    blocks = pages.select(
+        "url", F.posexplode(main_content_blocks_udf(F.col("html"))).alias(
+            "block_idx", "b"
+        )
+    )
+    return blocks.select(
+        "url", "block_idx",
+        F.col("b.start").alias("start"),
+        F.col("b.end").alias("end"),
+        F.col("b.tag").alias("tag"),
+    )
+
+
 def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: sha256 content-hash page ids over the raw html bytes (gzip rows
     excluded — compressed bytes are not SQL-reproducible)."""
@@ -560,6 +583,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "extract_main_text": q_extract_main_text,
         "extract_plain_text": q_extract_plain_text,
         "extract_block_counts": q_extract_block_counts,
+        "block_spans": q_block_spans,
         "score_levenshtein": q_score_levenshtein,
         "score_rouge": q_score_rouge,
         "agg_scores": q_agg_scores,
@@ -743,6 +767,32 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 5 IN (0, 2, 4) THEN 2
                         ELSE 1 END AS INT) AS n_blocks
             FROM documents
+        """,
+        # two rows per 2-block variant (h1/p or p/p), one for 1-block ones;
+        # offsets: second block starts after first block + newline
+        "block_spans": f"""
+            WITH base AS (
+                SELECT {URL_SQL} AS url, doc_id, source, text,
+                       length('Article ' || source) AS hlen,
+                       length(text) AS tlen,
+                       length({_P1_SQL}) AS p1len,
+                       length({_P2_SQL}) AS p2len
+                FROM documents WHERE doc_id % 101 != 0
+            )
+            SELECT url, CAST(0 AS INT) AS block_idx, CAST(0 AS INT) AS start,
+                   CAST(CASE WHEN doc_id % 5 IN (0, 4) THEN hlen
+                             WHEN doc_id % 5 = 2 THEN p1len
+                             ELSE tlen END AS INT) AS "end",
+                   CASE WHEN doc_id % 5 IN (0, 4) THEN 'h1' ELSE 'p' END AS tag
+            FROM base
+            UNION ALL
+            SELECT url, CAST(1 AS INT),
+                   CAST(CASE WHEN doc_id % 5 IN (0, 4) THEN hlen + 1
+                             ELSE p1len + 1 END AS INT),
+                   CAST(CASE WHEN doc_id % 5 IN (0, 4) THEN hlen + 1 + tlen
+                             ELSE p1len + 1 + p2len END AS INT),
+                   'p'
+            FROM base WHERE doc_id % 5 IN (0, 2, 4)
         """,
         "score_levenshtein": f"""
             SELECT url, {lev} AS dist

@@ -19,6 +19,7 @@ from .baseline import extract_plain, extract_tag_blacklist, extract_xpath_text
 from .bte import extract_bte
 from .density import extract_main_content, extract_main_content_with_blocks
 from .readability import extract_readability
+from .stopword_density import extract_stopword_density
 
 ExtractorFn = Callable[[str], str]
 
@@ -35,6 +36,8 @@ EXTRACTORS: dict[str, ExtractorFn] = {
     "main_content": extract_main_content,
     # reference family E5 (extract_readability): candidate scoring
     "readability": extract_readability,
+    # reference family E12 (extract_justext): stopword-density classifier
+    "stopword_density": extract_stopword_density,
 }
 
 DEFAULT_EXTRACTOR = "main_content"
@@ -71,6 +74,7 @@ __all__ = [
     "extract_main_content",
     "extract_main_content_with_blocks",
     "extract_readability",
+    "extract_stopword_density",
     "get_extractor",
     "list_extractors",
     "safe_extract",
