@@ -556,6 +556,89 @@ def q_lr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming execution of the hourly rollup: file-source
+    stream -> watermarked tumbling windows -> memory sink; same oracle as
+    the batch twin."""
+    import os
+    import shutil
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.streaming.events import (
+        run_stream_to_memory,
+    )
+
+    src = tempfile.mkdtemp(prefix="wceb_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
+    run_stream_to_memory(spark, src, query_name="q_stream_hourly")
+    out = spark.sql("SELECT * FROM q_stream_hourly")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "event_type", "n_events", "sum_value",
+    )
+
+
+def q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage sidecar reconciliation: per-model totals over all partition
+    rows must equal the corpus truth (docs in, non-empty outputs, zero
+    errors, per-variant block counts)."""
+    pages = synthesize_pages(spark, sf_dir)
+    _answers, lineage = extract_answers(
+        pages, ["main_content"], snapshot_id=1, with_lineage=True
+    )
+    return lineage.groupBy("model").agg(
+        F.sum("docs_in").alias("docs_in"),
+        F.sum("docs_out").alias("docs_out"),
+        F.sum("errors").alias("errors"),
+        F.sum("block_count").alias("block_count"),
+    )
+
+
+def q_band_filtered_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R19: score rows restricted to a complexity band (driver-constant
+    bounds), then aggregated per dataset."""
+    from web_content_extraction_benchmark_spark.operators.relational import (
+        filter_complexity_band,
+    )
+
+    pages = synthesize_pages(spark, sf_dir).cache()
+    answers = extract_answers(pages, ["plain"])
+    scores = score_answers(answers, truth_table(pages)).withColumn(
+        "dist", F.round("dist", 6)
+    )
+    compl = page_complexity(pages, truth_table(pages)).withColumn(
+        "complexity", F.round("complexity", 6)
+    )
+    banded = filter_complexity_band(scores, compl, low=0.05, high=0.2)
+    # exact integer micro-units: FP summation order flipped the 6th
+    # decimal at a rounding boundary vs the oracle — integer sums are
+    # order-independent in both engines
+    dist_u = F.round(F.col("dist") * 1_000_000, 0).cast("long")
+    return banded.groupBy("dataset").agg(
+        F.count("*").alias("n_pages"),
+        F.round(
+            F.sum(dist_u) / (F.count("*") * F.lit(1_000_000.0)), 6
+        ).alias("mean_dist"),
+    )
+
+
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (LSH candidates + exact
+    verify) over a corpus with planted identical copies (vec_id + 10000).
+    Seeded-hyperplane path -> rows-only check; pytest asserts recall."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = _emb(spark, sf_dir)
+    copies = emb.filter(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + 10_000).alias("vec_id"), "embedding", "label"
+    )
+    corpus = emb.unionByName(copies)
+    pairs = embedding_near_duplicates(corpus, threshold=0.999, dim=64)
+    return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (fake decoder; no SQL oracle)."""
     media = synthesize_media(spark, n_rows=64)
@@ -615,6 +698,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ensemble_majority": q_ensemble_majority,
         "kmeans_clusters": q_kmeans_clusters,
         "lr_classify": q_lr_classify,
+        "stream_hourly": q_stream_hourly,
+        "lineage_totals": q_lineage_totals,
+        "band_filtered_scores": q_band_filtered_scores,
+        "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }
 
@@ -917,6 +1004,42 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_hourly": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY 1, 2
+        """,
+        "lineage_totals": """
+            SELECT 'main_content' AS model,
+                   count(*) AS docs_in,
+                   CAST(sum(CASE WHEN doc_id % 101 != 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS docs_out,
+                   CAST(0 AS BIGINT) AS errors,
+                   CAST(sum(CASE WHEN doc_id % 101 = 0 THEN 0
+                            WHEN doc_id % 5 IN (0, 2, 4) THEN 2
+                            ELSE 1 END) AS BIGINT) AS block_count
+            FROM documents
+        """,
+        "band_filtered_scores": f"""
+            WITH c AS ({_COMPLEXITY_SQL}),
+            s AS (
+                SELECT url, source AS dataset, {_lev_from_counts()} AS dist
+                FROM (SELECT {URL_SQL} AS url, source,
+                             {_GLEN_SQL} AS gl, {_PLEN_SQL} AS pl
+                      FROM (SELECT doc_id, source, {GOLD_SQL} AS g,
+                                   {PLAIN_SQL} AS p
+                            FROM documents))
+            )
+            SELECT s.dataset, count(*) AS n_pages,
+                   round(CAST(sum(CAST(round(s.dist * 1000000, 0) AS BIGINT))
+                              AS DOUBLE) / (count(*) * 1000000.0), 6)
+                       AS mean_dist
+            FROM s JOIN c ON s.url = c.url
+            WHERE c.complexity BETWEEN 0.05 AND 0.2
+            GROUP BY s.dataset
         """,
         "json_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
