@@ -14,6 +14,8 @@ inside an extractor call, extractors.py:33-38).
 
 from __future__ import annotations
 
+import re
+from html import unescape
 from html.parser import HTMLParser
 from typing import Iterator, Optional
 
@@ -155,12 +157,136 @@ class _TreeBuilder(HTMLParser):
         pass
 
 
-def parse_html(html: str) -> Node:
-    """Parse an HTML string into a :class:`Node` tree (root ``#document``)."""
+# ---------------------------------------------------------------------------
+# Fast path: single-regex tokenizer.  ~3x the stdlib HTMLParser on typical
+# pages (the parse dominates extraction cost).  Produces the same tree as
+# _TreeBuilder for well-formed and mildly-dirty markup; equivalence is
+# pinned by tests/test_dom.py::test_fast_parser_equivalence and the golden
+# extraction files.  Any parse exception falls back to the stdlib path.
+# ---------------------------------------------------------------------------
+
+_TOKEN_RE = re.compile(
+    r"<!--.*?(?:-->|$)"                       # comments
+    r"|<!\[CDATA\[.*?(?:\]\]>|$)"             # CDATA sections
+    r"|<[!?][^>]*>"                            # doctype / PI
+    r"|</[a-zA-Z][^>]*>"                       # end tags
+    r"|<[a-zA-Z](?:[^>\"']|\"[^\"]*\"|'[^']*')*>"  # start tags (quoted > safe)
+    r"|[^<]+"                                  # text runs
+    r"|<",                                     # stray '<' -> text
+    re.DOTALL,
+)
+
+_TAG_NAME_RE = re.compile(r"</?([a-zA-Z][a-zA-Z0-9:-]*)")
+_ATTR_RE = re.compile(
+    r"([a-zA-Z_:][-a-zA-Z0-9_:.]*)"
+    r"(?:\s*=\s*(\"[^\"]*\"|'[^']*'|[^\s>]*))?"
+)
+
+# Raw-text elements: content is literal until the matching close tag and
+# char refs are NOT decoded (HTMLParser CDATA_CONTENT_ELEMENTS behavior).
+_RAWTEXT = ("script", "style")
+
+
+def _parse_attrs(raw: str) -> dict:
+    attrs: dict = {}
+    for match in _ATTR_RE.finditer(raw):
+        name = match.group(1).lower()
+        value = match.group(2)
+        if value is None:
+            attrs[name] = None
+        else:
+            if value[:1] in "\"'" and value[:1] == value[-1:] and len(value) > 1:
+                value = value[1:-1]
+            attrs[name] = unescape(value) if "&" in value else value
+    return attrs
+
+
+def parse_html_fast(html: str) -> Node:
+    root = Node("#document")
+    open_stack = [root]
+    pos = 0
+    length = len(html)
+    lower = None  # lazily-lowered copy for rawtext close-tag search
+
+    while pos < length:
+        match = _TOKEN_RE.match(html, pos)
+        if match is None:  # pragma: no cover - regex is total
+            break
+        token = match.group(0)
+        pos = match.end()
+        first = token[0]
+        if first != "<" or len(token) == 1:
+            # text run (or stray '<')
+            text = unescape(token) if "&" in token else token
+            top = open_stack[-1]
+            top.append(Node(None, text=text))
+            continue
+        second = token[1]
+        if second in "!?":
+            continue  # comment / doctype / PI / CDATA: dropped
+        if second == "/":
+            name_match = _TAG_NAME_RE.match(token)
+            if not name_match:
+                continue
+            tag = name_match.group(1).lower()
+            if tag in VOID_ELEMENTS:
+                continue
+            for i in range(len(open_stack) - 1, 0, -1):
+                if open_stack[i].tag == tag:
+                    del open_stack[i:]
+                    break
+            continue
+        name_match = _TAG_NAME_RE.match(token)
+        if not name_match:
+            continue
+        tag = name_match.group(1).lower()
+        rest = token[name_match.end():-1]
+        self_closing = rest.endswith("/")
+        if self_closing:
+            rest = rest[:-1]
+        node = Node(tag)
+        if rest and not rest.isspace():
+            node.attrs = _parse_attrs(rest)
+        closers = _IMPLICIT_CLOSE.get(tag)
+        if closers:
+            while len(open_stack) > 1 and open_stack[-1].tag in closers:
+                open_stack.pop()
+        top = open_stack[-1]
+        top.append(node)
+        if tag in VOID_ELEMENTS or self_closing:
+            continue
+        if tag in _RAWTEXT:
+            # literal content until the matching close tag
+            if lower is None:
+                lower = html.lower()
+            end = lower.find(f"</{tag}", pos)
+            if end == -1:
+                # unterminated rawtext: stdlib drops the buffered content
+                pos = length
+            else:
+                if end > pos:
+                    node.append(Node(None, text=html[pos:end]))
+                close = html.find(">", end)
+                pos = length if close == -1 else close + 1
+            continue
+        open_stack.append(node)
+    return root
+
+
+def parse_html_stdlib(html: str) -> Node:
+    """Reference implementation on stdlib html.parser (fallback path)."""
     builder = _TreeBuilder()
     builder.feed(html)
     builder.close()
     return builder.root
+
+
+def parse_html(html: str) -> Node:
+    """Parse an HTML string into a :class:`Node` tree (root ``#document``)."""
+    try:
+        return parse_html_fast(html)
+    except Exception:
+        return parse_html_stdlib(html)
 
 
 def body_or_root(root: Node) -> Node:
