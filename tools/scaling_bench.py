@@ -118,7 +118,8 @@ def main() -> None:
     print(json.dumps(result))
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # raw latest-run report; the curated summary lives in BENCH/BASELINE.md
+    with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(
             "# BENCH/BASELINE — measured throughput & scaling\n\n"
             "Flagship job: salted-url-hash repartition -> decode(binary html:"
