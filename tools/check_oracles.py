@@ -56,6 +56,11 @@ def main() -> int:
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(queries)
+    if unknown:
+        print(f"unknown query names: {sorted(unknown)}")
+        print(f"available: {sorted(queries)}")
+        return 2
     failures = []
     for name, fn in queries.items():
         if only and name not in only:
