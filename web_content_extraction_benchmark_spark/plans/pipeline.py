@@ -240,6 +240,39 @@ def extract_answers(
     return answers, lineage
 
 
+# Reference ensemble variants (extractors.py:174-209): 'majority' votes all
+# models at weight 1; 'best' restricts to a curated subset; 'weighted'
+# doubles the strongest models.  Same kernel, different (models, weights).
+ENSEMBLE_VARIANTS: dict[str, dict] = {
+    "ensemble_majority": {"weights": None},
+    "ensemble_best": {
+        "models": ["main_content", "readability", "bte"],
+        "weights": None,
+    },
+    "ensemble_weighted": {
+        "models": ["main_content", "readability", "bte"],
+        "weights": {"main_content": 2, "readability": 2, "bte": 1},
+    },
+}
+
+
+def ensemble_variant_answers(
+    variant: str,
+    answers: DataFrame,
+    pages: DataFrame,
+    all_models: list[str],
+) -> DataFrame:
+    """One of the three reference ensemble variants over precomputed
+    answers (majority uses every model; best/weighted use the curated
+    subset with the reference's 2/1 weighting scheme)."""
+    spec = ENSEMBLE_VARIANTS[variant]
+    models = spec.get("models") or all_models
+    return ensemble_answers(
+        answers, pages, models,
+        model_name=variant, weights=spec.get("weights"),
+    )
+
+
 def ensemble_answers(
     answers: DataFrame,
     pages: DataFrame,
