@@ -1,0 +1,69 @@
+"""Physical-plan regression gates: the optimizations we rely on at 100 TB
+must stay visible in .explain() — pushed filters, pruned columns,
+broadcast joins, no accidental cartesian products."""
+
+from pyspark.sql import functions as F
+
+from web_content_extraction_benchmark_spark.plans.pipeline import (
+    extract_answers,
+    score_answers,
+)
+from web_content_extraction_benchmark_spark.sources.pages import (
+    synthesize_pages,
+    truth_table,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_parquet_filter_pushdown(spark, sf_dir):
+    df = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .filter(F.col("l_quantity") > 40)
+        .select("l_orderkey")
+    )
+    plan = _plan(df)
+    assert "PushedFilters" in plan and "GreaterThan(l_quantity" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    out = (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.sum("o_totalprice").alias("t"))
+    )
+    plan = _plan(out)
+    # the orders scan must read only the join key + aggregated column
+    assert "struct<o_custkey:bigint,o_totalprice:double>" in plan
+    # and never the wide html-style payloads of unrelated columns
+    assert "o_orderpriority" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_truth_join_broadcasts(spark, sf_dir):
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["plain"])
+    scores = score_answers(answers, truth_table(pages))
+    plan = _plan(scores)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_whole_stage_codegen_on_relational_path(spark, sf_dir):
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    agg = lineitem.groupBy("l_returnflag").agg(F.sum("l_quantity"))
+    pre_plan = _plan(agg)
+    # map-side combine: a partial aggregate must sit below the exchange
+    assert "partial_sum" in pre_plan
+    # no Python evaluation node in a pure-relational plan
+    assert "BatchEvalPython" not in pre_plan
+    assert "ArrowEvalPython" not in pre_plan
+    # AQE finalizes the plan at execution; codegen spans appear then
+    agg.collect()
+    final_plan = _plan(agg)
+    # '*(n)' operator prefix == inside a WholeStageCodegen span
+    assert "*(" in final_plan
+    assert "isFinalPlan=true" in final_plan

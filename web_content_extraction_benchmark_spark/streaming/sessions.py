@@ -1,0 +1,159 @@
+"""Custom stateful streaming operator: user sessionization.
+
+The reference has no streaming surface, but a continuously-crawled event
+feed needs gap-based sessionization — the canonical custom stateful
+operator that built-in windowed aggregation cannot express.  Implemented
+with ``applyInPandasWithState`` (Arrow-batched, per-key state, timeout-
+driven session close), plus a batch twin (window/lag gap-split) so the
+semantics are testable against a deterministic plan.
+
+At scale: state is bounded per user_id by the gap timeout; keys hash-
+partition across executors; late data beyond the watermark is dropped by
+the upstream ``withWatermark``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+SESSION_GAP_SECONDS = 30 * 60
+
+SESSION_SCHEMA = (
+    "user_id long, session_start timestamp, session_end timestamp, "
+    "n_events long, sum_value double"
+)
+STATE_SCHEMA = (
+    "start long, last long, n long, total double"
+)
+
+
+def _sessionize_group(
+    key: Tuple[Any, ...],
+    batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    """Fold a user's events into gap-separated sessions; emit closed ones.
+
+    State = (start_us, last_us, n, total) of the open session; a session
+    closes when a gap > SESSION_GAP_SECONDS appears or the state times
+    out (no events past the watermark)."""
+    (user_id,) = key
+    gap_us = SESSION_GAP_SECONDS * 1_000_000
+
+    if state.hasTimedOut:
+        start, last, n, total = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "session_start": [pd.Timestamp(start, unit="us")],
+                "session_end": [pd.Timestamp(last, unit="us")],
+                "n_events": [n],
+                "sum_value": [total],
+            }
+        )
+        return
+
+    timestamps: list[int] = []
+    values: list[float] = []
+    for pdf in batches:
+        timestamps.extend(int(t.value // 1000) for t in pdf["ts"])
+        values.extend(float(v) for v in pdf["value"])
+    order = sorted(range(len(timestamps)), key=lambda i: timestamps[i])
+
+    if state.exists:
+        start, last, n, total = state.get
+    else:
+        start = last = None  # type: ignore[assignment]
+        n = 0
+        total = 0.0
+
+    closed = {
+        "user_id": [], "session_start": [], "session_end": [],
+        "n_events": [], "sum_value": [],
+    }
+    for i in order:
+        ts_us = timestamps[i]
+        if start is None:
+            start = last = ts_us
+            n = 1
+            total = values[i]
+        elif ts_us - last > gap_us:
+            closed["user_id"].append(user_id)
+            closed["session_start"].append(pd.Timestamp(start, unit="us"))
+            closed["session_end"].append(pd.Timestamp(last, unit="us"))
+            closed["n_events"].append(n)
+            closed["sum_value"].append(total)
+            start = last = ts_us
+            n = 1
+            total = values[i]
+        else:
+            last = ts_us
+            n += 1
+            total += values[i]
+
+    state.update((start, last, n, total))
+    state.setTimeoutTimestamp(last // 1000 + SESSION_GAP_SECONDS * 1000)
+    if closed["user_id"]:
+        yield pd.DataFrame(closed)
+
+
+def stream_sessionize(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """readStream -> applyInPandasWithState sessionization."""
+    from .events import EVENTS_SCHEMA
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+        .withWatermark("ts", watermark)
+    )
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _sessionize_group,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def batch_sessionize(events: DataFrame,
+                     gap_seconds: int = SESSION_GAP_SECONDS) -> DataFrame:
+    """Deterministic batch twin: lag-gap session ids + aggregation.
+    Used as the oracle for the stateful streaming operator (it emits ALL
+    sessions, including still-open ones the stream would hold in state)."""
+    from pyspark.sql.window import Window
+
+    by_user = Window.partitionBy("user_id").orderBy("ts")
+    # NTZ timestamps reject a direct long cast; go via timestamp_ltz
+    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    gap = F.when(
+        epoch - F.lag(epoch).over(by_user) > gap_seconds, 1
+    ).otherwise(0)
+    with_session = events.withColumn(
+        "session_id", F.sum(gap).over(by_user)
+    )
+    return (
+        with_session.groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .drop("session_id")
+    )
