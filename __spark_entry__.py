@@ -639,6 +639,24 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select("id_a", "id_b", F.round("cos", 6).alias("cos"))
 
 
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (batch twin of the stateful streaming
+    operator; 30-min gap)."""
+    from web_content_extraction_benchmark_spark.streaming.sessions import (
+        batch_sessionize,
+    )
+
+    events = _events(spark, sf_dir)
+    out = batch_sessionize(events)
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        "n_events",
+        F.round("sum_value", 6).alias("sum_value"),
+    )
+
+
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing (fake decoder; no SQL oracle)."""
     media = synthesize_media(spark, n_rows=64)
@@ -701,6 +719,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stream_hourly": q_stream_hourly,
         "lineage_totals": q_lineage_totals,
         "band_filtered_scores": q_band_filtered_scores,
+        "sessionize": q_sessionize,
         "embedding_neardup": q_embedding_neardup,
         "media_features": q_media_features,
     }
@@ -1040,6 +1059,30 @@ def oracle_sql() -> dict[str, str]:
             FROM s JOIN c ON s.url = c.url
             WHERE c.complexity BETWEEN 0.05 AND 0.2
             GROUP BY s.dataset
+        """,
+        "sessionize": """
+            WITH gapped AS (
+                -- whole-second truncation matches Spark's cast-to-long
+                SELECT user_id, ts, value,
+                       CASE WHEN CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
+                             - lag(CAST(floor(epoch_us(ts) / 1000000) AS
+                                   BIGINT)) OVER win > 1800
+                            THEN 1 ELSE 0 END AS gap
+                FROM events
+                WINDOW win AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            sessions AS (
+                SELECT user_id, ts, value,
+                       sum(gap) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+                FROM gapped
+            )
+            SELECT user_id,
+                   strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+                   strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end,
+                   count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM sessions GROUP BY user_id, session_id
         """,
         "json_extract": """
             SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
