@@ -113,9 +113,13 @@ def main() -> None:
         truth = pages.select(
             "url", "dataset", F.col("gold").alias("plaintext")
         )
-        agg = aggregate_scores(score_answers(answers, truth),
-                               score_cols=("dist", "f1"))
+        # persist scores: the micro rollup would otherwise recompute the
+        # whole extract+score pipeline (aggregate_scores caches only the
+        # tiny per-dataset aggregate)
+        scores = score_answers(answers, truth).persist()
+        agg = aggregate_scores(scores, score_cols=("dist", "f1"))
         agg.collect()
+        scores.unpersist()
 
     # q4: exact dedup THEN MinHash LSH near-dup pairs.  Order matters at
     # scale: byte-identical replicas (this corpus has 40x of them) would

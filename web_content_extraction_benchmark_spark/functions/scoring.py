@@ -44,6 +44,8 @@ def lcs_length(a: list, b: list) -> int:
     if len(b) > len(a):  # fewer bigint words when b is the shorter side
         a, b = b, a
     n = len(b)
+    if _is_contiguous_sublist(b, a):  # verbatim containment: LCS == |b|
+        return n
     masks: dict = {}
     bit = 1
     for token in b:
@@ -98,12 +100,28 @@ def _lcs_table(ref: list[str], can: list[str]):
     return table
 
 
+def _is_contiguous_sublist(ref: list[str], can: list[str]) -> bool:
+    m, n = len(ref), len(can)
+    if m > n:
+        return False
+    first = ref[0]
+    for start in range(n - m + 1):
+        if can[start] == first and can[start:start + m] == ref:
+            return True
+    return False
+
+
 def _lcs_match_indices(ref: list[str], can: list[str]) -> list[int]:
     """Indices in ``ref`` participating in one LCS with ``can`` (standard
     DP backtrack, ties resolved toward the candidate side)."""
     m, n = len(ref), len(can)
     if m == 0 or n == 0:
         return []
+    # fast path: ref appearing contiguously in can means every ref index
+    # participates — no DP needed.  This is the common case when an
+    # extractor's output embeds the gold text verbatim.
+    if _is_contiguous_sublist(ref, can):
+        return list(range(m))
     table = _lcs_table(ref, can)
     indices: list[int] = []
     i, j = m, n

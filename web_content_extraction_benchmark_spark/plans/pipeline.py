@@ -364,7 +364,13 @@ def aggregate_scores(scores: DataFrame,
     mean_aggs = [F.mean(c).alias(f"mean_{c}") for c in score_cols]
     median_aggs = [F.median(c).alias(f"median_{c}") for c in score_cols]
 
-    per_ds = scores.groupBy("model", "dataset").agg(*mean_aggs, *median_aggs)
+    # per_ds is tiny (models x datasets) but its lineage is the whole
+    # extract+score pipeline — cache it so the macro rollup (and the final
+    # union) does not recompute upstream.  Callers aggregating more than
+    # once should persist `scores` themselves.
+    per_ds = scores.groupBy("model", "dataset").agg(
+        *mean_aggs, *median_aggs
+    ).cache()
     micro = scores.groupBy("model").agg(*mean_aggs, *median_aggs).select(
         "model", F.lit("_micro").alias("dataset"),
         *[f"mean_{c}" for c in score_cols],
