@@ -26,7 +26,7 @@ from web_content_extraction_benchmark_spark.operators.dedup import (
     minhash_signature,
     ngram_jaccard_pairs,
     shingle_col,
-    simhash64_udf,
+    simhash64_col,
 )
 from web_content_extraction_benchmark_spark.operators.relational import (
     band_counts,
@@ -409,9 +409,9 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures (no SQL oracle: bit-vector kernel)."""
+    """SimHash signatures — pure Catalyst kernel, DuckDB-mirrored bit-exact."""
     docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", simhash64_udf(F.col("text")).alias("sig"))
+    return docs.select("doc_id", simhash64_col(F.col("text")).alias("sig"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1104,6 +1104,38 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {minhash_cols} FROM shingles GROUP BY doc_id
         """,
         "minhash_lsh_pairs": lsh_pairs_sql,
+        # SimHash mirror: token md5 -> first-8-bytes big-endian bits via hex
+        # digits; per-bit +/-1 votes; sign bits packed, two's complement.
+        "simhash": """
+            WITH words AS (
+                SELECT doc_id,
+                       unnest(string_split_regex(trim(text), '\\s+')) AS w
+                FROM documents WHERE trim(coalesce(text, '')) != ''
+            ),
+            tok AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM words),
+            bits AS (
+                SELECT t.doc_id, b.bit,
+                       sum(CASE WHEN ((strpos('0123456789abcdef',
+                                       substring(t.h, 16 - b.bit // 4, 1)) - 1)
+                                      >> (b.bit % 4)) & 1 = 1
+                                THEN 1 ELSE -1 END) AS cnt
+                FROM tok t
+                CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+                GROUP BY t.doc_id, b.bit
+            ),
+            packed AS (
+                SELECT doc_id,
+                       sum(CASE WHEN cnt > 0 THEN CAST(1 AS HUGEINT) << bit
+                                ELSE 0 END) AS u
+                FROM bits GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+                   CAST(coalesce(
+                       CASE WHEN p.u >= 9223372036854775808
+                            THEN p.u - 18446744073709551616 ELSE p.u END,
+                       0) AS BIGINT) AS sig
+            FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id
+        """,
         "ngram_jaccard_pairs": ngram_pairs_sql,
         "ann_cosine_topk": """
             WITH scored AS (

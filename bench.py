@@ -125,7 +125,11 @@ def main() -> None:
     # scale: byte-identical replicas (this corpus has 40x of them) would
     # otherwise meet in every LSH bucket and make candidate generation
     # quadratic per bucket — exact dedup first keeps LSH linear-ish.
-    def q4():
+    # The deduped corpus is persisted (pipeline-stage checkpoint): the LSH
+    # operator scans its input twice (signature pass + shingle verify
+    # re-join) by design — recomputing a scan is fine at scale, but
+    # recomputing the dedup *window shuffle* is not.
+    def _unique_docs():
         from web_content_extraction_benchmark_spark.operators.dedup import (
             drop_exact_duplicates,
         )
@@ -133,9 +137,25 @@ def main() -> None:
         docs = pages.select(
             F.col("url").alias("doc_id"), F.col("gold").alias("text")
         ).filter(F.length("text") > 0)
-        unique_docs = drop_exact_duplicates(docs, id_col="doc_id")
+        return drop_exact_duplicates(docs, id_col="doc_id").persist()
+
+    unique_docs = _unique_docs()
+
+    def q4():
         minhash_lsh_pairs(unique_docs, id_col="doc_id",
                           jaccard_threshold=0.8).count()
+
+    # q4b: production signature width (128 hashes / 16 bands; the 8/4
+    # default is the oracle-fixture scale — demo-grade S-curve).
+    def q4b():
+        from web_content_extraction_benchmark_spark.operators.dedup import (
+            PROD_BANDS,
+            PROD_NUM_HASHES,
+        )
+
+        minhash_lsh_pairs(unique_docs, id_col="doc_id",
+                          num_hashes=PROD_NUM_HASHES, bands=PROD_BANDS,
+                          jaccard_threshold=0.8, hash_fn="xxhash64").count()
 
     # q5: brute-force cosine top-k over embeddings
     def q5():
@@ -150,12 +170,48 @@ def main() -> None:
             F.avg("quality"), F.count("*")
         ).collect()
 
+    # q7: 3-family ensemble vote (decode once, vote per url)
+    def q7():
+        from web_content_extraction_benchmark_spark.plans.pipeline import (
+            ensemble_answers,
+        )
+
+        df = repartition_salted(pages, cpus * 2)
+        models = ["main_content", "plain", "readability"]
+        answers = extract_answers(df, models)
+        voted = ensemble_answers(answers, df, models)
+        voted.agg(F.sum(F.length("plaintext"))).collect()
+
+    # q8: gap sessionization over the events table (stateful-op batch twin)
+    def q8():
+        from web_content_extraction_benchmark_spark.streaming.sessions import (
+            batch_sessionize,
+        )
+
+        events = spark.read.parquet(f"{sf_dir}/events.parquet")
+        batch_sessionize(events).agg(
+            F.count("*"), F.sum("n_events")
+        ).collect()
+
+    # q9: grouped rollup aggregation (means/medians + rollup totals)
+    def q9():
+        lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        lineitem.rollup("l_returnflag", "l_linestatus").agg(
+            F.count("*"), F.sum("l_quantity"), F.avg("l_extendedprice"),
+            F.median("l_discount"),
+        ).collect()
+
     timed("q1_extract_main", q1)
     timed("q2_extract_multi3", q2)
     timed("q3_extract_score_agg", q3)
     timed("q4_minhash_lsh", q4)
+    timed("q4b_minhash_prod128", q4b)
     timed("q5_ann_bruteforce", q5)
     timed("q6_textstats", q6)
+    timed("q7_ensemble_vote", q7)
+    timed("q8_sessionize", q8)
+    timed("q9_rollup_agg", q9)
+    unique_docs.unpersist()
 
     docs_per_sec = round(n_pages / timings["q1_extract_main"], 1)
     total = round(sum(timings.values()), 3)

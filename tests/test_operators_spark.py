@@ -8,7 +8,8 @@ from web_content_extraction_benchmark_spark.operators.dedup import (
     exact_duplicates,
     minhash_lsh_pairs,
     simhash_near_duplicates,
-    simhash64_udf,
+    simhash64_col,
+    simhash64_py,
 )
 from web_content_extraction_benchmark_spark.operators.multimodal import (
     FEATURE_DIM,
@@ -76,9 +77,31 @@ def test_simhash_hamming_on_near_duplicates(spark, docs):
     assert len(found & planted) >= 0.5 * len(planted)
     # identical docs -> hamming 0
     sig = {r.doc_id: r.sig
-           for r in sample.select("doc_id",
-                                  simhash64_udf("text").alias("sig")).collect()}
+           for r in sample.select(
+               "doc_id", simhash64_col(F.col("text")).alias("sig")
+           ).collect()}
     assert all(isinstance(v, int) for v in sig.values())
+
+
+def test_simhash_catalyst_matches_python_kernel(spark, docs):
+    """The JVM-side Catalyst SimHash must reproduce the single-threaded
+    reference kernel bit-for-bit (same oracle pattern as extractors)."""
+    sample = docs.filter(F.col("doc_id") % 7 == 0).select("doc_id", "text")
+    got = {r.doc_id: r.sig
+           for r in sample.select(
+               "doc_id", simhash64_col(F.col("text")).alias("sig")
+           ).collect()}
+    texts = {r.doc_id: r.text for r in sample.collect()}
+    assert len(got) > 20
+    for doc_id, text in texts.items():
+        assert got[doc_id] == simhash64_py(text), doc_id
+    # edge cases: blank-ish inputs -> 0
+    edge = spark.createDataFrame(
+        [("",), ("   ",), ("one",), ("one two one",)], "text string"
+    ).select(simhash64_col(F.col("text")).alias("sig")).collect()
+    assert edge[0].sig == 0 and edge[1].sig == 0
+    assert edge[2].sig == simhash64_py("one")
+    assert edge[3].sig == simhash64_py("one two one")
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):

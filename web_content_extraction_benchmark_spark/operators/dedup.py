@@ -1,34 +1,45 @@
 """Deduplication operators for web-scale corpora.
 
 The reference only needs dict-key dedup (R24), but a 100 TB training-data
-pipeline needs the full family.  Everything JVM-expressible stays in
-built-in functions (no Python in the hot path); only SimHash drops to a
-vectorized pandas UDF.
+pipeline needs the full family.  Everything stays in built-in JVM
+functions — no Python in any hot path (the SimHash kernel is a pure
+Catalyst expression too).
 
 Design for scale:
 - exact dedup: hash-groupBy on a digest, never on the full text (shuffle
   carries 32-byte keys, not documents);
 - MinHash LSH: signatures are computed in one projection (no explode -> no
-  row blow-up), candidate generation joins on (band_id, band_key) so only
-  same-bucket docs shuffle together; verification re-checks exact Jaccard
-  on the candidate pairs only;
+  row blow-up); candidate generation joins on (band_id, band_key) carrying
+  ONLY (band, key, id) — document payloads (shingle arrays) never enter
+  the band exchange; the exact-Jaccard verify re-joins shingles by id on
+  the (small) candidate set only;
+- n-gram Jaccard: candidate generation is an EQUI join on a log-scale
+  shingle-count bucket (J >= t forces |log size ratio| <= log(1/t), so
+  admissible partners sit in the same or an adjacent bucket) — never a
+  non-equi/cartesian plan;
+- SimHash: per-row Catalyst aggregate over the token array (no shuffle,
+  no Python), md5-derived token hashes so DuckDB can mirror it bit-exactly;
 - hash functions are md5-based so an independent engine (DuckDB) can
   reproduce signatures bit-for-bit — this is what makes the driver's
   oracle check meaningful.
+
+Signature-width defaults: the 8-hash / 4-band fixture keeps the DuckDB
+oracle tractable; production near-dup dedup at threshold ~0.6-0.8 should
+use PROD_NUM_HASHES/PROD_BANDS (128/16 -> r=8, S-curve midpoint
+(1/16)^(1/8) ~= 0.71) — `bench.py` measures both widths.
 """
 
 from __future__ import annotations
 
-from typing import Iterator
+import math
 
-import numpy as np
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 DEFAULT_NUM_HASHES = 8
-DEFAULT_BANDS = 4  # 4 bands x 2 rows
+DEFAULT_BANDS = 4  # 4 bands x 2 rows — oracle-fixture scale
+PROD_NUM_HASHES = 128
+PROD_BANDS = 16  # 16 bands x 8 rows — production default
 SHINGLE_SIZE = 3
 
 
@@ -71,18 +82,85 @@ def shingle_col(text_col: Column, k: int = SHINGLE_SIZE) -> Column:
 
 
 def minhash_signature(shingles: Column,
-                      num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
-    """One md5-min per hash seed; md5 hex strings compare lexicographically
-    identically in any engine, making signatures engine-independent."""
+                      num_hashes: int = DEFAULT_NUM_HASHES,
+                      hash_fn: str = "md5") -> list[Column]:
+    """One min-hash per seed.  ``md5`` hex strings compare
+    lexicographically identically in any engine, making signatures
+    engine-independent (the DuckDB oracle reproduces them bit-for-bit);
+    ``xxhash64`` is the production choice — a native 64-bit JVM hash,
+    ~10x cheaper than md5 at wide signatures, engine-specific but
+    semantics-neutral because candidates are verified by exact Jaccard."""
     def _min_hash(seed: int):
+        if hash_fn == "xxhash64":
+            # NB: the lambda must take exactly one arg — F.transform feeds
+            # the element index to a second parameter.
+            return F.array_min(
+                F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
+            ).alias(f"mh{seed}")
         prefix = F.lit(f"{seed}:")
-        # NB: the lambda must take exactly one arg — F.transform feeds the
-        # element index to a second parameter.
         return F.array_min(
             F.transform(shingles, lambda s: F.md5(F.concat(prefix, s)))
         ).alias(f"mh{seed}")
 
     return [_min_hash(h) for h in range(num_hashes)]
+
+
+def _lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Distinct (id_a, id_b) sharing >= 1 band key.  The band self-join
+    carries ONLY (band, key, id): shingle arrays and text never cross this
+    exchange (the verify stage re-joins them by id on candidates only)."""
+    rows_per_band = num_hashes // bands
+    # Two-step select: the shingle array is referenced by all num_hashes
+    # min-hash expressions, so CollapseProject keeps it as one shared
+    # computation instead of inlining num_hashes copies.
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        shingle_col(F.col(text_col)).alias("_sh"),
+    ).select("id", *minhash_signature(F.col("_sh"), num_hashes, hash_fn))
+    band_keys = [
+        F.concat_ws(
+            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
+        ).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    left = banded.select(F.col("id").alias("id_a"), "band", "key")
+    right = banded.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        left.join(right, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _verify_jaccard(candidates: DataFrame, shingles: DataFrame,
+                    threshold: float) -> DataFrame:
+    """Exact Jaccard on candidate pairs: join shingles by id (twice)."""
+    sh_a = shingles.select(
+        F.col("id").alias("id_a"), F.col("sh").alias("sh_a")
+    )
+    sh_b = shingles.select(
+        F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        candidates.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .select("id_a", "id_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 def minhash_lsh_pairs(
@@ -92,109 +170,147 @@ def minhash_lsh_pairs(
     num_hashes: int = DEFAULT_NUM_HASHES,
     bands: int = DEFAULT_BANDS,
     jaccard_threshold: float = 0.6,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard) via banded MinHash.
 
-    Plan shape: project signatures -> posexplode band keys -> self-join on
-    (band, key) -> distinct candidate pairs -> exact-Jaccard verify with
-    array_intersect/union on the candidates only.
-    """
-    rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        shingle_col(F.col(text_col)).alias("shingles"),
-    ).select("id", "shingles", *minhash_signature(F.col("shingles"), num_hashes))
+    Plan shape: project signatures -> posexplode (band, key, id) ->
+    self-join on (band, key) -> distinct id pairs -> re-join shingles by
+    id -> exact-Jaccard filter.  Only ids and 32-byte band keys shuffle
+    in candidate generation; shingle arrays move once, keyed by id, for
+    the candidates actually verified."""
+    candidates = _lsh_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, hash_fn
+    )
+    shingles = df.select(
+        F.col(id_col).alias("id"), shingle_col(F.col(text_col)).alias("sh")
+    )
+    return _verify_jaccard(candidates, shingles, jaccard_threshold)
 
-    band_keys = [
-        F.concat_ws(
-            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        "id", "shingles", F.posexplode(F.array(*band_keys)).alias("band", "key")
-    )
 
-    left = banded.select(
-        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"),
-        "band", "key",
-    )
-    right = banded.select(
-        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"),
-        "band", "key",
-    )
-    candidates = (
-        left.join(right, ["band", "key"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
-    return (
-        candidates.select("id_a", "id_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-    )
+def _log_bucket(n: Column, threshold: float) -> Column:
+    """floor(log(n) / log(1/t)), rounded to 9 decimals first so that
+    boundary values (log ratio exactly integral) bucket deterministically
+    instead of falling either side by one ulp."""
+    scale = math.log(1.0 / threshold)
+    return F.floor(F.round(F.log(n.cast("double")) / F.lit(scale), 9))
 
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id",
                         threshold: float = 0.8) -> DataFrame:
-    """All-pairs n-gram Jaccard >= threshold, pre-filtered by a cheap
-    length-band inequality (|A| within [t, 1/t] of |B| is necessary for
-    J >= t) so the join is not a full cross product."""
-    shingled = df.select(
-        F.col(id_col).alias("id"),
-        shingle_col(F.col(text_col)).alias("sh"),
-        F.size(shingle_col(F.col(text_col))).alias("n"),
+    """All-pairs n-gram Jaccard >= threshold via an EQUI bucket join.
+
+    J(A,B) >= t forces t <= |A|/|B| <= 1/t, i.e. the log-scale size
+    buckets of admissible partners differ by at most 1 — so the right
+    side explodes into its own and both adjacent buckets and the join is
+    a plain hash join on the bucket key (never cartesian / nested-loop).
+    The size inequality stays as a post-join filter and exact Jaccard is
+    verified by re-joining shingles on the surviving candidates only."""
+    shingles = df.select(
+        F.col(id_col).alias("id"), shingle_col(F.col(text_col)).alias("sh")
     )
-    a = shingled.select(
-        F.col("id").alias("id_a"), F.col("sh").alias("sh_a"),
-        F.col("n").alias("n_a"),
+    sized = shingles.select("id", F.size("sh").alias("n")).filter(
+        F.col("n") > 0
     )
-    b = shingled.select(
-        F.col("id").alias("id_b"), F.col("sh").alias("sh_b"),
-        F.col("n").alias("n_b"),
+    bucket = _log_bucket(F.col("n"), threshold)
+    a = sized.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+        bucket.alias("bucket"),
     )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
+    b = sized.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+        F.explode(
+            F.array(bucket - 1, bucket, bucket + 1)
+        ).alias("bucket"),
     )
-    return (
-        a.join(
-            b,
+    candidates = (
+        a.join(b, "bucket")
+        .filter(
             (F.col("id_a") < F.col("id_b"))
             & (F.col("n_b") >= F.col("n_a") * threshold)
-            & (F.col("n_b") <= F.col("n_a") / threshold),
+            & (F.col("n_b") <= F.col("n_a") / threshold)
         )
-        .select("id_a", "id_b", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b")
     )
+    return _verify_jaccard(candidates, shingles, threshold)
 
 
-@F.pandas_udf(T.LongType())
-def simhash64_udf(text: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (md5-derived token hashes),
-    vectorized with numpy bit unpacking."""
+# ---------------------------------------------------------------------------
+# SimHash — pure Catalyst expression (no Python, no shuffle), md5-derived
+# token hashes so DuckDB mirrors the signature bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_LONG_MIN = -9223372036854775808  # bit 63 of a signed 64-bit signature
+
+
+def _hex_bit(h: Column, i: Column) -> Column:
+    """Bit ``i`` (LSB=0) of the 64-bit value spelled by the 16-char hex
+    prefix ``h`` (= first 8 md5 bytes, big-endian): split into two 32-bit
+    halves so the unsigned value fits a signed long for getbit."""
+    hi = F.conv(F.substring(h, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(h, 9, 8), 16, 10).cast("long")
+    return F.getbit(F.when(i < 32, lo).otherwise(hi), i % 32)
+
+
+def simhash64_col(text_col: Column) -> Column:
+    """64-bit SimHash over whitespace tokens, entirely JVM-side.
+
+    Per row: token array -> one md5 per token -> per-bit +/-1 vote
+    accumulation (aggregate over a 64-int array) -> sign bits packed into
+    a signed long.  Matches the classic kernel (Charikar 2002) with token
+    hash = first 8 md5 bytes big-endian; empty/blank text -> 0."""
+    tokens = F.split(F.trim(text_col), r"\s+")
+    hashes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16))
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+    counts = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                bit_idx,
+                lambda i: F.when(_hex_bit(h, i) == 1, 1).otherwise(-1),
+            ),
+            lambda a, c: a + c,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            counts,
+            bit_idx,
+            lambda c, i: F.when(
+                c > 0,
+                F.when(i == 63, F.lit(_LONG_MIN)).otherwise(
+                    F.pow(F.lit(2.0), i.cast("double")).cast("long")
+                ),
+            ).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a.bitwiseOR(x),
+    )
+    blank = text_col.isNull() | (F.trim(text_col) == "")
+    return F.when(blank, F.lit(0).cast("long")).otherwise(packed)
+
+
+def simhash64_py(text: str) -> int:
+    """Single-threaded reference kernel (tests cross-check the Catalyst
+    expression against this, like the extractor byte-identity oracles)."""
     import hashlib
 
-    out = np.zeros(len(text), dtype=np.int64)
-    for i, t in enumerate(text):
-        tokens = (t or "").split()
-        if not tokens:
-            continue
-        acc = np.zeros(64, dtype=np.int64)
-        for token in tokens:
-            h = int.from_bytes(
-                hashlib.md5(token.encode("utf-8")).digest()[:8], "big"
-            )
-            bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = np.uint64(0)
-        for bit_idx in np.flatnonzero(acc > 0):
-            sig |= np.uint64(1) << np.uint64(bit_idx)
-        out[i] = np.int64(sig.astype(np.int64))
-    return pd.Series(out)
+    tokens = (text or "").split()
+    if not tokens:
+        return 0
+    acc = [0] * 64
+    for token in tokens:
+        h = int.from_bytes(hashlib.md5(token.encode("utf-8")).digest()[:8], "big")
+        for bit in range(64):
+            acc[bit] += 1 if (h >> bit) & 1 else -1
+    sig = 0
+    for bit in range(64):
+        if acc[bit] > 0:
+            sig |= 1 << bit
+    return sig - (1 << 64) if sig >= (1 << 63) else sig
 
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
@@ -204,7 +320,7 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     chunks: two signatures within hamming<=3 share at least one of the 4
     chunks exactly (pigeonhole) -> join per chunk, then verify."""
     sig = df.select(
-        F.col(id_col).alias("id"), simhash64_udf(F.col(text_col)).alias("sig")
+        F.col(id_col).alias("id"), simhash64_col(F.col(text_col)).alias("sig")
     )
     chunks = sig.select(
         "id", "sig",

@@ -42,21 +42,27 @@ def stopword_hits(text_col: Column, lang: str) -> Column:
 
 def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Adds ``lang_pred`` + per-language hit counts; argmax with
-    lexicographic tie-break (deterministic)."""
-    out = df
-    for lang in sorted(STOPWORDS):
-        out = out.withColumn(f"hits_{lang}", stopword_hits(F.col(text_col), lang))
+    lexicographic tie-break (deterministic).
+
+    One single ``select`` — a per-language ``withColumn`` loop stacks a
+    Project node per language and bloats the plan once the list grows to
+    dozens of languages."""
+    langs = sorted(STOPWORDS)
+    hit_cols = {
+        lang: stopword_hits(F.col(text_col), lang).alias(f"hits_{lang}")
+        for lang in langs
+    }
     hit_structs = F.array(
         *[
             F.struct(F.col(f"hits_{lang}").alias("hits"),
                      F.lit(lang).alias("lang"))
-            for lang in sorted(STOPWORDS)
+            for lang in langs
         ]
     )
     best = F.array_max(hit_structs)
-    return out.withColumn(
-        "lang_pred",
-        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")),
+    lang_pred = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.select("*", *hit_cols.values()).select(
+        "*", lang_pred.alias("lang_pred")
     )
 
 
