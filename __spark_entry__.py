@@ -54,11 +54,16 @@ from web_content_extraction_benchmark_spark.plans.pipeline import (
     score_answers,
 )
 from web_content_extraction_benchmark_spark.sources.pages import (
+    BTE_SQL,
     GOLD_SQL,
     PLAIN_SQL,
+    READABILITY_SQL,
+    TAG_BLACKLIST_SQL,
     URL_SQL,
+    XPATH_SQL,
     _P1_SQL,
     _P2_SQL,
+    justext_sql,
     synthesize_pages,
     truth_table,
 )
@@ -185,6 +190,23 @@ def q_extract_plain_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthesize_pages(spark, sf_dir)
     answers = extract_answers(pages, ["plain"])
     return answers.select("url", "plaintext")
+
+
+def _q_extract_model(model: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        pages = synthesize_pages(spark, sf_dir)
+        answers = extract_answers(pages, [model])
+        return answers.select("url", "plaintext")
+
+    q.__doc__ = f"Byte-identity check for the {model!r} extractor family."
+    return q
+
+
+q_extract_xpath_text = _q_extract_model("xpath_text")
+q_extract_tag_blacklist = _q_extract_model("tag_blacklist")
+q_extract_readability = _q_extract_model("readability")
+q_extract_bte = _q_extract_model("bte")
+q_extract_justext = _q_extract_model("stopword_density")
 
 
 def q_extract_block_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -434,6 +456,24 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-ANN quality gate as a pass/fail oracle row: recall of the
+    LSH top-5 against the exact top-5 must clear 0.6 (measured 0.76-0.92
+    at sf0.001/0.01/0.1; multi-table hyperplanes are seeded so the value
+    itself is engine-specific — the bound is the invariant)."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = lsh_cosine_topk(
+        emb, queries, dim=64, k=5, n_planes=4, n_tables=12
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        (F.sum("hit") / F.count("*") >= 0.6).alias("pass"),
+        F.count("*").alias("n_exact"),
+    )
+
+
 def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     out = language_id(docs, "text")
@@ -505,8 +545,11 @@ def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E20: n-gram majority vote over 3 extractor families (no SQL oracle:
-    voting kernel).  Threshold int(3*0.66)=1 -> union-of-supported-tokens."""
+    """E20: n-gram vote over 3 extractor families, threshold
+    int(3*0.66)=1 (union of supported tokens).  With ``plain`` among the
+    voters every full-text window is supported, so the provable expected
+    output is the plain full text — a real end-to-end oracle of the
+    collect_list/map plumbing + voting kernel."""
     from web_content_extraction_benchmark_spark.plans.pipeline import (
         ensemble_answers,
     )
@@ -515,6 +558,21 @@ def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     models = ["main_content", "plain", "readability"]
     answers = extract_answers(pages, models)
     voted = ensemble_answers(answers, pages, models)
+    return voted.select("url", "plaintext")
+
+
+def q_ensemble_majority2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 at true majority (threshold 2 of 3): boilerplate loses its
+    votes, so the expected output is a per-variant formula (verified
+    corpus-wide against the kernel in tests/test_extractor_golds.py)."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ensemble_answers,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    models = ["main_content", "plain", "readability"]
+    answers = extract_answers(pages, models)
+    voted = ensemble_answers(answers, pages, models, vote_fraction=0.67)
     return voted.select("url", "plaintext")
 
 
@@ -683,6 +741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "extract_main_text": q_extract_main_text,
         "extract_plain_text": q_extract_plain_text,
+        "extract_xpath_text": q_extract_xpath_text,
+        "extract_tag_blacklist": q_extract_tag_blacklist,
+        "extract_readability": q_extract_readability,
+        "extract_bte": q_extract_bte,
+        "extract_justext": q_extract_justext,
         "extract_block_counts": q_extract_block_counts,
         "block_spans": q_block_spans,
         "score_levenshtein": q_score_levenshtein,
@@ -707,6 +770,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
+        "ann_lsh_recall": q_ann_lsh_recall,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -714,6 +778,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_ids": q_page_ids,
         "html_features": q_html_features,
         "ensemble_majority": q_ensemble_majority,
+        "ensemble_majority2": q_ensemble_majority2,
         "kmeans_clusters": q_kmeans_clusters,
         "lr_classify": q_lr_classify,
         "stream_hourly": q_stream_hourly,
@@ -867,6 +932,39 @@ def oracle_sql() -> dict[str, str]:
         "extract_plain_text": (
             f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
         ),
+        "extract_xpath_text": (
+            f"SELECT {URL_SQL} AS url, {XPATH_SQL} AS plaintext FROM documents"
+        ),
+        "extract_tag_blacklist": (
+            f"SELECT {URL_SQL} AS url, {TAG_BLACKLIST_SQL} AS plaintext "
+            "FROM documents"
+        ),
+        "extract_readability": (
+            f"SELECT {URL_SQL} AS url, {READABILITY_SQL} AS plaintext "
+            "FROM documents"
+        ),
+        "extract_bte": (
+            f"SELECT {URL_SQL} AS url, {BTE_SQL} AS plaintext FROM documents"
+        ),
+        "extract_justext": (
+            f"SELECT {URL_SQL} AS url, {justext_sql()} AS plaintext "
+            "FROM documents"
+        ),
+        # threshold-1 ensemble == plain full text (plain's answer contains
+        # every window); threshold-2 drops the boilerplate that only plain
+        # supports, keeping the density/readability-backed token runs.
+        "ensemble_majority": (
+            f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
+        ),
+        "ensemble_majority2": f"""
+            SELECT {URL_SQL} AS url,
+                   CASE WHEN doc_id % 101 = 0 THEN ''
+                        WHEN doc_id % 5 IN (0, 4) THEN
+                            'Article ' || source || ' Article ' || source ||
+                            ' ' || text
+                        ELSE text END AS plaintext
+            FROM documents
+        """,
         "extract_block_counts": f"""
             SELECT {URL_SQL} AS url,
                    CAST(CASE WHEN doc_id % 101 = 0 THEN 0
@@ -1157,6 +1255,40 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY cos DESC, neighbor_id ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5
+        """,
+        "ann_lsh_recall": """
+            SELECT CAST(1 AS BOOLEAN) AS pass,
+                   5 * (SELECT count(*) FROM embeddings
+                        WHERE vec_id % 100 = 0) AS n_exact
+        """,
+        # exact all-pairs mirror: the only cos >= 0.999 pairs are the
+        # planted identical copies (max non-planted cos ~ 0.6 at all sfs),
+        # and identical vectors share every LSH bucket, so the LSH-candidate
+        # Spark path provably finds the full exact answer here.
+        "embedding_neardup": """
+            WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                         FROM embeddings),
+            corpus AS (
+                SELECT vec_id, v FROM emb
+                UNION ALL
+                SELECT vec_id + 10000, v FROM emb WHERE vec_id % 10 = 0
+            ),
+            pairs AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                       list_dot_product(a.v, b.v) /
+                       (sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v))) AS cos
+                FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+            )
+            SELECT id_a, id_b, round(cos, 6) AS cos
+            FROM pairs WHERE cos >= 0.999
+        """,
+        "media_features": """
+            SELECT CAST(i AS BIGINT) AS media_id,
+                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS kind,
+                   CAST(32 * (1 + i % 5) AS BIGINT) AS n_bytes
+            FROM generate_series(0, 63) t(i)
         """,
         "language_id": f"""
             SELECT doc_id,

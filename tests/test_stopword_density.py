@@ -48,3 +48,73 @@ def test_empty_and_edge_inputs():
 def test_deterministic():
     html = f"<body><p>{GOOD_PARA}</p></body>"
     assert extract_stopword_density(html) == extract_stopword_density(html)
+
+
+# --- jusText context-sensitive smoothing paths (Pomikálek 2011, revise
+# step with no_headings=True; reference params extractors.py:91-96) ---
+
+NEARGOOD_PARA = (
+    # stop density >= 0.2 but length <= 200 chars -> context-free neargood
+    "It is a good bit of the story that we all like to read here."
+)
+SHORT_PARA = "A short line here."  # < 50 chars, no links -> short
+BAD_PARA = (
+    "lorem ipsum dolor sit amet consectetur adipiscing elit sed eiusmod "
+    "tempor incididunt labore dolore magna aliqua enim minim veniam"
+)
+
+
+def test_short_between_two_goods_is_promoted():
+    html = (
+        f"<body><p>{GOOD_PARA}</p><p>{SHORT_PARA}</p>"
+        f"<p>{GOOD_PARA}</p></body>"
+    )
+    out = extract_stopword_density(html)
+    assert SHORT_PARA in out
+
+
+def test_short_with_mixed_neighbours_is_dropped_without_neargood_shield():
+    html = (
+        f"<body><p>{BAD_PARA}</p><p>{SHORT_PARA}</p>"
+        f"<p>{GOOD_PARA}</p></body>"
+    )
+    out = extract_stopword_density(html)
+    assert SHORT_PARA not in out
+    assert GOOD_PARA in out
+
+
+def test_short_promoted_when_bad_side_shielded_by_neargood():
+    # neighbours (ignoring neargood) are {bad, good} = mixed, but the bad
+    # side is shielded by an immediately adjacent neargood -> promote
+    html = (
+        f"<body><p>{BAD_PARA}</p><p>{NEARGOOD_PARA}</p>"
+        f"<p>{SHORT_PARA}</p><p>{GOOD_PARA}</p></body>"
+    )
+    out = extract_stopword_density(html)
+    assert SHORT_PARA in out
+    assert NEARGOOD_PARA in out  # neargood next to good -> good
+
+
+def test_neargood_between_bads_is_dropped():
+    html = (
+        f"<body><p>{BAD_PARA}</p><p>{NEARGOOD_PARA}</p>"
+        f"<p>{BAD_PARA}</p></body>"
+    )
+    assert NEARGOOD_PARA not in extract_stopword_density(html)
+
+
+def test_neargood_adjacent_to_good_is_kept():
+    html = f"<body><p>{NEARGOOD_PARA}</p><p>{GOOD_PARA}</p></body>"
+    out = extract_stopword_density(html)
+    assert NEARGOOD_PARA in out and GOOD_PARA in out
+
+
+def test_link_density_counts_chars_not_words():
+    # one long linked word among few short plain words: word-based density
+    # would pass (1/5 = 0.2), char-based fails (> 0.2) -> bad
+    html = (
+        "<body><p>so we it <a href='/x'>supercalifragilistic</a></p>"
+        f"<p>{GOOD_PARA}</p></body>"
+    )
+    out = extract_stopword_density(html)
+    assert "supercalifragilistic" not in out

@@ -1,20 +1,34 @@
-"""jusText-style paragraph classifier (reference family E12,
-extractors.py:91-96 calls justext with params (50, 200, 0.1, 0.2, 0.2,
-200, True) and an English stoplist; kept paragraphs join with spaces).
+"""jusText-style paragraph classifier (reference family E12).
 
-From-scratch simplified two-pass variant of the published algorithm
-(Pomikálek 2011): context-free classification of paragraphs by link
-density, stopword density, and length; then a context-sensitive pass that
-resolves 'short'/'near-good' paragraphs by their neighbors' classes.
-Deviation from jusText proper, documented: no DOM re-walk for headings
-within max_heading_distance — headings inherit from the nearest
-classified neighbor like any short paragraph.
+The reference calls ``justext(html, get_stoplist('English'), 50, 200, 0.1,
+0.2, 0.2, 200, True)`` and joins kept paragraphs with spaces
+(/root/reference/src/extraction_benchmark/extractors/extractors.py:91-96).
+This is a from-scratch implementation of the published algorithm
+(Pomikálek 2011, "Removing boilerplate and duplicate content from web
+corpora") with the reference's parameter set:
+
+- context-free pass: link density (by CHARS inside <a>, not words),
+  copyright-mark veto, length bands (low=50, high=200), stopword-density
+  bands (low=0.1, high=0.2);
+- context-sensitive pass, ``no_headings=True`` (so the heading-distance
+  promotion steps are skipped):
+  * ``short`` blocks take good/bad from the nearest non-short,
+    non-neargood neighbours (boundary counts as bad); a mixed {good,bad}
+    neighbourhood promotes only when the bad side is shielded by an
+    immediately adjacent neargood;
+  * then ``neargood`` blocks (shorts already resolved) become good
+    unless BOTH nearest neighbours are bad.
+
+Documented deviations from the justext package: paragraph segmentation is
+the shared DOM block walk (no <br><br> splitting), the ``select`` dom-path
+veto is not tracked, and the English stoplist is this module's own
+(~130 words) — the package's stoplist file is third-party data.
 """
 
 from __future__ import annotations
 
 from ..dom import BLOCK_ELEMENTS, NON_TEXT_ELEMENTS, Node, body_or_root, parse_html
-from ..textutils import squeeze_ws, ws_tokens
+from ..textutils import squeeze_ws
 
 LENGTH_LOW = 50
 LENGTH_HIGH = 200
@@ -36,27 +50,30 @@ your""".split()
 GOOD, BAD, SHORT, NEAR_GOOD = "good", "bad", "short", "near_good"
 
 
-def _paragraphs(body: Node) -> list[tuple[str, int, int]]:
-    """(raw_text, word_count, link_word_count) per block paragraph."""
-    out: list[tuple[str, int, int]] = []
+def _paragraphs(body: Node) -> list[tuple[str, int]]:
+    """(raw_text, linked_char_count) per block paragraph.
+
+    Link chars are counted on the raw text nodes inside <a> subtrees,
+    mirroring justext's charsCountInLinks accumulation."""
+    out: list[tuple[str, int]] = []
     parts: list[str] = []
-    link_parts: list[str] = []
+    link_chars = 0
 
     def flush() -> None:
-        nonlocal parts, link_parts
-        raw = " ".join(p for p in ("".join(parts),) if p)
-        words = len(ws_tokens(raw))
-        if words:
-            out.append((raw, words, len(ws_tokens(" ".join(link_parts)))))
+        nonlocal parts, link_chars
+        raw = "".join(parts)
+        if raw.strip():
+            out.append((raw, link_chars))
         parts = []
-        link_parts = []
+        link_chars = 0
 
     def walk(node: Node, in_link: bool) -> None:
+        nonlocal link_chars
         for child in node.children:
             if child.is_text:
                 parts.append(child.text)
                 if in_link:
-                    link_parts.append(child.text)
+                    link_chars += len(child.text)
             elif child.tag in NON_TEXT_ELEMENTS:
                 continue
             elif child.tag in BLOCK_ELEMENTS:
@@ -71,17 +88,18 @@ def _paragraphs(body: Node) -> list[tuple[str, int, int]]:
     return out
 
 
-def _context_free_class(text: str, words: int, link_words: int) -> str:
-    link_density = link_words / words if words else 0.0
+def _context_free_class(text: str, link_chars: int) -> str:
+    """jusText classify_paragraphs, one paragraph (normalized text)."""
+    length = len(text)
+    link_density = link_chars / length if length else 0.0
     if link_density > MAX_LINK_DENSITY:
         return BAD
-    if "©" in text or "&copy;" in text:
+    if "\xa9" in text or "&copy;" in text:
         return BAD
-    length = len(text)
-    tokens = ws_tokens(text.lower())
-    stop_density = sum(1 for t in tokens if t in STOPLIST) / len(tokens)
     if length < LENGTH_LOW:
-        return SHORT if link_density == 0 else BAD
+        return BAD if link_chars > 0 else SHORT
+    words = text.split()
+    stop_density = sum(1 for w in words if w.lower() in STOPLIST) / len(words)
     if stop_density >= STOPWORDS_HIGH:
         return GOOD if length > LENGTH_HIGH else NEAR_GOOD
     if stop_density >= STOPWORDS_LOW:
@@ -89,35 +107,65 @@ def _context_free_class(text: str, words: int, link_words: int) -> str:
     return BAD
 
 
+def _neighbour(classes: list[str], i: int, step: int,
+               ignore_neargood: bool) -> str:
+    """Nearest decisive neighbour class; boundary counts as bad
+    (jusText _get_neighbour)."""
+    j = i + step
+    while 0 <= j < len(classes):
+        c = classes[j]
+        if c in (GOOD, BAD):
+            return c
+        if c == NEAR_GOOD and not ignore_neargood:
+            return c
+        j += step
+    return BAD
+
+
+def _revise(classes: list[str]) -> list[str]:
+    """jusText revise_paragraph_classification with no_headings=True."""
+    revised = list(classes)
+    # Pass 1: shorts (decided on the ORIGINAL classes, applied after).
+    new_short: dict[int, str] = {}
+    for i, cls in enumerate(classes):
+        if cls != SHORT:
+            continue
+        prev_cls = _neighbour(classes, i, -1, ignore_neargood=True)
+        next_cls = _neighbour(classes, i, +1, ignore_neargood=True)
+        neighbours = {prev_cls, next_cls}
+        if neighbours == {GOOD}:
+            new_short[i] = GOOD
+        elif neighbours == {BAD}:
+            new_short[i] = BAD
+        elif (
+            prev_cls == BAD
+            and _neighbour(classes, i, -1, ignore_neargood=False) == NEAR_GOOD
+        ) or (
+            next_cls == BAD
+            and _neighbour(classes, i, +1, ignore_neargood=False) == NEAR_GOOD
+        ):
+            new_short[i] = GOOD
+        else:
+            new_short[i] = BAD
+    for i, c in new_short.items():
+        revised[i] = c
+    # Pass 2: neargoods (shorts already resolved in ``revised``).
+    for i, cls in enumerate(revised):
+        if cls != NEAR_GOOD:
+            continue
+        prev_cls = _neighbour(revised, i, -1, ignore_neargood=True)
+        next_cls = _neighbour(revised, i, +1, ignore_neargood=True)
+        revised[i] = BAD if (prev_cls, next_cls) == (BAD, BAD) else GOOD
+    return revised
+
+
 def extract_stopword_density(html: str) -> str:
     body = body_or_root(parse_html(html))
     paragraphs = [
-        (squeeze_ws(raw), words, links)
-        for raw, words, links in _paragraphs(body)
+        (squeeze_ws(raw), links) for raw, links in _paragraphs(body)
     ]
-    classes = [_context_free_class(t, w, l) for t, w, l in paragraphs]
-
-    # Context-sensitive pass: short/near-good take the class of the
-    # nearest good/bad neighbor (good wins when surrounded by good).
-    n = len(classes)
-    resolved = list(classes)
-    for i, cls in enumerate(classes):
-        if cls not in (SHORT, NEAR_GOOD):
-            continue
-        prev_cls = next(
-            (classes[j] for j in range(i - 1, -1, -1)
-             if classes[j] in (GOOD, BAD)), BAD,
-        )
-        next_cls = next(
-            (classes[j] for j in range(i + 1, n)
-             if classes[j] in (GOOD, BAD)), BAD,
-        )
-        if cls == NEAR_GOOD:
-            resolved[i] = GOOD if GOOD in (prev_cls, next_cls) else BAD
-        else:
-            resolved[i] = GOOD if prev_cls == GOOD and next_cls == GOOD else BAD
-
+    classes = [_context_free_class(t, l) for t, l in paragraphs]
+    revised = _revise(classes)
     return " ".join(
-        text for (text, _, _), cls in zip(paragraphs, resolved)
-        if cls == GOOD
+        text for (text, _), cls in zip(paragraphs, revised) if cls == GOOD
     )

@@ -151,6 +151,121 @@ def plain_full_text(doc_id: int, source: str, text: str) -> str:
     return f"Article {source} Article {source} {text} tag one tag two Copyright 2023"
 
 
+def gold_xpath_text(doc_id: int, source: str, text: str) -> str:
+    """Expected ``xpath_text`` extraction (raw body text joined with ' ',
+    whitespace-squeezed) per variant."""
+    if doc_id % 101 == 0:
+        return ""
+    variant = doc_id % 5
+    host = host_for(doc_id)
+    if variant == 0:
+        return (
+            f"Home About Contact Article {source} {text} "
+            f"© 2023 {host} — All rights reserved"
+        )
+    if variant == 1:
+        return f"Login Register {text} Buy now Hot deals"
+    if variant == 2:
+        part1, part2 = _split_words(text)
+        return f"{part1} {part2}"
+    if variant == 3:
+        return text
+    return f"Article {source} {text} tag one tag two Copyright 2023"
+
+
+def gold_tag_blacklist(doc_id: int, source: str, text: str) -> str:
+    """Expected tag-blacklist-cleaner extraction per variant (nav/aside/
+    footer/head subtrees killed, then strip-join)."""
+    if doc_id % 101 == 0:
+        return ""
+    variant = doc_id % 5
+    if variant == 0:
+        return f"Article {source} {text}"
+    if variant == 1:
+        return f"Login Register {text}"
+    if variant == 2:
+        part1, part2 = _split_words(text)
+        return f"{part1} {part2}"
+    if variant == 3:
+        return text
+    return f"Article {source} {text} tag one tag two"
+
+
+def gold_readability(doc_id: int, source: str, text: str) -> str:
+    """Expected readability extraction per variant: the winning scored
+    candidate's paragraph-broken text (variant 4's heading sits outside
+    the winning ``div.content``, unlike the density extractor's gold)."""
+    if doc_id % 101 == 0:
+        return ""
+    variant = doc_id % 5
+    if variant == 0:
+        return f"Article {source}\n{text}"
+    if variant == 2:
+        part1, part2 = _split_words(text)
+        return f"{part1}\n{part2}"
+    return text
+
+
+def gold_bte(doc_id: int, source: str, text: str) -> str:
+    """Expected BTE extraction per variant: the max-sum token span.  On
+    variant 0 the span provably extends through the footer (net +3
+    regardless of the document) and ties left onto the heading (earliest
+    start wins); elsewhere it is exactly the article text."""
+    if doc_id % 101 == 0:
+        return ""
+    variant = doc_id % 5
+    host = host_for(doc_id)
+    if variant == 0:
+        return (
+            f"Article {source}\n{text}\n© 2023 {host} — All rights reserved"
+        )
+    if variant == 2:
+        part1, part2 = _split_words(text)
+        return f"{part1}\n{part2}"
+    return text
+
+
+def _justext_cf_class(t: str) -> str:
+    """jusText context-free class of a zero-link-density paragraph (the
+    only kind the templates produce for the article text)."""
+    from ..extractors.stopword_density import (
+        LENGTH_HIGH,
+        LENGTH_LOW,
+        STOPLIST,
+        STOPWORDS_HIGH,
+        STOPWORDS_LOW,
+    )
+
+    if len(t) < LENGTH_LOW:
+        return "short"
+    words = t.split(" ")
+    density = sum(1 for w in words if w.lower() in STOPLIST) / len(words)
+    if density >= STOPWORDS_HIGH:
+        return "good" if len(t) > LENGTH_HIGH else "neargood"
+    if density >= STOPWORDS_LOW:
+        return "neargood"
+    return "bad"
+
+
+def gold_justext(doc_id: int, source: str, text: str) -> str:
+    """Expected jusText extraction per variant.
+
+    On every variant except 2 the article text's neighbours are all bad
+    after revision (link farms, © footer, boundary), so the output is the
+    text iff its context-free class is good.  Variant 2 has two adjacent
+    text paragraphs: shorts always demote (mixed neighbourhoods are never
+    neargood-shielded here), neargood promotes iff the sibling is good."""
+    if doc_id % 101 == 0:
+        return ""
+    if doc_id % 5 != 2:
+        return text if _justext_cf_class(text) == "good" else ""
+    part1, part2 = _split_words(text)
+    c1, c2 = _justext_cf_class(part1), _justext_cf_class(part2)
+    keep1 = c1 == "good" or (c1 == "neargood" and c2 == "good")
+    keep2 = c2 == "good" or (c2 == "neargood" and c1 == "good")
+    return " ".join(p for p, k in ((part1, keep1), (part2, keep2)) if k)
+
+
 def encode_page_html(doc_id: int, html: str) -> bytes:
     """Apply edge-row byte encodings (empty / gzip / BOM)."""
     if doc_id % 101 == 0:
@@ -262,6 +377,91 @@ PLAIN_SQL = (
     "ELSE 'Article ' || source || ' Article ' || source || ' ' || text || "
     "' tag one tag two Copyright 2023' END"
 )
+
+
+XPATH_SQL = (
+    "CASE WHEN doc_id % 101 = 0 THEN '' "
+    "WHEN doc_id % 5 = 0 THEN 'Home About Contact Article ' || source || "
+    f"' ' || text || ' © 2023 ' || {HOST_SQL} || ' — All rights reserved' "
+    "WHEN doc_id % 5 = 1 THEN 'Login Register ' || text || ' Buy now Hot deals' "
+    f"WHEN doc_id % 5 = 2 THEN {_P1_SQL} || ' ' || {_P2_SQL} "
+    "WHEN doc_id % 5 = 3 THEN text "
+    "ELSE 'Article ' || source || ' ' || text || "
+    "' tag one tag two Copyright 2023' END"
+)
+
+TAG_BLACKLIST_SQL = (
+    "CASE WHEN doc_id % 101 = 0 THEN '' "
+    "WHEN doc_id % 5 = 0 THEN 'Article ' || source || ' ' || text "
+    "WHEN doc_id % 5 = 1 THEN 'Login Register ' || text "
+    f"WHEN doc_id % 5 = 2 THEN {_P1_SQL} || ' ' || {_P2_SQL} "
+    "WHEN doc_id % 5 = 3 THEN text "
+    "ELSE 'Article ' || source || ' ' || text || ' tag one tag two' END"
+)
+
+READABILITY_SQL = (
+    "CASE WHEN doc_id % 101 = 0 THEN '' "
+    "WHEN doc_id % 5 = 0 THEN 'Article ' || source || chr(10) || text "
+    f"WHEN doc_id % 5 = 2 THEN {_P1_SQL} || chr(10) || {_P2_SQL} "
+    "ELSE text END"
+)
+
+BTE_SQL = (
+    "CASE WHEN doc_id % 101 = 0 THEN '' "
+    "WHEN doc_id % 5 = 0 THEN 'Article ' || source || chr(10) || text || "
+    f"chr(10) || '© 2023 ' || {HOST_SQL} || ' — All rights reserved' "
+    f"WHEN doc_id % 5 = 2 THEN {_P1_SQL} || chr(10) || {_P2_SQL} "
+    "ELSE text END"
+)
+
+
+def _justext_cls_sql(expr: str) -> str:
+    """DuckDB mirror of ``_justext_cf_class`` over a text expression."""
+    from ..extractors.stopword_density import (
+        LENGTH_HIGH,
+        LENGTH_LOW,
+        STOPLIST,
+        STOPWORDS_HIGH,
+        STOPWORDS_LOW,
+    )
+
+    stoplist = "(" + ", ".join(f"'{w}'" for w in sorted(STOPLIST)) + ")"
+    density = (
+        f"(CAST(len(list_filter(string_split({expr}, ' '), "
+        f"w -> lower(w) IN {stoplist})) AS DOUBLE) / "
+        f"len(string_split({expr}, ' ')))"
+    )
+    return (
+        f"CASE WHEN length({expr}) < {LENGTH_LOW} THEN 'short' "
+        f"WHEN {density} >= {STOPWORDS_HIGH} THEN "
+        f"(CASE WHEN length({expr}) > {LENGTH_HIGH} THEN 'good' "
+        "ELSE 'neargood' END) "
+        f"WHEN {density} >= {STOPWORDS_LOW} THEN 'neargood' "
+        "ELSE 'bad' END"
+    )
+
+
+def justext_sql() -> str:
+    """DuckDB expression for the jusText gold (over a ``documents`` scan
+    aliased with doc_id/source/text) — generated from the same class
+    thresholds and stoplist as the Python extractor, so the two cannot
+    drift."""
+    cls_text = _justext_cls_sql("text")
+    cls_p1 = _justext_cls_sql(_P1_SQL)
+    cls_p2 = _justext_cls_sql(_P2_SQL)
+    keep = (
+        "({c1} = 'good' OR ({c1} = 'neargood' AND {c2} = 'good'))"
+    )
+    k1 = keep.format(c1=cls_p1, c2=cls_p2)
+    k2 = keep.format(c1=cls_p2, c2=cls_p1)
+    return (
+        "CASE WHEN doc_id % 101 = 0 THEN '' "
+        "WHEN doc_id % 5 != 2 THEN "
+        f"(CASE WHEN {cls_text} = 'good' THEN text ELSE '' END) "
+        "ELSE trim(concat_ws(' ', "
+        f"CASE WHEN {k1} THEN {_P1_SQL} ELSE NULL END, "
+        f"CASE WHEN {k2} THEN {_P2_SQL} ELSE NULL END)) END"
+    )
 
 
 def html_sql() -> str:
