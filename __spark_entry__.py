@@ -522,6 +522,51 @@ def q_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _raw_tree(sf_dir: str, kind: str) -> str:
+    """Synthesize (once, cached) an on-disk raw-format dataset tree."""
+    import os
+
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        synthesize_cleaneval_tree,
+        synthesize_l3s_tree,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/wceb_raw/{kind}_{tag}"
+    marker = os.path.join(out, "_done")
+    if not os.path.exists(marker):
+        if kind == "cleaneval":
+            synthesize_cleaneval_tree(sf_dir, out)
+        else:
+            synthesize_l3s_tree(sf_dir, out)
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out
+
+
+def q_convert_cleaneval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: CleanEval-style raw ingestion — binaryFile scan -> decode
+    (gzip/BOM rows included) -> <text> unwrap -> truth derivation (URL
+    line + clean-markup body text) -> whitelist join."""
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        convert_cleaneval,
+    )
+
+    root = _raw_tree(sf_dir, "cleaneval")
+    return convert_cleaneval(spark, f"{root}/orig", f"{root}/clean")
+
+
+def q_convert_l3s(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1: L3S-GN1-style raw ingestion — truth from CSS-annotated spans
+    (x-nc-sel*), joined to the original page bytes."""
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        convert_l3s,
+    )
+
+    root = _raw_tree(sf_dir, "l3s")
+    return convert_l3s(spark, f"{root}/original", f"{root}/annotated")
+
+
 def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: sha256 content-hash page ids over the raw html bytes (gzip rows
     excluded — compressed bytes are not SQL-reproducible)."""
@@ -776,6 +821,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "page_ids": q_page_ids,
+        "convert_cleaneval": q_convert_cleaneval,
+        "convert_l3s": q_convert_l3s,
         "html_features": q_html_features,
         "ensemble_majority": q_ensemble_majority,
         "ensemble_majority2": q_ensemble_majority2,
@@ -920,7 +967,23 @@ def oracle_sql() -> dict[str, str]:
         + " FROM documents"
     )
 
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        l3s_original_sql,
+    )
+
     return {
+        "convert_cleaneval": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS source, {URL_SQL} AS url,
+                   {html_sql(edge_bytes=False)} AS html,
+                   {GOLD_SQL} AS plaintext
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
+        """,
+        "convert_l3s": f"""
+            SELECT CAST(doc_id AS VARCHAR) AS source,
+                   {l3s_original_sql()} AS html,
+                   'Article ' || source || ' ' || chr(10) || text AS plaintext
+            FROM documents WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
+        """,
         "page_ids": (
             f"SELECT {URL_SQL} AS url, sha256({html_sql()}) AS page_id "
             "FROM documents WHERE doc_id % 103 != 0"

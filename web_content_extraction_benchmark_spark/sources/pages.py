@@ -464,11 +464,13 @@ def justext_sql() -> str:
     )
 
 
-def html_sql() -> str:
+def html_sql(edge_bytes: bool = True) -> str:
     """DuckDB expression rebuilding the page HTML *string* from documents
     rows — generated from the same templates as the Python builder, so the
-    two cannot drift.  Covers the non-gzip rows (gzip bytes are not
-    SQL-reproducible); the BOM prefix (doc_id % 107) is chr(65279)."""
+    two cannot drift.  With ``edge_bytes`` (pages-table mirror) it covers
+    the non-gzip rows (gzip bytes are not SQL-reproducible) and spells the
+    BOM prefix (doc_id % 107) as chr(65279); without it (post-decode
+    mirror, raw dataset readers) every row is the plain template string."""
     sentinels = {
         "\x00HOST\x00": HOST_SQL,
         "\x00SRC\x00": "source",
@@ -488,6 +490,8 @@ def html_sql() -> str:
         cases.append(f"WHEN doc_id % 5 = {variant} THEN {expr}")
     body = " ".join(cases)
     plain_html = f"CASE {body} END"
+    if not edge_bytes:
+        return plain_html
     return (
         "CASE WHEN doc_id % 101 = 0 THEN '' "
         f"WHEN doc_id % 107 = 0 THEN chr(65279) || ({plain_html}) "

@@ -1,0 +1,63 @@
+"""Metric export sinks (SURVEY S8/S9).
+
+The reference writes per-run score CSVs and renders report tables/plots
+driver-side (/root/reference/src/extraction_benchmark/eval.py:93-95 CSV,
+201-239 xlsx/LaTeX/plots).  Two surfaces here:
+
+- ``write_metrics_csv``: the distributed sink — plain ``df.write.csv``
+  with a header, for metric tables that are still big (per-page scores);
+- ``export_report``: the driver-side tail for *aggregated* tables (tens
+  of rows): collects once and renders CSV + a markdown table (the
+  xlsx/LaTeX equivalent without third-party writers; matplotlib plots are
+  a documented exclusion — driver-side viz).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+
+def write_metrics_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Distributed CSV metric sink (header row, escaped quoting)."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def _fmt(value) -> str:
+    if value is None:
+        return ""
+    if isinstance(value, float):
+        return f"{value:.6f}".rstrip("0").rstrip(".")
+    return str(value)
+
+
+def export_report(agg_df: DataFrame, out_dir: str,
+                  name: str = "metrics") -> dict[str, str]:
+    """Collect a (small, aggregated) DataFrame and write ``<name>.csv``
+    and ``<name>.md`` under ``out_dir``.  Row order is canonicalized by
+    sorting on all columns so exports are reproducible.  Returns the
+    written paths."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = agg_df.columns
+    rows = [
+        [_fmt(v) for v in row]
+        for row in sorted(tuple(r) for r in agg_df.collect())
+    ]
+    csv_path = os.path.join(out_dir, f"{name}.csv")
+    with open(csv_path, "w", encoding="utf-8") as f:
+        f.write(",".join(cols) + "\n")
+        for row in rows:
+            f.write(
+                ",".join(
+                    f'"{v}"' if ("," in v or '"' in v) else v for v in row
+                )
+                + "\n"
+            )
+    md_path = os.path.join(out_dir, f"{name}.md")
+    with open(md_path, "w", encoding="utf-8") as f:
+        f.write("| " + " | ".join(cols) + " |\n")
+        f.write("|" + "|".join("---" for _ in cols) + "|\n")
+        for row in rows:
+            f.write("| " + " | ".join(row) + " |\n")
+    return {"csv": csv_path, "md": md_path}
