@@ -544,6 +544,30 @@ def _raw_tree(sf_dir: str, kind: str) -> str:
     return out
 
 
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2/S5: answers -> sorted golden JSONL sink -> schema-declared scan;
+    the read-back rows must byte-match the plain-extraction oracle."""
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.sources.jsonl import (
+        ANSWER_JSONL_SCHEMA,
+        read_jsonl,
+        write_jsonl,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    answers = extract_answers(pages, ["plain"]).select(
+        "url",
+        F.lit(None).cast("string").alias("page_id"),
+        "model",
+        "plaintext",
+    )
+    out = tempfile.mkdtemp(prefix="wceb_jsonl_")
+    write_jsonl(answers, out, sort_by="url", golden=True)
+    back = read_jsonl(spark, out, ANSWER_JSONL_SCHEMA)
+    return back.select("url", "plaintext")
+
+
 def q_convert_cleaneval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1: CleanEval-style raw ingestion — binaryFile scan -> decode
     (gzip/BOM rows included) -> <text> unwrap -> truth derivation (URL
@@ -821,6 +845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_counts": q_token_counts,
         "fingerprints": q_fingerprints,
         "page_ids": q_page_ids,
+        "jsonl_roundtrip": q_jsonl_roundtrip,
         "convert_cleaneval": q_convert_cleaneval,
         "convert_l3s": q_convert_l3s,
         "html_features": q_html_features,
@@ -972,6 +997,9 @@ def oracle_sql() -> dict[str, str]:
     )
 
     return {
+        "jsonl_roundtrip": (
+            f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
+        ),
         "convert_cleaneval": f"""
             SELECT CAST(doc_id AS VARCHAR) AS source, {URL_SQL} AS url,
                    {html_sql(edge_bytes=False)} AS html,
