@@ -63,6 +63,34 @@ def test_minhash_finds_planted_near_duplicates(spark, docs):
         assert 0.5 <= r.jaccard <= 1.0
 
 
+def test_minhash_prod_width_fast_hash_recall(spark, docs):
+    """Production path: 128 hashes / 16 bands with the xxhash64
+    base+remix signatures must find (nearly) all planted near-dups —
+    at r=8 rows/band the S-curve midpoint is ~0.71, well under the
+    planted pairs' ~0.9 Jaccard."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        PROD_BANDS,
+        PROD_NUM_HASHES,
+    )
+
+    words = F.split(F.col("text"), " ")
+    mutants = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 10_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 1)).alias("text"),
+    )
+    corpus = docs.select("doc_id", "text").unionByName(mutants)
+    pairs = minhash_lsh_pairs(
+        corpus, num_hashes=PROD_NUM_HASHES, bands=PROD_BANDS,
+        jaccard_threshold=0.5, hash_fn="xxhash64",
+    )
+    found = {(r.id_a, r.id_b) for r in pairs.collect()}
+    planted = {
+        (r.doc_id, r.doc_id + 10_000)
+        for r in docs.filter(F.col("doc_id") % 25 == 0).collect()
+    }
+    assert len(found & planted) >= 0.95 * len(planted)
+
+
 def test_simhash_hamming_on_near_duplicates(spark, docs):
     sample = docs.filter(F.col("doc_id") < 50)
     words = F.split(F.col("text"), " ")

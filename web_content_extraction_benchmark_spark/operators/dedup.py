@@ -82,27 +82,42 @@ def shingle_col(text_col: Column, k: int = SHINGLE_SIZE) -> Column:
 
 
 def minhash_signature(shingles: Column,
-                      num_hashes: int = DEFAULT_NUM_HASHES,
-                      hash_fn: str = "md5") -> list[Column]:
-    """One min-hash per seed.  ``md5`` hex strings compare
+                      num_hashes: int = DEFAULT_NUM_HASHES) -> list[Column]:
+    """One md5-min per hash seed; md5 hex strings compare
     lexicographically identically in any engine, making signatures
-    engine-independent (the DuckDB oracle reproduces them bit-for-bit);
-    ``xxhash64`` is the production choice — a native 64-bit JVM hash,
-    ~10x cheaper than md5 at wide signatures, engine-specific but
-    semantics-neutral because candidates are verified by exact Jaccard."""
+    engine-independent (the DuckDB oracle reproduces them bit-for-bit).
+    The production alternative is ``minhash_signature_fast`` (xxhash64
+    base + per-seed remix) — engine-specific but semantics-neutral
+    because candidates are verified by exact Jaccard."""
     def _min_hash(seed: int):
-        if hash_fn == "xxhash64":
-            # NB: the lambda must take exactly one arg — F.transform feeds
-            # the element index to a second parameter.
-            return F.array_min(
-                F.transform(shingles, lambda s: F.xxhash64(F.lit(seed), s))
-            ).alias(f"mh{seed}")
         prefix = F.lit(f"{seed}:")
+        # NB: the lambda must take exactly one arg — F.transform feeds the
+        # element index to a second parameter.
         return F.array_min(
             F.transform(shingles, lambda s: F.md5(F.concat(prefix, s)))
         ).alias(f"mh{seed}")
 
     return [_min_hash(h) for h in range(num_hashes)]
+
+
+def _remix(seed: int):
+    """Per-seed avalanche remix of a 64-bit base hash.  NB: returns a
+    one-arg lambda from a factory — binding the loop var via default args
+    would give F.transform a two-arg lambda (element, INDEX)."""
+    return lambda h: F.xxhash64(h, F.lit(seed))
+
+
+def minhash_signature_fast(base_hashes: Column,
+                           num_hashes: int) -> list[Column]:
+    """Production-width signatures from ONE base hash per shingle: the
+    shingle string is hashed once (xxhash64), then each of the
+    ``num_hashes`` functions is a remix of that 8-byte value — at 128
+    hashes this does 1 string hash + 128 fixed-width hashes per shingle
+    instead of 128 string hashes."""
+    return [
+        F.array_min(F.transform(base_hashes, _remix(seed))).alias(f"mh{seed}")
+        for seed in range(num_hashes)
+    ]
 
 
 def _lsh_candidate_pairs(
@@ -117,13 +132,26 @@ def _lsh_candidate_pairs(
     carries ONLY (band, key, id): shingle arrays and text never cross this
     exchange (the verify stage re-joins them by id on candidates only)."""
     rows_per_band = num_hashes // bands
-    # Two-step select: the shingle array is referenced by all num_hashes
-    # min-hash expressions, so CollapseProject keeps it as one shared
-    # computation instead of inlining num_hashes copies.
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        shingle_col(F.col(text_col)).alias("_sh"),
-    ).select("id", *minhash_signature(F.col("_sh"), num_hashes, hash_fn))
+    # Two-step selects throughout: an expression referenced by all
+    # num_hashes min-hash columns must be materialized in its own
+    # projection, or CollapseProject inlines num_hashes copies of it.
+    if hash_fn == "xxhash64":
+        sig = (
+            df.select(
+                F.col(id_col).alias("id"),
+                shingle_col(F.col(text_col)).alias("_sh"),
+            )
+            .select(
+                "id",
+                F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
+            )
+            .select("id", *minhash_signature_fast(F.col("_hs"), num_hashes))
+        )
+    else:
+        sig = df.select(
+            F.col(id_col).alias("id"),
+            shingle_col(F.col(text_col)).alias("_sh"),
+        ).select("id", *minhash_signature(F.col("_sh"), num_hashes))
     band_keys = [
         F.concat_ws(
             "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
