@@ -631,18 +631,18 @@ def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ensemble_majority2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E20 at true majority (threshold 2 of 3): boilerplate loses its
-    votes, so the expected output is a per-variant formula (verified
-    corpus-wide against the kernel in tests/test_extractor_golds.py)."""
+    """E20 at true majority (threshold 2 of 3) via the FUSED extract+vote
+    plan (zero-shuffle; the join-based plan is oracled by
+    ensemble_majority): boilerplate loses its votes, so the expected
+    output is a per-variant formula (verified corpus-wide against the
+    kernel in tests/test_extractor_golds.py)."""
     from web_content_extraction_benchmark_spark.plans.pipeline import (
-        ensemble_answers,
+        ensemble_extract,
     )
 
     pages = synthesize_pages(spark, sf_dir)
     models = ["main_content", "plain", "readability"]
-    answers = extract_answers(pages, models)
-    voted = ensemble_answers(answers, pages, models, vote_fraction=0.67)
-    return voted.select("url", "plaintext")
+    return ensemble_extract(pages, models, vote_fraction=0.67)
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,16 +170,17 @@ def main() -> None:
             F.avg("quality"), F.count("*")
         ).collect()
 
-    # q7: 3-family ensemble vote (decode once, vote per url)
+    # q7: 3-family ensemble vote, fused extract+vote plan (one Arrow pass
+    # per page, zero shuffles — the join-based plan for preloaded answers
+    # is oracled separately by the ensemble_majority driver query)
     def q7():
         from web_content_extraction_benchmark_spark.plans.pipeline import (
-            ensemble_answers,
+            ensemble_extract,
         )
 
         df = repartition_salted(pages, cpus * 2)
         models = ["main_content", "plain", "readability"]
-        answers = extract_answers(df, models)
-        voted = ensemble_answers(answers, df, models)
+        voted = ensemble_extract(df, models)
         voted.agg(F.sum(F.length("plaintext"))).collect()
 
     # q8: gap sessionization over the events table (stateful-op batch twin)

@@ -138,6 +138,31 @@ def test_ensemble_majority_spark(spark, pages):
             assert gold_tokens <= set(text.split())
 
 
+def test_ensemble_fused_equals_join_plan(spark, pages):
+    """The zero-shuffle fused extract+vote plan must produce exactly the
+    join-based (collect_list + map) plan's output, at both thresholds."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ensemble_extract,
+    )
+
+    models = ["main_content", "plain", "readability"]
+    answers = extract_answers(pages, models)
+    for fraction in (0.66, 0.67):
+        joined = {
+            r.url: r.plaintext
+            for r in ensemble_answers(
+                answers, pages, models, vote_fraction=fraction
+            ).collect()
+        }
+        fused = {
+            r.url: r.plaintext
+            for r in ensemble_extract(
+                pages, models, vote_fraction=fraction
+            ).collect()
+        }
+        assert fused == joined
+
+
 def test_empty_and_gzip_edge_rows(spark, pages):
     answers = extract_answers(pages, ["main_content"])
     empty = answers.join(

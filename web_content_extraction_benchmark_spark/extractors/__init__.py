@@ -15,11 +15,24 @@ from __future__ import annotations
 
 from typing import Callable
 
-from .baseline import extract_plain, extract_tag_blacklist, extract_xpath_text
+from ..dom import Node
+from .baseline import (
+    extract_plain,
+    extract_tag_blacklist,
+    extract_xpath_text,
+    plain_from_tree,
+    tag_blacklist_from_tree,
+    xpath_text_from_tree,
+)
 from .bte import extract_bte
-from .density import extract_main_content, extract_main_content_with_blocks
-from .readability import extract_readability
-from .stopword_density import extract_stopword_density
+from .density import (
+    extract_main_content,
+    extract_main_content_with_blocks,
+    main_content_from_tree,
+    main_content_with_blocks_from_tree,
+)
+from .readability import extract_readability, readability_from_tree
+from .stopword_density import extract_stopword_density, justext_from_tree
 
 ExtractorFn = Callable[[str], str]
 
@@ -41,6 +54,19 @@ EXTRACTORS: dict[str, ExtractorFn] = {
 }
 
 DEFAULT_EXTRACTOR = "main_content"
+
+# Tree-level entry points: identical semantics to the string functions
+# (each string fn is exactly parse_html + its tree fn), letting multi-model
+# kernels parse each page ONCE and fan the tree out to every extractor.
+# bte is absent by design — it tokenizes the raw markup, not a DOM.
+TREE_EXTRACTORS: dict[str, Callable[[Node], str]] = {
+    "plain": plain_from_tree,
+    "xpath_text": xpath_text_from_tree,
+    "tag_blacklist": tag_blacklist_from_tree,
+    "main_content": main_content_from_tree,
+    "readability": readability_from_tree,
+    "stopword_density": justext_from_tree,
+}
 
 
 def list_extractors() -> list[str]:

@@ -49,19 +49,16 @@ def _strip_join_text(root: Node, skip: frozenset) -> str:
     return " ".join(parts)
 
 
-def extract_plain(html: str) -> str:
-    """Boilerplate-naive full text (script/style/noscript removed)."""
-    return _strip_join_text(parse_html(html), _PLAIN_SKIP)
+def plain_from_tree(root: Node) -> str:
+    return _strip_join_text(root, _PLAIN_SKIP)
 
 
-def extract_tag_blacklist(html: str) -> str:
-    """Tag-blacklist cleaner: drop blacklisted subtrees, then strip-join."""
-    return _strip_join_text(parse_html(html), TAG_BLACKLIST)
+def tag_blacklist_from_tree(root: Node) -> str:
+    return _strip_join_text(root, TAG_BLACKLIST)
 
 
-def extract_xpath_text(html: str) -> str:
-    """Raw text of elements under <body> (minus script/style), ws-squeezed."""
-    body = body_or_root(parse_html(html))
+def xpath_text_from_tree(root: Node) -> str:
+    body = body_or_root(root)
     parts: list[str] = []
     # Text nodes whose parent is an element strictly below body and is not
     # script/style — the //body[1]//*/text() selection.
@@ -69,3 +66,18 @@ def extract_xpath_text(html: str) -> str:
         if node.is_text and node.parent is not None and node.parent is not body:
             parts.append(node.text)
     return squeeze_xpath_style(" ".join(parts))
+
+
+def extract_plain(html: str) -> str:
+    """Boilerplate-naive full text (script/style/noscript removed)."""
+    return plain_from_tree(parse_html(html))
+
+
+def extract_tag_blacklist(html: str) -> str:
+    """Tag-blacklist cleaner: drop blacklisted subtrees, then strip-join."""
+    return tag_blacklist_from_tree(parse_html(html))
+
+
+def extract_xpath_text(html: str) -> str:
+    """Raw text of elements under <body> (minus script/style), ws-squeezed."""
+    return xpath_text_from_tree(parse_html(html))

@@ -152,11 +152,11 @@ def classify(block: Block) -> bool:
     return True
 
 
-def extract_main_content_with_blocks(
-    html: str,
+def main_content_with_blocks_from_tree(
+    root: Node,
 ) -> tuple[str, list[tuple[int, int, str, str]]]:
     """Main text plus block spans (start, end char offsets, tag, text)."""
-    body = body_or_root(parse_html(html))
+    body = body_or_root(root)
     kept: list[tuple[str, str]] = []
     for block in segment_blocks(body):
         if classify(block):
@@ -170,6 +170,16 @@ def extract_main_content_with_blocks(
         offset += len(text) + 1  # separating newline
     plaintext = "\n".join(text for _, text in kept)
     return plaintext, spans
+
+
+def extract_main_content_with_blocks(
+    html: str,
+) -> tuple[str, list[tuple[int, int, str, str]]]:
+    return main_content_with_blocks_from_tree(parse_html(html))
+
+
+def main_content_from_tree(root: Node) -> str:
+    return main_content_with_blocks_from_tree(root)[0]
 
 
 def extract_main_content(html: str) -> str:

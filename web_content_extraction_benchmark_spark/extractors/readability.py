@@ -95,8 +95,8 @@ def _render(node: Node) -> str:
     return "\n".join(lines)
 
 
-def extract_readability(html: str) -> str:
-    body = body_or_root(parse_html(html))
+def readability_from_tree(root: Node) -> str:
+    body = body_or_root(root)
     scores: dict[int, float] = {}
     nodes: dict[int, Node] = {}
 
@@ -136,3 +136,7 @@ def extract_readability(html: str) -> str:
             best_final = final
             best_key = key
     return _render(nodes[best_key])
+
+
+def extract_readability(html: str) -> str:
+    return readability_from_tree(parse_html(html))

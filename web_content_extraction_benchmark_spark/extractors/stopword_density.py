@@ -159,8 +159,8 @@ def _revise(classes: list[str]) -> list[str]:
     return revised
 
 
-def extract_stopword_density(html: str) -> str:
-    body = body_or_root(parse_html(html))
+def justext_from_tree(root: Node) -> str:
+    body = body_or_root(root)
     paragraphs = [
         (squeeze_ws(raw), links) for raw, links in _paragraphs(body)
     ]
@@ -169,3 +169,7 @@ def extract_stopword_density(html: str) -> str:
     return " ".join(
         text for (text, _), cls in zip(paragraphs, revised) if cls == GOOD
     )
+
+
+def extract_stopword_density(html: str) -> str:
+    return justext_from_tree(parse_html(html))

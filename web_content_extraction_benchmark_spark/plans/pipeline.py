@@ -29,11 +29,28 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .. import EXTRACTOR_VERSION
+from ..dom import parse_html
 from ..encoding import decode_html
-from ..extractors import EXTRACTORS
-from ..extractors.density import extract_main_content_with_blocks
+from ..extractors import EXTRACTORS, TREE_EXTRACTORS
+from ..extractors.density import main_content_with_blocks_from_tree
 from ..extractors.ensemble import majority_vote, normalize_answer
 from ..functions.udfs import rouge_lsum_udf, token_levenshtein_udf
+
+
+def _extract_one(model: str, html: str, root) -> tuple[str, int]:
+    """(plaintext, block_count) for one model on one page, reusing a
+    pre-parsed tree where the extractor is DOM-based (the page is parsed
+    once per page, not once per model — parse dominates extraction)."""
+    if model == "main_content":
+        src = root if root is not None else parse_html(html)
+        text, spans = main_content_with_blocks_from_tree(src)
+        return text, len(spans)
+    tree_fn = TREE_EXTRACTORS.get(model)
+    if tree_fn is not None and root is not None:
+        text = tree_fn(root) or ""
+    else:
+        text = EXTRACTORS[model](html) or ""
+    return text, (text.count("\n") + 1 if text else 0)
 
 ANSWERS_SCHEMA = T.StructType(
     [
@@ -89,25 +106,25 @@ def _run_extractors(models: list[str], snapshot_id: int):
                 "bytes_in": 0, "wall_ns": 0}
             for m in models
         }
+        needs_tree = any(m in TREE_EXTRACTORS for m in fns)
         for pdf in batches:
             out = {k: [] for k in
                    ("url", "model", "plaintext", "block_count", "error")}
             for url, blob in zip(pdf["url"], pdf["html"]):
                 n_bytes = len(blob) if blob is not None else 0
                 html = decode_html(blob)
-                for model, fn in fns.items():
+                try:
+                    root = parse_html(html) if needs_tree else None
+                except Exception:
+                    root = None
+                for model in fns:
                     st = stats[model]
                     st["docs_in"] += 1
                     st["bytes_in"] += n_bytes
                     started = time.perf_counter_ns()
                     blocks = 0
                     try:
-                        if model == "main_content":
-                            text, spans = extract_main_content_with_blocks(html)
-                            blocks = len(spans)
-                        else:
-                            text = fn(html) or ""
-                            blocks = text.count("\n") + 1 if text else 0
+                        text, blocks = _extract_one(model, html, root)
                         error = False
                     except Exception:
                         text = ""
@@ -165,6 +182,7 @@ def _run_extractors_arrow(models: list[str]):
     def run(batches):
         import pyarrow as pa
 
+        needs_tree = any(m in TREE_EXTRACTORS for m in fns)
         for batch in batches:
             urls = batch.column("url").to_pylist()
             blobs = batch.column("html").to_pylist()
@@ -175,14 +193,13 @@ def _run_extractors_arrow(models: list[str]):
             out_error: list[bool] = []
             for url, blob in zip(urls, blobs):
                 html = decode_html(blob)
-                for model, fn in fns.items():
+                try:
+                    root = parse_html(html) if needs_tree else None
+                except Exception:
+                    root = None
+                for model in fns:
                     try:
-                        if model == "main_content":
-                            text, spans = extract_main_content_with_blocks(html)
-                            blocks = len(spans)
-                        else:
-                            text = fn(html) or ""
-                            blocks = text.count("\n") + 1 if text else 0
+                        text, blocks = _extract_one(model, html, root)
                         error = False
                     except Exception:
                         text = ""
@@ -271,6 +288,61 @@ def ensemble_variant_answers(
         answers, pages, models,
         model_name=variant, weights=spec.get("weights"),
     )
+
+
+def ensemble_extract(
+    pages: DataFrame,
+    input_models: list[str],
+    weights: dict[str, int] | None = None,
+    vote_fraction: float = 0.66,
+) -> DataFrame:
+    """Fused extract+vote: when the ensemble inputs are this engine's own
+    extractors (not preloaded third-party answers — that is the S11 /
+    ``ensemble_answers`` case), the collect_list + join plan collapses
+    into ONE Arrow pass per page: decode once, run every member extractor
+    and the full-text render, vote — zero shuffles, embarrassingly
+    parallel.  Output is equal to ``ensemble_answers`` over
+    ``extract_answers(pages, input_models)`` (pinned by pytest and the
+    driver oracle)."""
+    vote_threshold = int(len(input_models) * vote_fraction)
+    for model in input_models:  # fail at plan-build time, not inside tasks
+        EXTRACTORS[model]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..extractors.baseline import plain_from_tree
+
+        for pdf in batches:
+            texts = []
+            for blob in pdf["html"]:
+                try:
+                    html = decode_html(blob)
+                    root = parse_html(html)
+                    full_text = plain_from_tree(root)
+                    answers = {}
+                    for model in input_models:
+                        try:
+                            answers[model] = normalize_answer(
+                                _extract_one(model, html, root)[0]
+                            )
+                        except Exception:
+                            answers[model] = ""
+                    texts.append(
+                        majority_vote(
+                            full_text, answers,
+                            weights=weights, vote_threshold=vote_threshold,
+                        )
+                    )
+                except Exception:
+                    texts.append("")
+            yield pd.DataFrame({"url": pdf["url"], "plaintext": texts})
+
+    out_schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("plaintext", T.StringType(), False),
+        ]
+    )
+    return pages.select("url", "html").mapInPandas(run, schema=out_schema)
 
 
 def ensemble_answers(
