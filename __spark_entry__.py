@@ -705,6 +705,52 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming execution of the flagship extraction: pages parquet as a
+    file-source stream (2 files -> 2 micro-batches) -> the same Arrow
+    extraction kernel -> memory sink; byte-identical to the batch gold."""
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.streaming.extract import (
+        run_extract_stream_to_memory,
+    )
+
+    src = tempfile.mkdtemp(prefix="wceb_pages_stream_")
+    synthesize_pages(spark, sf_dir).repartition(2).write.mode(
+        "overwrite"
+    ).parquet(src)
+    run_extract_stream_to_memory(
+        spark, src, ["main_content"], query_name="q_stream_extract"
+    )
+    out = spark.sql("SELECT * FROM q_stream_extract")
+    return out.select("url", "plaintext")
+
+
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S10: Iceberg-style snapshot-log time travel — two commits, then
+    read v1 and v2 as-of; totals must reconcile with the source table."""
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.sources.snapshots import (
+        SnapshotTable,
+    )
+
+    table = SnapshotTable(tempfile.mkdtemp(prefix="wceb_snap_"))
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    table.append(docs.filter(F.col("doc_id") % 2 == 0))
+    table.append(docs.filter(F.col("doc_id") % 2 == 1))
+
+    def totals(version: int) -> DataFrame:
+        df = table.read(spark, version)
+        return df.agg(
+            F.lit(version).alias("version"),
+            F.count("*").alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+
+    return totals(1).unionByName(totals(2))
+
+
 def q_lineage_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lineage sidecar reconciliation: per-model totals over all partition
     rows must equal the corpus truth (docs in, non-empty outputs, zero
@@ -854,6 +900,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "lr_classify": q_lr_classify,
         "stream_hourly": q_stream_hourly,
+        "stream_extract": q_stream_extract,
+        "snapshot_time_travel": q_snapshot_time_travel,
         "lineage_totals": q_lineage_totals,
         "band_filtered_scores": q_band_filtered_scores,
         "sessionize": q_sessionize,
@@ -1219,6 +1267,18 @@ def oracle_sql() -> dict[str, str]:
                    event_type, count(*) AS n_events,
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY 1, 2
+        """,
+        "stream_extract": (
+            f"SELECT {URL_SQL} AS url, {GOLD_SQL} AS plaintext FROM documents"
+        ),
+        "snapshot_time_travel": """
+            SELECT 1 AS version,
+                   count(*) FILTER (doc_id % 2 = 0) AS n_rows,
+                   CAST(sum(doc_id) FILTER (doc_id % 2 = 0) AS BIGINT)
+                       AS sum_doc_id
+            FROM documents
+            UNION ALL
+            SELECT 2, count(*), CAST(sum(doc_id) AS BIGINT) FROM documents
         """,
         "lineage_totals": """
             SELECT 'main_content' AS model,

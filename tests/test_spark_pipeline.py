@@ -138,6 +138,32 @@ def test_ensemble_majority_spark(spark, pages):
             assert gold_tokens <= set(text.split())
 
 
+def test_stream_extract_equals_batch(spark, pages, tmp_path):
+    """The extraction kernel under Structured Streaming (file source,
+    2 micro-batches, append mode) must emit byte-identical answers to the
+    batch plan."""
+    from web_content_extraction_benchmark_spark.streaming.extract import (
+        run_extract_stream_to_memory,
+    )
+
+    src = str(tmp_path / "pages_stream")
+    pages.repartition(2).write.mode("overwrite").parquet(src)
+    run_extract_stream_to_memory(
+        spark, src, ["main_content"], query_name="t_stream_extract"
+    )
+    streamed = {
+        r.url: r.plaintext
+        for r in spark.sql(
+            "SELECT url, plaintext FROM t_stream_extract"
+        ).collect()
+    }
+    batch = {
+        r.url: r.plaintext
+        for r in extract_answers(pages, ["main_content"]).collect()
+    }
+    assert streamed == batch
+
+
 def test_ensemble_fused_equals_join_plan(spark, pages):
     """The zero-shuffle fused extract+vote plan must produce exactly the
     join-based (collect_list + map) plan's output, at both thresholds."""
