@@ -149,6 +149,39 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert len(ranks) == len(set(ranks))
 
 
+def test_short_and_empty_docs_survive_gram_operators(spark):
+    """Docs shorter than the shingle size must yield empty gram sets,
+    not a slice(start=0) runtime error (sequence(1, 0) descends)."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        shingle_col,
+    )
+    from web_content_extraction_benchmark_spark.operators.textstats import (
+        winnowing_fingerprints,
+    )
+
+    edge = spark.createDataFrame(
+        [(1, "a b"), (2, ""), (3, "one two three four five")],
+        "doc_id long, text string",
+    )
+    fps = winnowing_fingerprints(edge).collect()
+    assert {r.doc_id for r in fps} == {3}
+    sh = edge.select(
+        "doc_id", F.size(shingle_col(F.col("text"))).alias("n")
+    ).collect()
+    assert {r.doc_id: r.n for r in sh} == {1: 0, 2: 0, 3: 3}
+    # the gram-based pair operators run clean over short docs too
+    assert minhash_lsh_pairs(edge).count() == 0
+
+
+def test_winnowing_plan_is_shuffle_free(spark, docs):
+    fp = __import__(
+        "web_content_extraction_benchmark_spark.operators.textstats",
+        fromlist=["winnowing_fingerprints"],
+    ).winnowing_fingerprints(docs)
+    plan = fp._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Window" not in plan
+
+
 def test_textstats_bounds(spark, docs):
     out = quality_score(language_id(docs), "text")
     rows = out.select("lang_pred", "quality").collect()

@@ -87,6 +87,43 @@ def test_minhash_band_exchange_carries_no_shingles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in full_plan
 
 
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO runtime Exchange on either side — the
+    write-once-join-many pattern for 100 TB recurring joins."""
+    from web_content_extraction_benchmark_spark.sources.bucketed import (
+        read_table,
+        write_bucketed,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    write_bucketed(orders, "t_orders_b", "o_custkey", num_buckets=8,
+                   sort_col="o_custkey")
+    write_bucketed(customer, "t_customer_b", "c_custkey", num_buckets=8,
+                   sort_col="c_custkey")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = read_table(spark, "t_orders_b").join(
+            read_table(spark, "t_customer_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        # and the result is still correct
+        n_joined = joined.count()
+        n_expected = orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+        assert n_joined == n_expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_customer_b")
+
+
 def test_simhash_is_pure_catalyst(spark, sf_dir):
     """No Python evaluation node in the SimHash plan (VERDICT r1,
     What's wrong #3): the kernel is a whole-stage-codegen expression."""

@@ -71,13 +71,20 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingle_col(text_col: Column, k: int = SHINGLE_SIZE) -> Column:
-    """Distinct word k-gram shingles of a single-spaced text column."""
+    """Distinct word k-gram shingles of a single-spaced text column.
+
+    Guarded for texts shorter than k words: Spark's sequence(1, 0)
+    DESCENDS ([1, 0]), and slice with start 0 throws — short docs get an
+    empty shingle set instead."""
     words = F.split(text_col, " ")
     n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-    )
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
 
 
@@ -135,23 +142,22 @@ def _lsh_candidate_pairs(
     # Two-step selects throughout: an expression referenced by all
     # num_hashes min-hash columns must be materialized in its own
     # projection, or CollapseProject inlines num_hashes copies of it.
+    # Shingle-less docs (shorter than the shingle size) are excluded:
+    # their signatures would be all-null and collide with each other on
+    # every band key (and Jaccard is undefined for empty sets).
+    shingled = df.select(
+        F.col(id_col).alias("id"),
+        shingle_col(F.col(text_col)).alias("_sh"),
+    ).filter(F.size("_sh") > 0)
     if hash_fn == "xxhash64":
-        sig = (
-            df.select(
-                F.col(id_col).alias("id"),
-                shingle_col(F.col(text_col)).alias("_sh"),
-            )
-            .select(
-                "id",
-                F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
-            )
-            .select("id", *minhash_signature_fast(F.col("_hs"), num_hashes))
-        )
+        sig = shingled.select(
+            "id",
+            F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
+        ).select("id", *minhash_signature_fast(F.col("_hs"), num_hashes))
     else:
-        sig = df.select(
-            F.col(id_col).alias("id"),
-            shingle_col(F.col(text_col)).alias("_sh"),
-        ).select("id", *minhash_signature(F.col("_sh"), num_hashes))
+        sig = shingled.select(
+            "id", *minhash_signature(F.col("_sh"), num_hashes)
+        )
     band_keys = [
         F.concat_ws(
             "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
@@ -180,9 +186,11 @@ def _verify_jaccard(candidates: DataFrame, shingles: DataFrame,
     sh_b = shingles.select(
         F.col("id").alias("id_b"), F.col("sh").alias("sh_b")
     )
-    jaccard = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(
-        F.array_union("sh_a", "sh_b")
-    )
+    union_size = F.size(F.array_union("sh_a", "sh_b"))
+    jaccard = F.when(
+        union_size > 0,
+        F.size(F.array_intersect("sh_a", "sh_b")) / union_size,
+    )  # both-empty pairs -> null -> filtered (Jaccard undefined)
     return (
         candidates.join(sh_a, "id_a")
         .join(sh_b, "id_b")

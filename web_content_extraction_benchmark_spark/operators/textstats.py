@@ -118,23 +118,37 @@ def winnowing_fingerprints(
     """Winnowing document sketch: md5 over word k-grams, sliding-window
     minimum, distinct survivors per doc -> (doc_id, fingerprint).
 
-    Uses posexplode + a range window min — all built-in, no UDF."""
+    Entirely per-row: the window minima are array-slice minima over the
+    gram array, so there is NO explode-then-window shuffle — the original
+    posexplode + range-window formulation shuffled every gram of every
+    document by doc_id, which at 100 TB is a full-corpus shuffle for a
+    value that never needed to leave its row.  The trailing windows
+    shorter than ``window`` are kept (slice truncates at the end), same
+    as rowsBetween's partition-end capping."""
     words = F.split(F.col(text_col), " ")
     n = F.size(words)
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
-    )
-    exploded = df.select(
-        F.col(id_col).alias("id"), F.posexplode(grams).alias("pos", "h")
-    )
-    win = (
-        Window.partitionBy("id")
-        .orderBy("pos")
-        .rowsBetween(0, window - 1)
-    )
-    return (
-        exploded.withColumn("wmin", F.min("h").over(win))
-        .select(F.col("id").alias(id_col), F.col("wmin").alias("fingerprint"))
-        .distinct()
+    # Guarded: sequence(1, 0) DESCENDS in Spark ([1, 0] -> slice start 0
+    # is an error), so documents shorter than k words get an empty array.
+    grams = F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    two_step = df.select(F.col(id_col).alias("id"), grams.alias("_grams"))
+    # NB: sequence(1, 0) DESCENDS in Spark, so the gram-less edge needs an
+    # explicit empty array (matches the old explode form: no rows emitted).
+    wmins = F.when(
+        F.size(F.col("_grams")) > 0,
+        F.transform(
+            F.sequence(F.lit(1), F.size(F.col("_grams"))),
+            lambda i: F.array_min(F.slice(F.col("_grams"), i, window)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return two_step.select(
+        "id", F.array_distinct(wmins).alias("_fps")
+    ).select(
+        F.col("id").alias(id_col),
+        F.explode("_fps").alias("fingerprint"),
     )
