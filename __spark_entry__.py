@@ -56,6 +56,7 @@ from web_content_extraction_benchmark_spark.plans.pipeline import (
 from web_content_extraction_benchmark_spark.sources.pages import (
     BTE_SQL,
     GOLD_SQL,
+    HOST_SQL,
     PLAIN_SQL,
     READABILITY_SQL,
     TAG_BLACKLIST_SQL,
@@ -645,6 +646,36 @@ def q_ensemble_majority2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ensemble_extract(pages, models, vote_fraction=0.67)
 
 
+def q_ensemble_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 'best' variant: curated subset (main_content, readability,
+    bte), threshold int(3*0.66)=1 — union of member-supported tokens;
+    formula verified corpus-wide in tests/test_extractor_golds.py."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ENSEMBLE_VARIANTS,
+        ensemble_extract,
+    )
+
+    spec = ENSEMBLE_VARIANTS["ensemble_best"]
+    pages = synthesize_pages(spark, sf_dir)
+    return ensemble_extract(pages, spec["models"], weights=spec["weights"])
+
+
+def q_ensemble_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20 'weighted' variant: main_content/readability weight 2, bte 1,
+    threshold 2 — strong models pass alone, bte-only spans drop."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ENSEMBLE_VARIANTS,
+        ensemble_extract,
+    )
+
+    spec = ENSEMBLE_VARIANTS["ensemble_weighted"]
+    pages = synthesize_pages(spark, sf_dir)
+    return ensemble_extract(
+        pages, spec["models"], weights=spec["weights"],
+        vote_fraction=spec["vote_fraction"],
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """R26/R27: StandardScaler + KMeans(k=2) with quantile label-flip
     (no SQL oracle: iterative ML)."""
@@ -897,6 +928,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_features": q_html_features,
         "ensemble_majority": q_ensemble_majority,
         "ensemble_majority2": q_ensemble_majority2,
+        "ensemble_best": q_ensemble_best,
+        "ensemble_weighted": q_ensemble_weighted,
         "kmeans_clusters": q_kmeans_clusters,
         "lr_classify": q_lr_classify,
         "stream_hourly": q_stream_hourly,
@@ -1096,6 +1129,31 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
         ),
         "ensemble_majority2": f"""
+            SELECT {URL_SQL} AS url,
+                   CASE WHEN doc_id % 101 = 0 THEN ''
+                        WHEN doc_id % 5 IN (0, 4) THEN
+                            'Article ' || source || ' Article ' || source ||
+                            ' ' || text
+                        ELSE text END AS plaintext
+            FROM documents
+        """,
+        # 'best' (mc/readability/bte, threshold 1): bte's footer span
+        # survives on variant 0; 'weighted' (2/2/1, threshold 2): it does
+        # not — bte alone is below threshold.
+        "ensemble_best": f"""
+            SELECT {URL_SQL} AS url,
+                   CASE WHEN doc_id % 101 = 0 THEN ''
+                        WHEN doc_id % 5 = 0 THEN
+                            'Article ' || source || ' Article ' || source ||
+                            ' ' || text || ' © 2023 ' || {HOST_SQL} ||
+                            ' — All rights reserved'
+                        WHEN doc_id % 5 = 4 THEN
+                            'Article ' || source || ' Article ' || source ||
+                            ' ' || text
+                        ELSE text END AS plaintext
+            FROM documents
+        """,
+        "ensemble_weighted": f"""
             SELECT {URL_SQL} AS url,
                    CASE WHEN doc_id % 101 = 0 THEN ''
                         WHEN doc_id % 5 IN (0, 4) THEN

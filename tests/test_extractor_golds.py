@@ -75,21 +75,39 @@ def test_ensemble_vote_formulas_corpus_wide(sf):
         f"/root/testdata/{sf}/documents.parquet",
         columns=["doc_id", "source", "text"],
     ).to_pylist()
+    best_models = ["main_content", "readability", "bte"]
     mismatches = []
     for row in docs:
         d, s, t = row["doc_id"], row["source"], row["text"]
         html = "" if d % 101 == 0 else build_page_html(d, s, t)
         norm = {m: normalize_answer(EXTRACTORS[m](html)) for m in models}
+        norm_b = {m: normalize_answer(EXTRACTORS[m](html)) for m in best_models}
         full = extract_plain(html)
         out1 = majority_vote(full, norm, vote_threshold=1)
         out2 = majority_vote(full, norm, vote_threshold=2)
+        out_best = majority_vote(full, norm_b, vote_threshold=1)
+        out_wt = majority_vote(
+            full, norm_b,
+            weights={"main_content": 2, "readability": 2, "bte": 1},
+            vote_threshold=2,
+        )
         want1 = plain_full_text(d, s, t)
+        from web_content_extraction_benchmark_spark.sources.pages import (
+            host_for,
+        )
+
         if d % 101 == 0:
-            want2 = ""
-        elif d % 5 in (0, 4):
-            want2 = f"Article {s} Article {s} {t}"
+            want2 = want_best = want_wt = ""
+        elif d % 5 == 0:
+            want2 = want_wt = f"Article {s} Article {s} {t}"
+            want_best = (
+                f"Article {s} Article {s} {t} © 2023 {host_for(d)} "
+                "— All rights reserved"
+            )
+        elif d % 5 == 4:
+            want2 = want_best = want_wt = f"Article {s} Article {s} {t}"
         else:
-            want2 = t
-        if out1 != want1 or out2 != want2:
+            want2 = want_best = want_wt = t
+        if (out1, out2, out_best, out_wt) != (want1, want2, want_best, want_wt):
             mismatches.append(d)
     assert not mismatches, mismatches[:5]

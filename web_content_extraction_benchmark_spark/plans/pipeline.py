@@ -259,7 +259,11 @@ def extract_answers(
 
 # Reference ensemble variants (extractors.py:174-209): 'majority' votes all
 # models at weight 1; 'best' restricts to a curated subset; 'weighted'
-# doubles the strongest models.  Same kernel, different (models, weights).
+# doubles the strongest models.  Same kernel, different (models, weights,
+# threshold) — with 3 member families the weighted variant uses a
+# threshold of 2 so the double-weighted strong models pass alone while
+# bte needs support (the reference's 9-model/threshold-5 shape scaled
+# down).
 ENSEMBLE_VARIANTS: dict[str, dict] = {
     "ensemble_majority": {"weights": None},
     "ensemble_best": {
@@ -269,6 +273,7 @@ ENSEMBLE_VARIANTS: dict[str, dict] = {
     "ensemble_weighted": {
         "models": ["main_content", "readability", "bte"],
         "weights": {"main_content": 2, "readability": 2, "bte": 1},
+        "vote_fraction": 0.67,
     },
 }
 
@@ -287,6 +292,7 @@ def ensemble_variant_answers(
     return ensemble_answers(
         answers, pages, models,
         model_name=variant, weights=spec.get("weights"),
+        vote_fraction=spec.get("vote_fraction", 0.66),
     )
 
 
