@@ -496,6 +496,30 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality filters over a corpus with planted
+    degenerate docs (repeated-phrase mutants, doc_id+3M)."""
+    from web_content_extraction_benchmark_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    # planted repetitive docs: first 3 words repeated 10x
+    mutants = docs.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.array_join(
+            F.flatten(
+                F.array_repeat(F.slice(words, 1, 3), 10)
+            ),
+            " ",
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutants)
+    out = repetition_stats(corpus)
+    return out.select("doc_id", "dup_word_frac", "top_bigram_frac")
+
+
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     fp = winnowing_fingerprints(docs, "text")
@@ -920,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
+        "repetition_stats": q_repetition_stats,
         "fingerprints": q_fingerprints,
         "page_ids": q_page_ids,
         "jsonl_roundtrip": q_jsonl_roundtrip,
@@ -1525,6 +1550,54 @@ def oracle_sql() -> dict[str, str]:
                        AS INT) AS n_bpe_tokens,
                    CAST(length(text) AS INT) AS n_text_chars
             FROM documents
+        """,
+        "repetition_stats": """
+            WITH corpus AS (
+                SELECT doc_id, text FROM documents
+                UNION ALL
+                SELECT doc_id + 3000000,
+                       array_to_string(
+                           flatten(array_value(
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3],
+                               string_split(text, ' ')[1:3]
+                           )), ' ')
+                FROM documents WHERE doc_id % 50 = 0
+            ),
+            base AS (
+                SELECT doc_id, string_split(trim(text), ' ') AS w FROM corpus
+            ),
+            dup AS (
+                SELECT doc_id,
+                       round(1.0 - CAST(len(list_distinct(w)) AS DOUBLE)
+                             / len(w), 6) AS dup_word_frac,
+                       w
+                FROM base
+            ),
+            bg AS (
+                SELECT doc_id,
+                       unnest(w[1:len(w) - 1]) || ' ' || unnest(w[2:]) AS bigram
+                FROM base WHERE len(w) >= 2
+            ),
+            counts AS (
+                SELECT doc_id, bigram, count(*) AS c FROM bg GROUP BY 1, 2
+            ),
+            top AS (
+                SELECT doc_id,
+                       round(CAST(max(c) AS DOUBLE) / sum(c), 6)
+                           AS top_bigram_frac
+                FROM counts GROUP BY doc_id
+            )
+            SELECT d.doc_id, d.dup_word_frac,
+                   coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
+            FROM dup d LEFT JOIN top t ON t.doc_id = d.doc_id
         """,
         "fingerprints": """
             WITH words AS (

@@ -182,6 +182,25 @@ def test_winnowing_plan_is_shuffle_free(spark, docs):
     assert "Exchange" not in plan and "Window" not in plan
 
 
+def test_repetition_stats_flags_degenerate_docs(spark, docs):
+    """Gopher-style repetition filters: planted repeated-phrase docs must
+    score far above natural prose; the plan stays per-row JVM."""
+    from web_content_extraction_benchmark_spark.operators.textstats import (
+        repetition_stats,
+    )
+
+    edge = spark.createDataFrame(
+        [(1, "spam spam spam spam spam spam"),
+         (2, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in repetition_stats(edge).collect()}
+    assert rows[1].dup_word_frac > 0.8 and rows[1].top_bigram_frac == 1.0
+    assert rows[2].dup_word_frac < 0.2 and rows[2].top_bigram_frac < 0.2
+    plan = repetition_stats(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "EvalPython" not in plan
+
+
 def test_textstats_bounds(spark, docs):
     out = quality_score(language_id(docs), "text")
     rows = out.select("lang_pred", "quality").collect()

@@ -108,6 +108,57 @@ def quality_score(df: DataFrame, text_col: str = "text",
     )
 
 
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
+    filters) per document, entirely per-row JVM expressions (no shuffle):
+
+    - ``dup_word_frac``: 1 - distinct/total whitespace words;
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram /
+      total bigrams — computed as the longest equal-run of the SORTED
+      bigram array via one ``aggregate`` pass (run-length max), which is
+      exactly the modal count without building a per-row map."""
+    words = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(words)
+    dup_word_frac = F.when(
+        n > 0, F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
+    ).otherwise(F.lit(0.0))
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    run_state = F.aggregate(
+        F.array_sort(bigrams),
+        F.struct(
+            F.lit("\0").alias("prev"),
+            F.lit(0).alias("run"),
+            F.lit(0).alias("best"),
+        ),
+        lambda acc, x: F.struct(
+            x.alias("prev"),
+            F.when(x == acc["prev"], acc["run"] + 1)
+            .otherwise(F.lit(1))
+            .alias("run"),
+            F.greatest(
+                acc["best"],
+                F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1)),
+            ).alias("best"),
+        ),
+    )
+    top_bigram_frac = F.when(
+        F.size(bigrams) > 0,
+        F.round(run_state["best"] / F.size(bigrams), 6),
+    ).otherwise(F.lit(0.0))
+    return df.select(
+        "*",
+        dup_word_frac.alias("dup_word_frac"),
+        top_bigram_frac.alias("top_bigram_frac"),
+    )
+
+
 def winnowing_fingerprints(
     df: DataFrame,
     text_col: str = "text",
