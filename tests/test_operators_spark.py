@@ -201,6 +201,25 @@ def test_repetition_stats_flags_degenerate_docs(spark, docs):
     assert "Exchange" not in plan and "EvalPython" not in plan
 
 
+def test_ann_ivf_recall_and_plan(spark, sf_dir):
+    """IVF path: k-means cells + multi-probe must recover most exact
+    neighbors; candidate generation is an equi join on the cell id."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in cosine_topk(emb, queries, k=5).collect()}
+    approx_df = ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
+    approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
+    assert len(exact & approx) / len(exact) >= 0.6
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_textstats_bounds(spark, docs):
     out = quality_score(language_id(docs), "text")
     rows = out.select("lang_pred", "quality").collect()

@@ -154,6 +154,89 @@ def lsh_cosine_topk(
     )
 
 
+def _kmeans_centroids(corpus: DataFrame, vec_col: str, n_cells: int,
+                      seed: int, sample_fraction: float) -> np.ndarray:
+    """Train coarse-quantizer centroids (pyspark.ml KMeans) on a sample of
+    the corpus; returns (n_cells, dim).  At 100 TB the sample keeps the
+    iterative fit bounded while assignment stays a full-corpus map."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sample = corpus.select(_as_double(F.col(vec_col)).alias("v"))
+    if sample_fraction < 1.0:
+        sample = sample.sample(fraction=sample_fraction, seed=seed)
+    feats = sample.select(array_to_vector("v").alias("features"))
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(feats)
+    return np.array([np.asarray(c) for c in model.clusterCenters()])
+
+
+def _cell_assignments(df: DataFrame, name: str, id_col: str, vec_col: str,
+                      centroids: np.ndarray, n_probe: int) -> DataFrame:
+    """(id, vec, cell) rows — nearest ``n_probe`` centroid ids per vector
+    by squared L2, as pure Catalyst expressions (centroids are literals:
+    tiny, inlined into the plan; no Python in the scan)."""
+    vec = _as_double(F.col(vec_col))
+    dists = []
+    for ci, centroid in enumerate(centroids):
+        cvec = F.array(*[F.lit(float(x)) for x in centroid])
+        d2 = F.aggregate(
+            F.zip_with(vec, cvec, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        dists.append(F.struct(d2.alias("d"), F.lit(ci).alias("cell")))
+    probed = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
+    return df.select(
+        F.col(id_col).alias(name),
+        vec.alias(f"{name}_v"),
+        F.explode(probed).alias("probe"),
+    ).select(name, f"{name}_v", F.col("probe")["cell"].alias("cell"))
+
+
+def ivf_cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_fraction: float = 1.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse k-means cells over the corpus, queries probe
+    their ``n_probe`` nearest cells, exact cosine re-rank on the cell-join
+    candidates.  The join key is the cell id — like the LSH path, the
+    shuffle carries small keys instead of a cross product; recall/cost
+    trades off via (n_cells, n_probe)."""
+    centroids = _kmeans_centroids(corpus, vec_col, n_cells, seed,
+                                  sample_fraction)
+
+    def with_cells(df: DataFrame, name: str, probe: int) -> DataFrame:
+        return _cell_assignments(df, name, id_col, vec_col, centroids, probe)
+
+    # corpus vectors live in exactly their own cell; queries multi-probe
+    cb = with_cells(corpus, "neighbor_id", 1)
+    qb = with_cells(queries, "query_id", n_probe)
+    candidates = (
+        qb.join(cb, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos"),
+    )
+    window = Window.partitionBy("query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(window))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def embedding_near_duplicates(
     df: DataFrame,
     threshold: float = 0.95,
