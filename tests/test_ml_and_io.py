@@ -52,6 +52,20 @@ def test_kmeans_labels_aligned(spark, pages):
     assert agree * 2 >= len(rows)
 
 
+def test_kmeans_with_pca_reduction(spark, pages):
+    """R28: the PCA dimensionality-reduction path produces the same label
+    contract (clusters 0/1, majority agreement with quantile labels)."""
+    feats = html_feature_table(pages)
+    compl = page_complexity(pages, truth_table(pages))
+    out = kmeans_complexity_clusters(
+        feats, compl, threshold=0.1, reduce_dim=4
+    )
+    rows = out.collect()
+    assert rows and {r.kmeans_label for r in rows} <= {0, 1}
+    agree = sum(1 for r in rows if r.kmeans_label == r.quantile_label)
+    assert agree * 2 >= len(rows)
+
+
 def test_logistic_regression_metrics(spark, pages):
     feats = html_feature_table(pages)
     compl = page_complexity(pages, truth_table(pages))
