@@ -55,6 +55,14 @@ EXTRACTORS: dict[str, ExtractorFn] = {
 
 DEFAULT_EXTRACTOR = "main_content"
 
+# Import-gated third-party wrappers (E2/E4/E6-E8/E11/E13/E15-E19): only
+# families whose packages actually import in this environment register —
+# in the build sandbox that is none; on a real cluster, installing e.g.
+# trafilatura makes 'trafilatura' a first-class registry model.
+from .third_party import discover_third_party  # noqa: E402
+
+EXTRACTORS.update(discover_third_party())
+
 # Tree-level entry points: identical semantics to the string functions
 # (each string fn is exactly parse_html + its tree fn), letting multi-model
 # kernels parse each page ONCE and fan the tree out to every extractor.

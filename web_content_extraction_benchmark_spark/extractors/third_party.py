@@ -1,0 +1,196 @@
+"""Import-gated third-party extractor wrappers (families E2, E4, E6-E8,
+E11, E13, E15-E19).
+
+None of these packages exist in the build sandbox, so the from-scratch ★
+families carry the benchmark; on a production cluster where a package IS
+installed, ``discover_third_party()`` exposes its wrapper through the
+same registry and it runs inside the same Arrow extraction kernels.
+Call patterns reproduce the reference wrappers
+(/root/reference/src/extraction_benchmark/extractors/extractors.py:26-171)
+— these are the published one-call APIs of each library, wrapped behind
+``importlib.util.find_spec`` probes.
+
+Three families additionally need bundled model files or native binaries
+(boilernet: a trained Keras model; web2text: a TF model; DOM Distiller: a
+Go binary) — their wrappers raise ``NotImplementedError`` with the
+dependency spelled out even when the Python package imports.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+from typing import Callable
+
+
+def extract_boilerpipe(html: str) -> str:
+    """Boilerpipe ArticleExtractor (reference extractors.py:26-30)."""
+    import boilerpipe.extract as boilerpipe
+
+    return str(
+        boilerpipe.Extractor(extractor="ArticleExtractor", html=html).getText()
+    )
+
+
+def extract_news_please(html: str) -> str:
+    """news-please main text (reference extractors.py:41-43)."""
+    import newsplease
+
+    return newsplease.NewsPlease.from_html(html, url=None).maintext
+
+
+def extract_readability_lxml(html: str) -> str:
+    """readability-lxml summary + html_text render (extractors.py:46-50)."""
+    import html_text
+    import readability
+
+    return html_text.extract_text(
+        readability.Document(html).summary(html_partial=True)
+    )
+
+
+def extract_inscriptis(html: str) -> str:
+    """inscriptis text rendering (extractors.py:58-61)."""
+    import inscriptis
+
+    return inscriptis.get_text(html)
+
+
+def extract_html_text(html: str) -> str:
+    """html_text extraction (extractors.py:64-66)."""
+    import html_text
+
+    return html_text.extract_text(html)
+
+
+def extract_resiliparse(html: str) -> str:
+    """resiliparse main-content extraction (extractors.py:69-78) — the
+    library behind the ★ density family's semantics."""
+    from resiliparse.extract import html2text
+    from resiliparse.parse.html import HTMLTree
+
+    return html2text.extract_plain_text(
+        HTMLTree.parse(html), preserve_formatting=True, main_content=True,
+        list_bullets=False, comments=False, links=False, alt_texts=False,
+    )
+
+
+def extract_trafilatura(html: str) -> str:
+    """trafilatura (extractors.py:86-88)."""
+    import trafilatura
+
+    return trafilatura.extract(html, include_comments=False)
+
+
+def extract_goose3(html: str) -> str:
+    """goose3 (extractors.py:99-107)."""
+    from goose3 import Goose, configuration
+
+    config = configuration.Configuration()
+    config.http_timeout = 5
+    with Goose(config) as goose:
+        return goose.extract(raw_html=html).cleaned_text
+
+
+def extract_justext_pkg(html: str) -> str:
+    """The justext package with the reference's parameters
+    (extractors.py:91-96) — the ★ stopword_density family reimplements
+    this algorithm from scratch."""
+    import justext
+
+    return " ".join(
+        p.text
+        for p in justext.justext(
+            html, justext.get_stoplist("English"),
+            50, 200, 0.1, 0.2, 0.2, 200, True,
+        )
+        if not p.is_boilerplate
+    )
+
+
+def extract_newspaper3k(html: str) -> str:
+    """newspaper3k (extractors.py:155-160)."""
+    import newspaper
+
+    article = newspaper.Article("")
+    article.set_html(html)
+    article.parse()
+    return article.text
+
+
+def extract_dragnet(html: str) -> str:
+    """dragnet (extractors.py:163-165)."""
+    from dragnet import extract_content
+
+    return extract_content(html, encoding="utf8")
+
+
+def extract_extractnet(html: str) -> str:
+    """extractnet (extractors.py:168-171)."""
+    from extractnet import Extractor
+
+    return Extractor().extract(html, encoding="utf8").get("content", "")
+
+
+def extract_boilernet(html: str) -> str:
+    """BoilerNet needs the reference's bundled trained Keras model
+    (reference extractors/boilernet/) — package import alone is not
+    enough."""
+    raise NotImplementedError(
+        "boilernet requires the bundled trained model checkpoint; wire the "
+        "model path and port extractors/boilernet/__init__.py inference"
+    )
+
+
+def extract_web2text(html: str) -> str:
+    """Web2Text needs its TF model + CRF binaries (reference
+    extractors/web2text/)."""
+    raise NotImplementedError(
+        "web2text requires the bundled TensorFlow model and CRF binaries"
+    )
+
+
+def extract_go_domdistiller(html: str) -> str:
+    """DOM Distiller runs through a Go binary in the reference
+    (extractors.py:53-55)."""
+    raise NotImplementedError(
+        "go_domdistiller requires the reference's Go sidecar binary"
+    )
+
+
+# (registry name, wrapper, gating import probes); a family registers only
+# when every probe resolves.
+_CANDIDATES: list[tuple[str, Callable[[str], str], tuple[str, ...]]] = [
+    ("boilerpipe", extract_boilerpipe, ("boilerpipe",)),
+    ("news_please", extract_news_please, ("newsplease",)),
+    ("readability_lxml", extract_readability_lxml, ("readability", "html_text")),
+    ("inscriptis", extract_inscriptis, ("inscriptis",)),
+    ("html_text", extract_html_text, ("html_text",)),
+    ("resiliparse", extract_resiliparse, ("resiliparse",)),
+    ("trafilatura", extract_trafilatura, ("trafilatura",)),
+    ("goose3", extract_goose3, ("goose3",)),
+    ("justext_pkg", extract_justext_pkg, ("justext",)),
+    ("newspaper3k", extract_newspaper3k, ("newspaper",)),
+    ("dragnet", extract_dragnet, ("dragnet",)),
+    ("extractnet", extract_extractnet, ("extractnet",)),
+    ("boilernet", extract_boilernet, ("tensorflow",)),
+    ("web2text", extract_web2text, ("tensorflow",)),
+    ("go_domdistiller", extract_go_domdistiller, ("__never__",)),
+]
+
+
+def discover_third_party() -> dict[str, Callable[[str], str]]:
+    """Wrappers whose import gates resolve in this environment."""
+    available: dict[str, Callable[[str], str]] = {}
+    for name, fn, probes in _CANDIDATES:
+        try:
+            if all(importlib.util.find_spec(p) is not None for p in probes):
+                available[name] = fn
+        except (ImportError, ValueError):
+            continue
+    return available
+
+
+def third_party_status() -> dict[str, bool]:
+    """name -> importable, for documentation/CLI listings."""
+    found = discover_third_party()
+    return {name: name in found for name, _, _ in _CANDIDATES}
