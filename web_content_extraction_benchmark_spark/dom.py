@@ -208,68 +208,78 @@ def parse_html_fast(html: str) -> Node:
     length = len(html)
     lower = None  # lazily-lowered copy for rawtext close-tag search
 
+    # finditer scans the token stream in one C-level pass (the regex is
+    # total, so consecutive matches are gap-free); only a rawtext skip
+    # (script/style) restarts the iterator at the jumped-to offset.
     while pos < length:
-        match = _TOKEN_RE.match(html, pos)
-        if match is None:  # pragma: no cover - regex is total
-            break
-        token = match.group(0)
-        pos = match.end()
-        first = token[0]
-        if first != "<" or len(token) == 1:
-            # text run (or stray '<')
-            text = unescape(token) if "&" in token else token
-            top = open_stack[-1]
-            top.append(Node(None, text=text))
-            continue
-        second = token[1]
-        if second in "!?":
-            continue  # comment / doctype / PI / CDATA: dropped
-        if second == "/":
+        jumped = False
+        for match in _TOKEN_RE.finditer(html, pos):
+            token = match.group(0)
+            pos = match.end()
+            first = token[0]
+            if first != "<" or len(token) == 1:
+                # text run (or stray '<')
+                text = unescape(token) if "&" in token else token
+                child = Node(None, text=text)
+                top = open_stack[-1]
+                child.parent = top
+                top.children.append(child)
+                continue
+            second = token[1]
+            if second in "!?":
+                continue  # comment / doctype / PI / CDATA: dropped
+            if second == "/":
+                name_match = _TAG_NAME_RE.match(token)
+                if not name_match:
+                    continue
+                tag = name_match.group(1).lower()
+                if tag in VOID_ELEMENTS:
+                    continue
+                for i in range(len(open_stack) - 1, 0, -1):
+                    if open_stack[i].tag == tag:
+                        del open_stack[i:]
+                        break
+                continue
             name_match = _TAG_NAME_RE.match(token)
             if not name_match:
                 continue
             tag = name_match.group(1).lower()
-            if tag in VOID_ELEMENTS:
+            rest = token[name_match.end():-1]
+            self_closing = rest.endswith("/")
+            if self_closing:
+                rest = rest[:-1]
+            node = Node(tag)
+            if rest and not rest.isspace():
+                node.attrs = _parse_attrs(rest)
+            closers = _IMPLICIT_CLOSE.get(tag)
+            if closers:
+                while len(open_stack) > 1 and open_stack[-1].tag in closers:
+                    open_stack.pop()
+            top = open_stack[-1]
+            node.parent = top
+            top.children.append(node)
+            if tag in VOID_ELEMENTS or self_closing:
                 continue
-            for i in range(len(open_stack) - 1, 0, -1):
-                if open_stack[i].tag == tag:
-                    del open_stack[i:]
-                    break
-            continue
-        name_match = _TAG_NAME_RE.match(token)
-        if not name_match:
-            continue
-        tag = name_match.group(1).lower()
-        rest = token[name_match.end():-1]
-        self_closing = rest.endswith("/")
-        if self_closing:
-            rest = rest[:-1]
-        node = Node(tag)
-        if rest and not rest.isspace():
-            node.attrs = _parse_attrs(rest)
-        closers = _IMPLICIT_CLOSE.get(tag)
-        if closers:
-            while len(open_stack) > 1 and open_stack[-1].tag in closers:
-                open_stack.pop()
-        top = open_stack[-1]
-        top.append(node)
-        if tag in VOID_ELEMENTS or self_closing:
-            continue
-        if tag in _RAWTEXT:
-            # literal content until the matching close tag
-            if lower is None:
-                lower = html.lower()
-            end = lower.find(f"</{tag}", pos)
-            if end == -1:
-                # unterminated rawtext: stdlib drops the buffered content
-                pos = length
-            else:
-                if end > pos:
-                    node.append(Node(None, text=html[pos:end]))
-                close = html.find(">", end)
-                pos = length if close == -1 else close + 1
-            continue
-        open_stack.append(node)
+            if tag in _RAWTEXT:
+                # literal content until the matching close tag
+                if lower is None:
+                    lower = html.lower()
+                end = lower.find(f"</{tag}", pos)
+                if end == -1:
+                    # unterminated rawtext: stdlib drops buffered content
+                    pos = length
+                else:
+                    if end > pos:
+                        text_child = Node(None, text=html[pos:end])
+                        text_child.parent = node
+                        node.children.append(text_child)
+                    close = html.find(">", end)
+                    pos = length if close == -1 else close + 1
+                jumped = True
+                break
+            open_stack.append(node)
+        if not jumped:
+            break
     return root
 
 
