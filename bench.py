@@ -64,11 +64,28 @@ def _pages_parquet(spark, sf_dir: str, replicate: int, cpus: int) -> str:
     return path
 
 
+def _wait_for_quiet_host(max_wait_sec: int, load_threshold: float) -> float:
+    """The shared host carries bursty other-tenant load (0-14 cores).
+    Wait (bounded) for a quiet window so the bench measures the engine,
+    not the neighbors; the observed loadavg is recorded in the output
+    either way."""
+    deadline = time.time() + max_wait_sec
+    while True:
+        load = float(open("/proc/loadavg").read().split()[0])
+        if load < load_threshold or time.time() >= deadline:
+            return load
+        time.sleep(15)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "40"))
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    loadavg_at_start = _wait_for_quiet_host(
+        max_wait_sec=int(os.environ.get("SPARK_GRAFT_WAIT_QUIET", "240")),
+        load_threshold=float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "5")),
+    )
 
     spark = get_spark(
         "wceb-bench", master=f"local[{cpus}]",
@@ -227,6 +244,10 @@ def main() -> None:
                 "n_pages": n_pages,
                 "cpus": cpus,
                 "total_sec": total,
+                "loadavg_at_start": loadavg_at_start,
+                "loadavg_at_end": float(
+                    open("/proc/loadavg").read().split()[0]
+                ),
             }
         )
     )
