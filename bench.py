@@ -244,10 +244,10 @@ def main() -> None:
                 "n_pages": n_pages,
                 "cpus": cpus,
                 "total_sec": total,
+                # NB: only the START reading is a tenant-load signal — a
+                # reading taken at the end is dominated by this bench's
+                # own local[32] threads winding down.
                 "loadavg_at_start": loadavg_at_start,
-                "loadavg_at_end": float(
-                    open("/proc/loadavg").read().split()[0]
-                ),
             }
         )
     )
