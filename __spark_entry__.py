@@ -797,6 +797,28 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming idempotent ingest: the events file is delivered TWICE
+    (at-least-once upstream), dropDuplicatesWithinWatermark on event_id
+    removes the replay, and the per-type counts must equal the
+    single-delivery batch truth."""
+    import os
+    import shutil
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.streaming.events import (
+        run_dedup_stream_to_memory,
+    )
+
+    src = tempfile.mkdtemp(prefix="wceb_dedup_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "a.parquet"))
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "b.parquet"))
+    run_dedup_stream_to_memory(spark, src, query_name="q_stream_dedup")
+    return spark.sql(
+        "SELECT event_type, n_events, sum_value FROM q_stream_dedup"
+    )
+
+
 def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming execution of the flagship extraction: pages parquet as a
     file-source stream (2 files -> 2 micro-batches) -> the same Arrow
@@ -997,6 +1019,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmeans_clusters": q_kmeans_clusters,
         "lr_classify": q_lr_classify,
         "stream_hourly": q_stream_hourly,
+        "stream_dedup": q_stream_dedup,
         "stream_extract": q_stream_extract,
         "snapshot_time_travel": q_snapshot_time_travel,
         "lineage_totals": q_lineage_totals,
@@ -1393,6 +1416,11 @@ def oracle_sql() -> dict[str, str]:
         "stream_extract": (
             f"SELECT {URL_SQL} AS url, {GOLD_SQL} AS plaintext FROM documents"
         ),
+        "stream_dedup": """
+            SELECT event_type, count(*) AS n_events,
+                   round(sum(value), 6) AS sum_value
+            FROM events GROUP BY event_type
+        """,
         "snapshot_time_travel": """
             SELECT 1 AS version,
                    count(*) FILTER (doc_id % 2 = 0) AS n_rows,

@@ -87,6 +87,28 @@ def test_minhash_band_exchange_carries_no_shingles(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in full_plan
 
 
+def test_partition_pruning_on_crawl_date(spark, sf_dir, tmp_path):
+    """Writing the pages table partitioned by crawl date (the Iceberg
+    identity-partition shape for warc_ts) must let a date filter prune
+    partitions at the scan — at 10^12 docs this is the difference between
+    scanning one day and scanning the corpus."""
+    pages = synthesize_pages(spark, sf_dir).withColumn(
+        "crawl_date", F.to_date("warc_ts")
+    )
+    path = str(tmp_path / "pages_by_date")
+    pages.write.partitionBy("crawl_date").mode("overwrite").parquet(path)
+    one_day = (
+        spark.read.parquet(path)
+        .filter(F.col("crawl_date") == "2023-01-01")
+        .select("url")
+    )
+    plan = _plan(one_day)
+    # partition filter reaches the scan; no post-scan Filter needed
+    assert "PartitionFilters" in plan
+    assert "crawl_date" in plan.split("PartitionFilters")[1][:200]
+    assert one_day.count() > 0
+
+
 def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """Two tables bucketed on the join key with equal bucket counts must
     sort-merge join with NO runtime Exchange on either side — the

@@ -59,6 +59,47 @@ def stream_windowed_event_counts(
     return windowed_event_counts(stream.withWatermark("ts", watermark), window)
 
 
+def stream_dedup_counts(
+    spark: SparkSession,
+    source_dir: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exactly-once-per-event ingestion: state-store dedup on
+    event_id within the watermark horizon (the standard idempotent-ingest
+    guard against at-least-once upstream delivery), then per-type counts.
+
+    ``dropDuplicatesWithinWatermark`` bounds the dedup state — the
+    requirement for running forever; plain dropDuplicates on a stream
+    grows state without bound."""
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("maxFilesPerTrigger", 1)
+        .load(source_dir)
+    )
+    deduped = stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    return deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 6).alias("sum_value"),
+    )
+
+
+def run_dedup_stream_to_memory(
+    spark: SparkSession, source_dir: str, query_name: str = "event_dedup",
+) -> None:
+    out = stream_dedup_counts(spark, source_dir)
+    query = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+
+
 def run_stream_to_memory(
     spark: SparkSession, source_dir: str, query_name: str = "event_rollup",
     window: str = "1 hour",
