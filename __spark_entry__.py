@@ -167,6 +167,43 @@ shingles AS (
 """
 
 
+def _simhash_sig_sql(corpus_sql: str) -> str:
+    """DuckDB mirror of the Catalyst SimHash over an arbitrary
+    (doc_id, text) corpus: token md5 -> first-8-bytes big-endian bits via
+    hex digits -> per-bit +/-1 votes -> sign bits packed two's-complement."""
+    return f"""
+        WITH corpus AS ({corpus_sql}),
+        words AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM corpus WHERE trim(coalesce(text, '')) != ''
+        ),
+        tok AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM words),
+        bits AS (
+            SELECT t.doc_id, b.bit,
+                   sum(CASE WHEN ((strpos('0123456789abcdef',
+                                   substring(t.h, 16 - b.bit // 4, 1)) - 1)
+                                  >> (b.bit % 4)) & 1 = 1
+                            THEN 1 ELSE -1 END) AS cnt
+            FROM tok t
+            CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+            GROUP BY t.doc_id, b.bit
+        ),
+        packed AS (
+            SELECT doc_id,
+                   sum(CASE WHEN cnt > 0 THEN CAST(1 AS HUGEINT) << bit
+                            ELSE 0 END) AS u
+            FROM bits GROUP BY doc_id
+        )
+        SELECT c.doc_id,
+               CAST(coalesce(
+                   CASE WHEN p.u >= 9223372036854775808
+                        THEN p.u - 18446744073709551616 ELSE p.u END,
+                   0) AS BIGINT) AS sig
+        FROM corpus c LEFT JOIN packed p ON p.doc_id = c.doc_id
+    """
+
+
 def _lev_from_counts() -> str:
     return (
         "CASE WHEN gl + pl = 0 THEN 1.0 "
@@ -435,6 +472,23 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash signatures — pure Catalyst kernel, DuckDB-mirrored bit-exact."""
     docs = _docs(spark, sf_dir)
     return docs.select("doc_id", simhash64_col(F.col("text")).alias("sig"))
+
+
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs over a corpus with planted exact copies.
+    Pigeonhole blocking (4 x 16-bit chunks) is LOSSLESS at hamming <= 3,
+    so the DuckDB all-pairs mirror is an exact oracle."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    copies = docs.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    corpus = docs.unionByName(copies)
+    pairs = simhash_near_duplicates(corpus, max_hamming=3)
+    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -997,6 +1051,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
+        "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
@@ -1503,37 +1558,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {minhash_cols} FROM shingles GROUP BY doc_id
         """,
         "minhash_lsh_pairs": lsh_pairs_sql,
-        # SimHash mirror: token md5 -> first-8-bytes big-endian bits via hex
-        # digits; per-bit +/-1 votes; sign bits packed, two's complement.
-        "simhash": """
-            WITH words AS (
-                SELECT doc_id,
-                       unnest(string_split_regex(trim(text), '\\s+')) AS w
-                FROM documents WHERE trim(coalesce(text, '')) != ''
-            ),
-            tok AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM words),
-            bits AS (
-                SELECT t.doc_id, b.bit,
-                       sum(CASE WHEN ((strpos('0123456789abcdef',
-                                       substring(t.h, 16 - b.bit // 4, 1)) - 1)
-                                      >> (b.bit % 4)) & 1 = 1
-                                THEN 1 ELSE -1 END) AS cnt
-                FROM tok t
-                CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
-                GROUP BY t.doc_id, b.bit
-            ),
-            packed AS (
-                SELECT doc_id,
-                       sum(CASE WHEN cnt > 0 THEN CAST(1 AS HUGEINT) << bit
-                                ELSE 0 END) AS u
-                FROM bits GROUP BY doc_id
-            )
-            SELECT d.doc_id,
-                   CAST(coalesce(
-                       CASE WHEN p.u >= 9223372036854775808
-                            THEN p.u - 18446744073709551616 ELSE p.u END,
-                       0) AS BIGINT) AS sig
-            FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id
+        "simhash": _simhash_sig_sql("SELECT doc_id, text FROM documents"),
+        # Exact pair mirror: pigeonhole chunk blocking is lossless at
+        # hamming <= 3 with 4 chunks, so Spark's blocked join equals the
+        # all-pairs truth bit-for-bit.
+        "simhash_pairs": f"""
+            WITH sig AS ({_simhash_sig_sql(
+                "SELECT doc_id, text FROM documents "
+                "UNION ALL SELECT doc_id + 2000000, text "
+                "FROM documents WHERE doc_id % 10 = 0"
+            )})
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sig, b.sig)) <= 3
         """,
         "ngram_jaccard_pairs": ngram_pairs_sql,
         "ann_cosine_topk": """
