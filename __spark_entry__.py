@@ -173,10 +173,14 @@ def _simhash_sig_sql(corpus_sql: str) -> str:
     hex digits -> per-bit +/-1 votes -> sign bits packed two's-complement."""
     return f"""
         WITH corpus AS ({corpus_sql}),
+        -- token contract: non-empty runs between ASCII whitespace
+        -- (mirrors simhash64_col's filtered split bit-for-bit)
         words AS (
-            SELECT doc_id,
-                   unnest(string_split_regex(trim(text), '\\s+')) AS w
-            FROM corpus WHERE trim(coalesce(text, '')) != ''
+            SELECT doc_id, w FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(text, '\\s+')) AS w
+                FROM corpus WHERE text IS NOT NULL
+            ) WHERE w != ''
         ),
         tok AS (SELECT doc_id, substring(md5(w), 1, 16) AS h FROM words),
         bits AS (
@@ -1571,7 +1575,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
                    CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+            -- blank docs (sig=0) are excluded from SimHash blocking on the
+            -- Spark side (degenerate hot bucket); mirror that here
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
+              AND a.sig != 0 AND b.sig != 0
         """,
         "ngram_jaccard_pairs": ngram_pairs_sql,
         "ann_cosine_topk": """

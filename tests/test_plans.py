@@ -175,3 +175,39 @@ def test_whole_stage_codegen_on_relational_path(spark, sf_dir):
     # '*(n)' operator prefix == inside a WholeStageCodegen span
     assert "*(" in final_plan
     assert "isFinalPlan=true" in final_plan
+
+
+def test_embedding_neardup_plan_has_no_window(spark, sf_dir):
+    """Near-dup detection is a threshold filter, not a ranking (VERDICT
+    r2, What's wrong #1): the plan must contain no Window node — a
+    row_number sort over every LSH candidate per query is pure waste at
+    scale."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs = embedding_near_duplicates(emb, threshold=0.9, dim=64)
+    plan = _plan(pairs)
+    assert "Window" not in plan
+
+
+def test_ivf_broadcast_codebook_keeps_plan_small(spark, sf_dir):
+    """Above _IVF_LITERAL_MAX_CELLS the centroid codebook must ride in as
+    ONE broadcast row, not as plan literals (VERDICT r2 item 7): the plan
+    string stays O(1) in n_cells instead of inlining n_cells x dim
+    doubles."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        ivf_cosine_topk,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    big = ivf_cosine_topk(emb, queries, k=5, n_cells=96, n_probe=24,
+                          sample_fraction=1.0)
+    plan = _plan(big)
+    assert "__cmat" in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row codebook join
+    # 96 cells x 64 dims x ~18 chars/double ~ 110kB of literals would
+    # otherwise appear; the broadcast plan stays small
+    assert len(plan) < 40_000, len(plan)

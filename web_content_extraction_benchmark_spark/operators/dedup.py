@@ -295,8 +295,15 @@ def simhash64_col(text_col: Column) -> Column:
     Per row: token array -> one md5 per token -> per-bit +/-1 vote
     accumulation (aggregate over a 64-int array) -> sign bits packed into
     a signed long.  Matches the classic kernel (Charikar 2002) with token
-    hash = first 8 md5 bytes big-endian; empty/blank text -> 0."""
-    tokens = F.split(F.trim(text_col), r"\s+")
+    hash = first 8 md5 bytes big-endian; empty/blank text -> 0.
+
+    Token contract (shared bit-for-bit with ``simhash64_py`` and the
+    DuckDB oracle mirror): tokens are the non-empty maximal runs between
+    ASCII whitespace ``[ \\t\\n\\x0b\\f\\r]`` — Java/RE2/Python all agree
+    on that class, whereas "trim + split" and ``str.split()`` disagree on
+    leading tabs and Unicode whitespace (NBSP/U+2028 stay INSIDE tokens
+    on every engine here)."""
+    tokens = F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
     hashes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16))
     bit_idx = F.sequence(F.lit(0), F.lit(63))
     counts = F.aggregate(
@@ -325,16 +332,19 @@ def simhash64_col(text_col: Column) -> Column:
         F.lit(0).cast("long"),
         lambda a, x: a.bitwiseOR(x),
     )
-    blank = text_col.isNull() | (F.trim(text_col) == "")
+    blank = F.coalesce(F.size(tokens), F.lit(0)) == 0
     return F.when(blank, F.lit(0).cast("long")).otherwise(packed)
 
 
 def simhash64_py(text: str) -> int:
     """Single-threaded reference kernel (tests cross-check the Catalyst
-    expression against this, like the extractor byte-identity oracles)."""
+    expression against this, like the extractor byte-identity oracles).
+    Uses the same explicit ASCII-whitespace token contract as
+    ``simhash64_col`` — ``str.split()`` would diverge on NBSP/U+2028."""
     import hashlib
+    import re
 
-    tokens = (text or "").split()
+    tokens = [t for t in re.split(r"[ \t\n\x0b\f\r]+", text or "") if t]
     if not tokens:
         return 0
     acc = [0] * 64
@@ -354,10 +364,17 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
     chunks: two signatures within hamming<=3 share at least one of the 4
-    chunks exactly (pigeonhole) -> join per chunk, then verify."""
+    chunks exactly (pigeonhole) -> join per chunk, then verify.
+
+    Blank/empty documents (sig == 0) are excluded from candidate
+    generation: they all hash to the same signature, so on a web-scale
+    corpus with millions of empty docs every one of them would share all
+    four chunks with every other — one degenerate bucket turning the
+    chunk join quadratic.  Blank docs are exact duplicates of each other
+    by construction; route them through exact dedup, not SimHash."""
     sig = df.select(
         F.col(id_col).alias("id"), simhash64_col(F.col(text_col)).alias("sig")
-    )
+    ).filter(F.col("sig") != 0)
     chunks = sig.select(
         "id", "sig",
         F.posexplode(
