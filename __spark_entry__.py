@@ -746,7 +746,7 @@ def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthesize_pages(spark, sf_dir)
     models = ["main_content", "plain", "readability"]
     answers = extract_answers(pages, models)
-    voted = ensemble_answers(answers, pages, models)
+    voted = ensemble_answers(answers, models)
     return voted.select("url", "plaintext")
 
 

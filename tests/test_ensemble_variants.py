@@ -27,7 +27,7 @@ def setup(spark, sf_dir):
 @pytest.mark.parametrize("variant", sorted(ENSEMBLE_VARIANTS))
 def test_variant_runs_and_votes(spark, setup, variant):
     pages, answers = setup
-    voted = ensemble_variant_answers(variant, answers, pages, ALL_MODELS)
+    voted = ensemble_variant_answers(variant, answers, ALL_MODELS)
     rows = voted.collect()
     assert len(rows) == pages.count()
     assert all(r.model == variant for r in rows)
@@ -45,10 +45,10 @@ def test_variant_runs_and_votes(spark, setup, variant):
 def test_weighted_differs_from_majority_threshold(spark, setup):
     pages, answers = setup
     weighted = ensemble_variant_answers(
-        "ensemble_weighted", answers, pages, ALL_MODELS
+        "ensemble_weighted", answers, ALL_MODELS
     )
     majority = ensemble_variant_answers(
-        "ensemble_majority", answers, pages, ALL_MODELS
+        "ensemble_majority", answers, ALL_MODELS
     )
     # both deterministic
     assert weighted.collect() == weighted.collect()

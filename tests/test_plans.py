@@ -211,3 +211,21 @@ def test_ivf_broadcast_codebook_keeps_plan_small(spark, sf_dir):
     # 96 cells x 64 dims x ~18 chars/double ~ 110kB of literals would
     # otherwise appear; the broadcast plan stays small
     assert len(plan) < 40_000, len(plan)
+
+
+def test_ensemble_join_plan_ships_no_html(spark, sf_dir):
+    """The ensemble vote shuffle must carry rendered text only (VERDICT
+    r2, What's wrong #3): raw html bytes are consumed by the extraction
+    scan and never enter an Exchange."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ensemble_answers,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    models = ["main_content", "plain"]
+    answers = extract_answers(pages, models)
+    voted = ensemble_answers(answers, models)
+    plan = _plan(voted)
+    exchange_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert exchange_lines  # the one groupBy(url) shuffle
+    assert all("html" not in ln for ln in exchange_lines), exchange_lines

@@ -126,7 +126,7 @@ def test_aggregate_micro_macro_vs_pandas(spark, pages):
 def test_ensemble_majority_spark(spark, pages):
     models = ["main_content", "plain", "readability"]
     answers = extract_answers(pages, models)
-    voted = ensemble_answers(answers, pages, models, vote_fraction=0.66)
+    voted = ensemble_answers(answers, models, vote_fraction=0.66)
     sample = {r.url: r.plaintext for r in voted.limit(50).collect()}
     assert sample
     # votes with threshold int(3*0.66)=1: every token backed by >=1 model;
@@ -177,7 +177,7 @@ def test_ensemble_fused_equals_join_plan(spark, pages):
         joined = {
             r.url: r.plaintext
             for r in ensemble_answers(
-                answers, pages, models, vote_fraction=fraction
+                answers, models, vote_fraction=fraction
             ).collect()
         }
         fused = {
