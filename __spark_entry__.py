@@ -220,35 +220,24 @@ def _lev_from_counts() -> str:
 # ---------------------------------------------------------------------------
 
 
-def q_extract_main_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Flagship byte-identity check: binary html -> decode (gzip/BOM) ->
-    DOM parse -> density main-content extraction, per url."""
+# The 7 from-scratch extractor families, byte-identity-checked in ONE
+# query: a single decode + DOM parse per page feeds every extractor
+# (R4 fan-out), and the oracle unions the per-family SQL formulas.
+# (Folded from 7 per-model queries in r2 so the driver's 50-row
+# correctness cap covers every operator — VERDICT r2 item 1.)
+ALL_EXTRACT_MODELS = [
+    "main_content", "plain", "xpath_text", "tag_blacklist",
+    "readability", "bte", "stopword_density",
+]
+
+
+def q_extract_all_models(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-identity check for all 7 extractor families at once: binary
+    html -> decode (gzip/BOM) -> one DOM parse -> every extractor, per
+    url; one output row per (model, url)."""
     pages = synthesize_pages(spark, sf_dir)
-    answers = extract_answers(pages, ["main_content"])
-    return answers.select("url", "plaintext")
-
-
-def q_extract_plain_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pages = synthesize_pages(spark, sf_dir)
-    answers = extract_answers(pages, ["plain"])
-    return answers.select("url", "plaintext")
-
-
-def _q_extract_model(model: str):
-    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
-        pages = synthesize_pages(spark, sf_dir)
-        answers = extract_answers(pages, [model])
-        return answers.select("url", "plaintext")
-
-    q.__doc__ = f"Byte-identity check for the {model!r} extractor family."
-    return q
-
-
-q_extract_xpath_text = _q_extract_model("xpath_text")
-q_extract_tag_blacklist = _q_extract_model("tag_blacklist")
-q_extract_readability = _q_extract_model("readability")
-q_extract_bte = _q_extract_model("bte")
-q_extract_justext = _q_extract_model("stopword_density")
+    answers = extract_answers(pages, ALL_EXTRACT_MODELS)
+    return answers.select("model", "url", "plaintext")
 
 
 def q_extract_block_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -505,29 +494,12 @@ def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (scale path; no SQL oracle: seeded hyperplanes)."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    topk = lsh_cosine_topk(emb, queries, dim=64, k=5)
-    return topk.select(
-        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
-    )
-
-
-def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN (k-means cells, multi-probe, exact re-rank; no SQL
-    oracle: iterative quantizer) — the second scale path beside LSH."""
-    from web_content_extraction_benchmark_spark.operators.similarity import (
-        ivf_cosine_topk,
-    )
-
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") % 100 == 0)
-    topk = ivf_cosine_topk(emb, queries, k=5, n_cells=16, n_probe=6)
-    return topk.select(
-        "query_id", "neighbor_id", F.round("cos", 6).alias("cos"), "rank"
-    )
+# NB: the raw LSH/IVF top-k outputs are seeded-hyperplane / iterative-
+# quantizer specific (no SQL oracle possible), so they carry no driver
+# rows of their own; their quality is gated by the ORACLED
+# ann_lsh_recall / ann_ivf_recall pass rows below and by
+# tests/test_operators_spark.py (incl. the 256-cell broadcast-codebook
+# path).
 
 
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -646,19 +618,23 @@ def _raw_tree(sf_dir: str, kind: str) -> str:
     """Synthesize (once, cached) an on-disk raw-format dataset tree."""
     import os
 
-    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
-        synthesize_cleaneval_tree,
-        synthesize_l3s_tree,
-    )
+    from web_content_extraction_benchmark_spark.sources import raw_datasets
 
+    synth = {
+        "cleaneval": raw_datasets.synthesize_cleaneval_tree,
+        "l3s": raw_datasets.synthesize_l3s_tree,
+        "cleanportaleval": raw_datasets.synthesize_cleanportaleval_tree,
+        "dragnet": raw_datasets.synthesize_dragnet_tree,
+        "cetd": raw_datasets.synthesize_cetd_tree,
+        "readability": raw_datasets.synthesize_readability_tree,
+        "scrapinghub": raw_datasets.synthesize_scrapinghub_tree,
+        "googletrends": raw_datasets.synthesize_googletrends_tree,
+    }[kind]
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/wceb_raw/{kind}_{tag}"
     marker = os.path.join(out, "_done")
     if not os.path.exists(marker):
-        if kind == "cleaneval":
-            synthesize_cleaneval_tree(sf_dir, out)
-        else:
-            synthesize_l3s_tree(sf_dir, out)
+        synth(sf_dir, out)
         with open(marker, "w") as f:
             f.write("ok")
     return out
@@ -700,15 +676,68 @@ def q_convert_cleaneval(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert_cleaneval(spark, f"{root}/orig", f"{root}/clean")
 
 
-def q_convert_l3s(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S1: L3S-GN1-style raw ingestion — truth from CSS-annotated spans
-    (x-nc-sel*), joined to the original page bytes."""
-    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
-        convert_l3s,
+def q_convert_raw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1 tail: the 7 remaining raw dataset formats in one oracle row
+    (reference dataset_readers.py:171-317) — L3S-GN1 (CSS-annotated
+    truth), CleanPortalEval (CleanEval semantics under input/
+    GoldStandard), Dragnet (verbatim .html.corrected.txt truths, 3-part
+    suffix keys), CETD (per-vertical trees, composite keys), Readability
+    (per-case dirs, expected.html body text), ScrapingHub (gzipped pages,
+    one ground-truth.json, page_id = sha256 of DECOMPRESSED bytes — the
+    reference's re-hash quirk, oracled), GoogleTrends2017
+    (__boilernet_label-annotated truth).  Output one row per (format,
+    source); page_id is non-null only for scrapinghub."""
+    from web_content_extraction_benchmark_spark.sources import raw_datasets as rd
+
+    null_id = F.lit(None).cast("string").alias("page_id")
+
+    def tagged(fmt: str, df: DataFrame, with_id: bool = False) -> DataFrame:
+        cols = [F.lit(fmt).alias("format"), "source", "plaintext"]
+        cols.append(F.col("page_id") if with_id else null_id)
+        return df.select(*cols)
+
+    l3s = _raw_tree(sf_dir, "l3s")
+    cpe = _raw_tree(sf_dir, "cleanportaleval")
+    dragnet = _raw_tree(sf_dir, "dragnet")
+    cetd = _raw_tree(sf_dir, "cetd")
+    readability = _raw_tree(sf_dir, "readability")
+    sh = _raw_tree(sf_dir, "scrapinghub")
+    gt = _raw_tree(sf_dir, "googletrends")
+    parts = [
+        tagged("l3s", rd.convert_l3s(
+            spark, f"{l3s}/original", f"{l3s}/annotated")),
+        tagged("cleanportaleval", rd.convert_cleanportaleval(
+            spark, f"{cpe}/input", f"{cpe}/GoldStandard")),
+        tagged("dragnet", rd.convert_dragnet(
+            spark, f"{dragnet}/HTML", f"{dragnet}/corrected/Corrected")),
+        tagged("cetd", rd.convert_cetd(spark, cetd)),
+        tagged("readability", rd.convert_readability_ds(
+            spark, f"{readability}/test-pages")),
+        tagged("scrapinghub", rd.convert_scrapinghub(spark, sh),
+               with_id=True),
+        tagged("googletrends", rd.convert_googletrends(
+            spark, f"{gt}/raw_html", f"{gt}/prepared_html")),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def q_neural_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E15 deployment-pattern demo: a frozen tiny block-classifier MLP,
+    broadcast once and materialized once per worker, extracts main text
+    inside mapInPandas (the BoilerNet shape, reference
+    extractors.py:146-153, minus the unshippable Keras checkpoint).  The
+    frozen circuit provably equals the density classifier (pinned
+    corpus-wide in tests/test_neural_stub.py), so GOLD_SQL is a true
+    value oracle, not a rows-only check."""
+    from web_content_extraction_benchmark_spark.extractors.neural import (
+        neural_extract_answers,
     )
 
-    root = _raw_tree(sf_dir, "l3s")
-    return convert_l3s(spark, f"{root}/original", f"{root}/annotated")
+    pages = synthesize_pages(spark, sf_dir)
+    return neural_extract_answers(pages).select("url", "plaintext")
 
 
 def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -733,66 +762,46 @@ def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_ensemble_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E20: n-gram vote over 3 extractor families, threshold
-    int(3*0.66)=1 (union of supported tokens).  With ``plain`` among the
-    voters every full-text window is supported, so the provable expected
-    output is the plain full text — a real end-to-end oracle of the
-    collect_list/map plumbing + voting kernel."""
+def q_ensemble_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E20, all variants in one oracle row (folded from 4 r2 queries):
+
+    - ``majority_join``: join-based plan (collect_list answer map ->
+      vote; the S11 preloaded-answers path) at threshold int(3*0.66)=1 —
+      with ``plain`` among the voters every full-text window is
+      supported, so the provable expected output is the plain full text;
+    - ``majority2``/``best``/``weighted``: the FUSED zero-shuffle
+      extract+vote plan at the reference's three variant specs
+      (extractors.py:174-209); per-variant expected-output formulas are
+      verified corpus-wide in tests/test_extractor_golds.py, and fused ==
+      join-based is pinned by tests/test_spark_pipeline.py."""
     from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ENSEMBLE_VARIANTS,
         ensemble_answers,
+        ensemble_extract,
     )
 
     pages = synthesize_pages(spark, sf_dir)
     models = ["main_content", "plain", "readability"]
     answers = extract_answers(pages, models)
-    voted = ensemble_answers(answers, models)
-    return voted.select("url", "plaintext")
-
-
-def q_ensemble_majority2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E20 at true majority (threshold 2 of 3) via the FUSED extract+vote
-    plan (zero-shuffle; the join-based plan is oracled by
-    ensemble_majority): boilerplate loses its votes, so the expected
-    output is a per-variant formula (verified corpus-wide against the
-    kernel in tests/test_extractor_golds.py)."""
-    from web_content_extraction_benchmark_spark.plans.pipeline import (
-        ensemble_extract,
-    )
-
-    pages = synthesize_pages(spark, sf_dir)
-    models = ["main_content", "plain", "readability"]
-    return ensemble_extract(pages, models, vote_fraction=0.67)
-
-
-def q_ensemble_best(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E20 'best' variant: curated subset (main_content, readability,
-    bte), threshold int(3*0.66)=1 — union of member-supported tokens;
-    formula verified corpus-wide in tests/test_extractor_golds.py."""
-    from web_content_extraction_benchmark_spark.plans.pipeline import (
-        ENSEMBLE_VARIANTS,
-        ensemble_extract,
-    )
-
-    spec = ENSEMBLE_VARIANTS["ensemble_best"]
-    pages = synthesize_pages(spark, sf_dir)
-    return ensemble_extract(pages, spec["models"], weights=spec["weights"])
-
-
-def q_ensemble_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E20 'weighted' variant: main_content/readability weight 2, bte 1,
-    threshold 2 — strong models pass alone, bte-only spans drop."""
-    from web_content_extraction_benchmark_spark.plans.pipeline import (
-        ENSEMBLE_VARIANTS,
-        ensemble_extract,
-    )
-
-    spec = ENSEMBLE_VARIANTS["ensemble_weighted"]
-    pages = synthesize_pages(spark, sf_dir)
-    return ensemble_extract(
-        pages, spec["models"], weights=spec["weights"],
-        vote_fraction=spec["vote_fraction"],
-    )
+    parts = [
+        ensemble_answers(answers, models)
+        .select(F.lit("majority_join").alias("variant"), "url", "plaintext"),
+        ensemble_extract(pages, models, vote_fraction=0.67)
+        .select(F.lit("majority2").alias("variant"), "url", "plaintext"),
+    ]
+    for tag, variant in (("best", "ensemble_best"),
+                         ("weighted", "ensemble_weighted")):
+        spec = ENSEMBLE_VARIANTS[variant]
+        parts.append(
+            ensemble_extract(
+                pages, spec["models"], weights=spec["weights"],
+                vote_fraction=spec.get("vote_fraction", 0.66),
+            ).select(F.lit(tag).alias("variant"), "url", "plaintext")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1025,14 +1034,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """Exactly 50 entries == the driver's per-round correctness cap, so
+    EVERY query gets a driver row (VERDICT r2 item 1).  Coverage that used
+    to span 60 rows is folded, not dropped: the 7 per-extractor
+    byte-identity rows live in ``extract_all_models`` (model column), the
+    4 ensemble variants in ``ensemble_variants`` (variant column), and
+    the 8 raw dataset formats in ``convert_cleaneval`` +
+    ``convert_raw_formats`` (format column).  Never-yet-driver-checked
+    queries are ordered first."""
     return {
-        "extract_main_text": q_extract_main_text,
-        "extract_plain_text": q_extract_plain_text,
-        "extract_xpath_text": q_extract_xpath_text,
-        "extract_tag_blacklist": q_extract_tag_blacklist,
-        "extract_readability": q_extract_readability,
-        "extract_bte": q_extract_bte,
-        "extract_justext": q_extract_justext,
+        # r2's ten driver-unchecked queries first
+        "lr_classify": q_lr_classify,
+        "stream_hourly": q_stream_hourly,
+        "stream_dedup": q_stream_dedup,
+        "stream_extract": q_stream_extract,
+        "snapshot_time_travel": q_snapshot_time_travel,
+        "lineage_totals": q_lineage_totals,
+        "band_filtered_scores": q_band_filtered_scores,
+        "sessionize": q_sessionize,
+        "embedding_neardup": q_embedding_neardup,
+        "media_features": q_media_features,
+        # new / folded this round
+        "convert_raw_formats": q_convert_raw_formats,
+        "neural_extract": q_neural_extract,
+        "extract_all_models": q_extract_all_models,
+        "ensemble_variants": q_ensemble_variants,
+        "convert_cleaneval": q_convert_cleaneval,
+        # the r2 hash-green suite
         "extract_block_counts": q_extract_block_counts,
         "block_spans": q_block_spans,
         "score_levenshtein": q_score_levenshtein,
@@ -1057,9 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": q_simhash,
         "simhash_pairs": q_simhash_pairs,
         "ann_cosine_topk": q_ann_cosine_topk,
-        "ann_lsh_topk": q_ann_lsh_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
-        "ann_ivf_topk": q_ann_ivf_topk,
         "ann_ivf_recall": q_ann_ivf_recall,
         "language_id": q_language_id,
         "quality_score": q_quality_score,
@@ -1068,24 +1094,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprints": q_fingerprints,
         "page_ids": q_page_ids,
         "jsonl_roundtrip": q_jsonl_roundtrip,
-        "convert_cleaneval": q_convert_cleaneval,
-        "convert_l3s": q_convert_l3s,
         "html_features": q_html_features,
-        "ensemble_majority": q_ensemble_majority,
-        "ensemble_majority2": q_ensemble_majority2,
-        "ensemble_best": q_ensemble_best,
-        "ensemble_weighted": q_ensemble_weighted,
         "kmeans_clusters": q_kmeans_clusters,
-        "lr_classify": q_lr_classify,
-        "stream_hourly": q_stream_hourly,
-        "stream_dedup": q_stream_dedup,
-        "stream_extract": q_stream_extract,
-        "snapshot_time_travel": q_snapshot_time_travel,
-        "lineage_totals": q_lineage_totals,
-        "band_filtered_scores": q_band_filtered_scores,
-        "sessionize": q_sessionize,
-        "embedding_neardup": q_embedding_neardup,
-        "media_features": q_media_features,
     }
 
 
@@ -1233,61 +1243,85 @@ def oracle_sql() -> dict[str, str]:
                    {GOLD_SQL} AS plaintext
             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
         """,
-        "convert_l3s": f"""
-            SELECT CAST(doc_id AS VARCHAR) AS source,
-                   {l3s_original_sql()} AS html,
-                   'Article ' || source || ' ' || chr(10) || text AS plaintext
-            FROM documents WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
+        # 7 raw formats, one row per (format, source); page_id non-null
+        # only for scrapinghub (sha256 of the DECOMPRESSED page bytes —
+        # the reference's re-hash-after-gunzip quirk,
+        # dataset_readers.py:245-248)
+        "convert_raw_formats": f"""
+            WITH fx AS (
+                SELECT doc_id, source, text FROM documents
+                WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
+            )
+            SELECT 'l3s' AS format, CAST(doc_id AS VARCHAR) AS source,
+                   'Article ' || source || ' ' || chr(10) || text AS plaintext,
+                   CAST(NULL AS VARCHAR) AS page_id
+            FROM fx
+            UNION ALL
+            SELECT 'cleanportaleval', CAST(doc_id AS VARCHAR),
+                   {GOLD_SQL}, NULL
+            FROM fx
+            UNION ALL
+            SELECT 'dragnet', CAST(doc_id AS VARCHAR), text, NULL FROM fx
+            UNION ALL
+            SELECT 'cetd',
+                   (CASE WHEN doc_id % 2 = 0 THEN 'BBC' ELSE 'wiki' END)
+                       || '_' || CAST(doc_id AS VARCHAR),
+                   text, NULL
+            FROM fx
+            UNION ALL
+            SELECT 'readability', CAST(doc_id AS VARCHAR), text, NULL FROM fx
+            UNION ALL
+            SELECT 'scrapinghub', CAST(doc_id AS VARCHAR), text,
+                   sha256({html_sql(edge_bytes=False)})
+            FROM fx
+            UNION ALL
+            SELECT 'googletrends', CAST(doc_id AS VARCHAR),
+                   'Article ' || source || ' ' || chr(10) || text, NULL
+            FROM fx
         """,
         "page_ids": (
             f"SELECT {URL_SQL} AS url, sha256({html_sql()}) AS page_id "
             "FROM documents WHERE doc_id % 103 != 0"
         ),
         "html_features": html_features_sql,
-        "extract_main_text": (
+        # one row per (model, url): the 7 per-family byte-identity
+        # formulas unioned (folded from 7 r2 queries)
+        "extract_all_models": " UNION ALL ".join(
+            f"SELECT '{model}' AS model, {URL_SQL} AS url, "
+            f"{sql} AS plaintext FROM documents"
+            for model, sql in (
+                ("main_content", GOLD_SQL),
+                ("plain", PLAIN_SQL),
+                ("xpath_text", XPATH_SQL),
+                ("tag_blacklist", TAG_BLACKLIST_SQL),
+                ("readability", READABILITY_SQL),
+                ("bte", BTE_SQL),
+                ("stopword_density", justext_sql()),
+            )
+        ),
+        # E15 stand-in model == density classifier by construction
+        "neural_extract": (
             f"SELECT {URL_SQL} AS url, {GOLD_SQL} AS plaintext FROM documents"
         ),
-        "extract_plain_text": (
-            f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
-        ),
-        "extract_xpath_text": (
-            f"SELECT {URL_SQL} AS url, {XPATH_SQL} AS plaintext FROM documents"
-        ),
-        "extract_tag_blacklist": (
-            f"SELECT {URL_SQL} AS url, {TAG_BLACKLIST_SQL} AS plaintext "
-            "FROM documents"
-        ),
-        "extract_readability": (
-            f"SELECT {URL_SQL} AS url, {READABILITY_SQL} AS plaintext "
-            "FROM documents"
-        ),
-        "extract_bte": (
-            f"SELECT {URL_SQL} AS url, {BTE_SQL} AS plaintext FROM documents"
-        ),
-        "extract_justext": (
-            f"SELECT {URL_SQL} AS url, {justext_sql()} AS plaintext "
-            "FROM documents"
-        ),
-        # threshold-1 ensemble == plain full text (plain's answer contains
-        # every window); threshold-2 drops the boilerplate that only plain
-        # supports, keeping the density/readability-backed token runs.
-        "ensemble_majority": (
-            f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
-        ),
-        "ensemble_majority2": f"""
-            SELECT {URL_SQL} AS url,
+        # majority_join (threshold 1) == plain full text (plain's answer
+        # contains every window); majority2 (threshold 2) drops the
+        # boilerplate only plain supports; 'best' (mc/readability/bte,
+        # threshold 1) keeps bte's footer span on variant 0; 'weighted'
+        # (2/2/1, threshold 2) drops it — bte alone is below threshold.
+        "ensemble_variants": f"""
+            SELECT 'majority_join' AS variant, {URL_SQL} AS url,
+                   {PLAIN_SQL} AS plaintext
+            FROM documents
+            UNION ALL
+            SELECT 'majority2', {URL_SQL},
                    CASE WHEN doc_id % 101 = 0 THEN ''
                         WHEN doc_id % 5 IN (0, 4) THEN
                             'Article ' || source || ' Article ' || source ||
                             ' ' || text
-                        ELSE text END AS plaintext
+                        ELSE text END
             FROM documents
-        """,
-        # 'best' (mc/readability/bte, threshold 1): bte's footer span
-        # survives on variant 0; 'weighted' (2/2/1, threshold 2): it does
-        # not — bte alone is below threshold.
-        "ensemble_best": f"""
-            SELECT {URL_SQL} AS url,
+            UNION ALL
+            SELECT 'best', {URL_SQL},
                    CASE WHEN doc_id % 101 = 0 THEN ''
                         WHEN doc_id % 5 = 0 THEN
                             'Article ' || source || ' Article ' || source ||
@@ -1296,16 +1330,15 @@ def oracle_sql() -> dict[str, str]:
                         WHEN doc_id % 5 = 4 THEN
                             'Article ' || source || ' Article ' || source ||
                             ' ' || text
-                        ELSE text END AS plaintext
+                        ELSE text END
             FROM documents
-        """,
-        "ensemble_weighted": f"""
-            SELECT {URL_SQL} AS url,
+            UNION ALL
+            SELECT 'weighted', {URL_SQL},
                    CASE WHEN doc_id % 101 = 0 THEN ''
                         WHEN doc_id % 5 IN (0, 4) THEN
                             'Article ' || source || ' Article ' || source ||
                             ' ' || text
-                        ELSE text END AS plaintext
+                        ELSE text END
             FROM documents
         """,
         "extract_block_counts": f"""

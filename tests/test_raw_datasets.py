@@ -72,3 +72,90 @@ def test_l3s_truth_skips_unannotated_and_nonleaf():
     )
     # first span is non-leaf (element child) -> skipped entirely
     assert l3s_truth(html) == "yes"
+
+
+def test_new_format_converters_match_fixtures(spark, sf_dir, tmp_path):
+    """The 6 remaining raw formats (dragnet/cetd/readability/scrapinghub/
+    googletrends/cleanportaleval): converted plaintext equals the planted
+    truth; scrapinghub page_id is the sha256 of the DECOMPRESSED bytes."""
+    import gzip
+    import hashlib
+    import os
+
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_spark.sources import (
+        raw_datasets as rd,
+    )
+
+    root = str(tmp_path)
+    n = rd.synthesize_dragnet_tree(sf_dir, f"{root}/dg")
+    rd.synthesize_cetd_tree(sf_dir, f"{root}/cetd")
+    rd.synthesize_scrapinghub_tree(sf_dir, f"{root}/sh")
+    rd.synthesize_googletrends_tree(sf_dir, f"{root}/gt")
+
+    docs = {
+        str(r["doc_id"]): r["text"]
+        for r in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()
+        if r["doc_id"] % 7 == 0 and r["doc_id"] % 101 != 0
+    }
+    assert len(docs) == n
+
+    dg = rd.convert_dragnet(
+        spark, f"{root}/dg/HTML", f"{root}/dg/corrected/Corrected"
+    ).collect()
+    assert len(dg) == n
+    assert all(r.plaintext == docs[r.source] for r in dg)
+
+    ct = rd.convert_cetd(spark, f"{root}/cetd").collect()
+    assert len(ct) == n
+    assert all(r.plaintext == docs[r.source.split("_", 1)[1]] for r in ct)
+    assert all(r.source.split("_", 1)[0] in ("BBC", "wiki") for r in ct)
+
+    sh = rd.convert_scrapinghub(spark, f"{root}/sh").collect()
+    assert len(sh) == n
+    assert all(r.plaintext == docs[r.source] for r in sh)
+    one = sh[0]
+    data = gzip.decompress(
+        open(f"{root}/sh/html/{one.source}.html.gz", "rb").read()
+    )
+    assert one.page_id == hashlib.sha256(data).hexdigest()
+
+    gt = rd.convert_googletrends(
+        spark, f"{root}/gt/raw_html", f"{root}/gt/prepared_html"
+    ).collect()
+    assert len(gt) == n
+    assert all(r.plaintext.split("\n", 1)[1] == docs[r.source] for r in gt)
+
+
+def test_key_derivation_and_overlap_guard(spark, tmp_path):
+    """ADVICE r2: compound/uppercase extensions must still key-match, and
+    disjoint key sets must fail loudly instead of silently joining to
+    zero rows."""
+    import gzip
+    import os
+
+    import pytest as _pytest
+
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        assert_key_overlap,
+        read_binary_dir,
+    )
+
+    d = tmp_path / "pages"
+    os.makedirs(d)
+    (d / "page.html.gz").write_bytes(gzip.compress(b"<p>x</p>"))
+    (d / "UPPER.HTML").write_bytes(b"<p>y</p>")
+    keys = {
+        r.source
+        for r in read_binary_dir(spark, str(d), strip_exts=2).collect()
+    }
+    assert keys == {"page", "UPPER"}
+
+    t = tmp_path / "truths"
+    os.makedirs(t)
+    (t / "other.txt").write_bytes(b"z")
+    pages = read_binary_dir(spark, str(d), strip_exts=2)
+    truths = read_binary_dir(spark, str(t))
+    with _pytest.raises(ValueError, match="disjoint"):
+        assert_key_overlap(pages, truths, "unit test")
