@@ -822,24 +822,25 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R29/R30: logistic regression on binarized complexity + metrics
-    (no SQL oracle: iterative ML)."""
+    """R29/R30: the LR classify+metrics tail with a TRUE value oracle —
+    the FROZEN model (trained once via the pyspark.ml path; see
+    complexity_ml.FROZEN_LR) is applied to the deterministic doc_id%7==3
+    test split in exact integer micro-unit arithmetic, so the integer
+    confusion matrix and the metrics derived from it (accuracy/F1/MCC)
+    are engine-independent.  Training itself is iterative and stays
+    pytest-gated (tests/test_ml_and_io.py)."""
     from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        FEATURE_COLS,
+        frozen_lr_metrics,
         html_feature_table,
-        logistic_regression_classify,
     )
 
     pages = synthesize_pages(spark, sf_dir).cache()
-    feats = html_feature_table(pages)
-    compl = page_complexity(pages, truth_table(pages))
-    _, metrics = logistic_regression_classify(feats, compl, threshold=0.1)
-    return spark.createDataFrame(
-        [(
-            float(metrics["accuracy"]), float(metrics["f1"]),
-            float(metrics["mcc"]), int(metrics["n_test"]),
-        )],
-        "accuracy double, f1 double, mcc double, n_test long",
+    feats = html_feature_table(pages).select(
+        "url", *[F.round(c, 6).alias(c) for c in FEATURE_COLS]
     )
+    compl = page_complexity(pages, truth_table(pages))
+    return frozen_lr_metrics(feats, compl, pages.select("url", "doc_id"))
 
 
 def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1205,7 +1206,7 @@ def oracle_sql() -> dict[str, str]:
         html_sql,
     )
 
-    feature_exprs = []
+    feature_expr: dict[str, str] = {}
     for col in FEATURE_COLS:
         if col == "html_to_non_html":
             whens = " ".join(
@@ -1221,13 +1222,81 @@ def oracle_sql() -> dict[str, str]:
                 f" / {VARIANT_TAG_COUNTS[v][0]}, 6)"
                 for v in range(5)
             )
-        feature_exprs.append(
-            f"CASE WHEN doc_id % 101 = 0 THEN 0.0 {whens} END AS {col}"
-        )
+        feature_expr[col] = f"CASE WHEN doc_id % 101 = 0 THEN 0.0 {whens} END"
     html_features_sql = (
-        f"SELECT {URL_SQL} AS url, " + ", ".join(feature_exprs)
+        f"SELECT {URL_SQL} AS url, "
+        + ", ".join(f"{expr} AS {col}" for col, expr in feature_expr.items())
         + " FROM documents"
     )
+
+    # Frozen-LR mirror: same integer micro-unit margin over the same
+    # 6-decimal-rounded feature formulas, same metric derivations.
+    from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        FROZEN_LR,
+    )
+
+    _u = 1_000_000
+    margin_terms = [
+        f"CAST({int(round(FROZEN_LR['bias'] * _u))} AS BIGINT) * {_u}"
+    ]
+    for col, w in sorted(FROZEN_LR["weights"].items()):
+        margin_terms.append(
+            f"CAST(round(({feature_expr[col]}) * {_u}, 0) AS BIGINT) "
+            f"* ({int(round(w * _u))})"
+        )
+    lr_sql = f"""
+        WITH t AS (
+            SELECT doc_id, {_TRUTH_TOKENS_SQL} AS tt, {_SRC_TOKENS_SQL} AS ss,
+                   {" + ".join(margin_terms)} AS margin
+            FROM documents
+            WHERE doc_id % {FROZEN_LR['test_mod']} = {FROZEN_LR['test_rem']}
+        ),
+        lab AS (
+            SELECT CASE WHEN ss = 0 THEN 1
+                        WHEN round(1.0 - least(1.0, greatest(0.0,
+                             CAST(tt AS DOUBLE) / ss)), 6)
+                             >= {FROZEN_LR['threshold']} THEN 1
+                        ELSE 0 END AS label,
+                   CASE WHEN margin > 0 THEN 1 ELSE 0 END AS pred
+            FROM t
+        ),
+        cm AS (
+            SELECT count(*) AS n_test,
+                   CAST(sum(label * pred) AS BIGINT) AS tp,
+                   CAST(sum((1 - label) * pred) AS BIGINT) AS fp,
+                   CAST(sum(label * (1 - pred)) AS BIGINT) AS fn,
+                   CAST(sum((1 - label) * (1 - pred)) AS BIGINT) AS tn
+            FROM lab
+        )
+        SELECT n_test, tp, fp, fn, tn,
+               round(CAST(tp + tn AS DOUBLE) / n_test, 6) AS accuracy,
+               round(CASE WHEN (CASE WHEN tp + fp > 0
+                                THEN CAST(tp AS DOUBLE) / (tp + fp)
+                                ELSE 0 END)
+                        + (CASE WHEN tp + fn > 0
+                                THEN CAST(tp AS DOUBLE) / (tp + fn)
+                                ELSE 0 END) > 0
+                     THEN 2 * (CASE WHEN tp + fp > 0
+                               THEN CAST(tp AS DOUBLE) / (tp + fp)
+                               ELSE 0 END)
+                            * (CASE WHEN tp + fn > 0
+                               THEN CAST(tp AS DOUBLE) / (tp + fn)
+                               ELSE 0 END)
+                          / ((CASE WHEN tp + fp > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fp)
+                              ELSE 0 END)
+                           + (CASE WHEN tp + fn > 0
+                              THEN CAST(tp AS DOUBLE) / (tp + fn)
+                              ELSE 0 END))
+                     ELSE 0.0 END, 6) AS f1,
+               round(CASE WHEN (tp + fp) * (tp + fn) * (tn + fp) * (tn + fn)
+                               > 0
+                     THEN (CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+                          / sqrt(CAST((tp + fp) AS DOUBLE) * (tp + fn)
+                                 * (tn + fp) * (tn + fn))
+                     ELSE 0.0 END, 6) AS mcc
+        FROM cm
+    """
 
     from web_content_extraction_benchmark_spark.sources.raw_datasets import (
         l3s_original_sql,
@@ -1284,6 +1353,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents WHERE doc_id % 103 != 0"
         ),
         "html_features": html_features_sql,
+        "lr_classify": lr_sql,
         # one row per (model, url): the 7 per-family byte-identity
         # formulas unioned (folded from 7 r2 queries)
         "extract_all_models": " UNION ALL ".join(

@@ -83,6 +83,93 @@ def kmeans_complexity_clusters(features: DataFrame,
     return out.select("url", "dataset", "kmeans_label", "quantile_label")
 
 
+# Frozen logistic model for the ORACLED classify+metrics tail: trained
+# once through the pyspark.ml path below (sf0.01 train split, maxIter=200,
+# regParam=0.01, raw 6-decimal-rounded features), coefficients exported
+# and pinned.  Training is iterative (no SQL oracle possible — R29 stays
+# pytest-gated); APPLYING a pinned linear model is pure arithmetic, and in
+# integer micro-units it is bit-reproducible across engines, which is
+# what gives lr_classify a hash-green driver row (VERDICT r2 item 6).
+# Zero-weight features are omitted.
+FROZEN_LR: dict = {
+    "version": "lr-complexity-v1",
+    "threshold": 0.05,       # binarize: round(complexity, 6) >= threshold
+    "test_mod": 7,           # test split: doc_id % 7 == 3 (co-prime with
+    "test_rem": 3,           # the 5-way template-variant mod)
+    "weights": {
+        "h1": 13.779857,
+        "p": -4.828841,
+        "li": 7.814531,
+        "a": 7.54612,
+        "div": -5.3771,
+        "html_to_non_html": 3.653948,
+    },
+    "bias": 0.92988,
+}
+
+_U = 1_000_000  # micro-units
+
+
+def frozen_lr_margin_units(spec: dict = FROZEN_LR):
+    """Integer micro-unit margin column builder: features and weights are
+    rounded to 6 decimals, scaled to BIGINT, and combined with exact
+    integer arithmetic — sign(margin) is engine-independent (float dot
+    products could flip a knife-edge prediction between engines)."""
+    margin = F.lit(int(round(spec["bias"] * _U)) * _U)
+    for col, w in sorted(spec["weights"].items()):
+        wu = int(round(w * _U))
+        margin = margin + (
+            F.round(F.col(col) * _U, 0).cast("long") * F.lit(wu)
+        )
+    return margin
+
+
+def frozen_lr_metrics(features: DataFrame, complexity: DataFrame,
+                      doc_ids: DataFrame,
+                      spec: dict = FROZEN_LR) -> DataFrame:
+    """Apply the frozen model to the deterministic test split and emit one
+    row: integer confusion matrix + metrics derived from those integers
+    (reference complexity.py:301-311 metric set incl. MCC).  Everything
+    stays in the plan — no driver collect."""
+    data = (
+        features.join(
+            complexity.select(
+                "url",
+                (F.round("complexity", 6) >= spec["threshold"])
+                .cast("int").alias("label"),
+            ),
+            "url",
+        )
+        .join(doc_ids, "url")
+        .filter(F.col("doc_id") % spec["test_mod"] == spec["test_rem"])
+    )
+    pred = (frozen_lr_margin_units(spec) > 0).cast("int")
+    cm = data.select(F.col("label"), pred.alias("pred")).agg(
+        F.count("*").alias("n_test"),
+        F.sum(F.col("label") * F.col("pred")).alias("tp"),
+        F.sum((1 - F.col("label")) * F.col("pred")).alias("fp"),
+        F.sum(F.col("label") * (1 - F.col("pred"))).alias("fn"),
+        F.sum((1 - F.col("label")) * (1 - F.col("pred"))).alias("tn"),
+    )
+    tp, fp = F.col("tp").cast("double"), F.col("fp").cast("double")
+    fn, tn = F.col("fn").cast("double"), F.col("tn").cast("double")
+    prec = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    rec = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    denom = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
+    return cm.select(
+        "n_test", "tp", "fp", "fn", "tn",
+        F.round((tp + tn) / F.col("n_test"), 6).alias("accuracy"),
+        F.round(
+            F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
+            .otherwise(F.lit(0.0)), 6
+        ).alias("f1"),
+        F.round(
+            F.when(denom > 0, (tp * tn - fp * fn) / denom)
+            .otherwise(F.lit(0.0)), 6
+        ).alias("mcc"),
+    )
+
+
 def logistic_regression_classify(features: DataFrame,
                                  complexity: DataFrame,
                                  threshold: float,
