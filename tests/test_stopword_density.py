@@ -118,3 +118,35 @@ def test_link_density_counts_chars_not_words():
     )
     out = extract_stopword_density(html)
     assert "supercalifragilistic" not in out
+
+
+def test_link_density_uses_squeezed_link_text():
+    """Whitespace-heavy anchor text must not inflate link density past
+    what the squeezed paragraph length supports (ADVICE r2): the ratio is
+    squeezed-link-chars / squeezed-paragraph-chars, never > 1."""
+    from web_content_extraction_benchmark_spark.extractors.stopword_density import (
+        _context_free_class,
+        _paragraphs,
+    )
+    from web_content_extraction_benchmark_spark.dom import (
+        body_or_root,
+        parse_html,
+    )
+    from web_content_extraction_benchmark_spark.textutils import squeeze_ws
+
+    words = "the of and to a in that it was for on are with as his they at"
+    html = (
+        "<html><body><p>"
+        f"<a href='/x'>link   \n\n   text      here</a> {words} {words}"
+        "</p></body></html>"
+    )
+    paras = _paragraphs(body_or_root(parse_html(html)))
+    assert len(paras) == 1
+    raw, link_chars = paras[0]
+    text = squeeze_ws(raw)
+    assert link_chars == len("link text here")
+    assert link_chars / len(text) <= 1.0
+    # 14 squeezed link chars over a long stopword-dense paragraph: the
+    # raw count (26 chars incl. the whitespace run) would not change the
+    # verdict here, but the ratio itself must be the squeezed one
+    assert _context_free_class(text, link_chars) in ("good", "near_good")

@@ -53,27 +53,30 @@ GOOD, BAD, SHORT, NEAR_GOOD = "good", "bad", "short", "near_good"
 def _paragraphs(body: Node) -> list[tuple[str, int]]:
     """(raw_text, linked_char_count) per block paragraph.
 
-    Link chars are counted on the raw text nodes inside <a> subtrees,
-    mirroring justext's charsCountInLinks accumulation."""
+    Link chars are counted on WHITESPACE-SQUEEZED text inside <a>
+    subtrees — the justext package normalizes each appended chunk before
+    accumulating charsCountInLinks, so counting raw chars against the
+    squeezed paragraph length would inflate the ratio (past 1.0 on
+    whitespace-heavy anchors) and flip paragraphs to BAD that justext
+    keeps (ADVICE r2)."""
     out: list[tuple[str, int]] = []
     parts: list[str] = []
-    link_chars = 0
+    link_parts: list[str] = []
 
     def flush() -> None:
-        nonlocal parts, link_chars
+        nonlocal parts, link_parts
         raw = "".join(parts)
         if raw.strip():
-            out.append((raw, link_chars))
+            out.append((raw, len(squeeze_ws("".join(link_parts)))))
         parts = []
-        link_chars = 0
+        link_parts = []
 
     def walk(node: Node, in_link: bool) -> None:
-        nonlocal link_chars
         for child in node.children:
             if child.is_text:
                 parts.append(child.text)
                 if in_link:
-                    link_chars += len(child.text)
+                    link_parts.append(child.text)
             elif child.tag in NON_TEXT_ELEMENTS:
                 continue
             elif child.tag in BLOCK_ELEMENTS:

@@ -172,8 +172,16 @@ _CANDIDATES: list[tuple[str, Callable[[str], str], tuple[str, ...]]] = [
     ("newspaper3k", extract_newspaper3k, ("newspaper",)),
     ("dragnet", extract_dragnet, ("dragnet",)),
     ("extractnet", extract_extractnet, ("extractnet",)),
-    ("boilernet", extract_boilernet, ("tensorflow",)),
-    ("web2text", extract_web2text, ("tensorflow",)),
+    # Model-artifact-dependent families (boilernet/web2text need bundled
+    # trained checkpoints, go_domdistiller a Go sidecar binary): gated on
+    # a sentinel that never resolves so they can NOT register as runnable
+    # via a mere package import — on a TF-equipped cluster their wrappers
+    # would otherwise enter every all-registry sweep and record 100%
+    # error rows (ADVICE r2).  They still appear in third_party_status()
+    # listings as unavailable; the deployment pattern itself is
+    # demonstrated with a real frozen model in extractors/neural.py.
+    ("boilernet", extract_boilernet, ("__model_artifact_missing__",)),
+    ("web2text", extract_web2text, ("__model_artifact_missing__",)),
     ("go_domdistiller", extract_go_domdistiller, ("__never__",)),
 ]
 

@@ -38,22 +38,25 @@ def export_report(agg_df: DataFrame, out_dir: str,
     and ``<name>.md`` under ``out_dir``.  Row order is canonicalized by
     sorting on all columns so exports are reproducible.  Returns the
     written paths."""
+    import csv
+
     os.makedirs(out_dir, exist_ok=True)
     cols = agg_df.columns
+    # None-safe canonical order (None is not orderable against non-None
+    # in Python; ADVICE r2), then RFC-4180 CSV via csv.writer (doubled
+    # quotes, embedded newlines handled).
     rows = [
         [_fmt(v) for v in row]
-        for row in sorted(tuple(r) for r in agg_df.collect())
+        for row in sorted(
+            (tuple(r) for r in agg_df.collect()),
+            key=lambda row: [(v is None, str(v)) for v in row],
+        )
     ]
     csv_path = os.path.join(out_dir, f"{name}.csv")
-    with open(csv_path, "w", encoding="utf-8") as f:
-        f.write(",".join(cols) + "\n")
-        for row in rows:
-            f.write(
-                ",".join(
-                    f'"{v}"' if ("," in v or '"' in v) else v for v in row
-                )
-                + "\n"
-            )
+    with open(csv_path, "w", encoding="utf-8", newline="") as f:
+        writer = csv.writer(f, lineterminator="\n")
+        writer.writerow(cols)
+        writer.writerows(rows)
     md_path = os.path.join(out_dir, f"{name}.md")
     with open(md_path, "w", encoding="utf-8") as f:
         f.write("| " + " | ".join(cols) + " |\n")
