@@ -51,17 +51,39 @@ from web_content_extraction_benchmark_spark.sources.pages import (  # noqa: E402
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/wceb_bench")
 
 
-def _pages_parquet(spark, sf_dir: str, replicate: int, cpus: int) -> str:
+def _pages_parquet(spark, sf_dir: str, replicate: int,
+                   cpus: int) -> tuple[str, bool]:
+    """Returns (path, was_cold): synthesis is input preparation, not the
+    measured engine — cold/warm state is recorded in the bench JSON so a
+    driver run on a fresh /tmp is attributable."""
     tag = f"{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}"
     path = os.path.join(CACHE_ROOT, tag, "pages")
     marker = os.path.join(CACHE_ROOT, tag, "_done")
-    if not os.path.exists(marker):
+    was_cold = not os.path.exists(marker)
+    if was_cold:
         df = synthesize_pages(spark, sf_dir, replicate=replicate,
                               partitions=cpus * 2)
         df.write.mode("overwrite").parquet(path)
         with open(marker, "w") as f:
             f.write("ok")
-    return path
+    return path, was_cold
+
+
+def _cleaneval_tree(sf_dir: str) -> tuple[str, bool]:
+    """On-disk CleanEval-style raw tree for the ingestion query (q10)."""
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        synthesize_cleaneval_tree,
+    )
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    out = f"/tmp/wceb_raw/cleaneval_{tag}_full"
+    marker = os.path.join(out, "_done")
+    was_cold = not os.path.exists(marker)
+    if was_cold:
+        synthesize_cleaneval_tree(sf_dir, out, mod=1)  # every non-empty doc
+        with open(marker, "w") as f:
+            f.write("ok")
+    return out, was_cold
 
 
 def _wait_for_quiet_host(max_wait_sec: int, load_threshold: float) -> float:
@@ -93,7 +115,9 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
-    pages_path = _pages_parquet(spark, sf_dir, replicate, cpus)
+    pages_path, pages_cache_cold = _pages_parquet(spark, sf_dir, replicate,
+                                                  cpus)
+    raw_tree, raw_tree_cold = _cleaneval_tree(sf_dir)
     pages = spark.read.parquet(pages_path)
     n_pages = pages.count()
 
@@ -156,7 +180,12 @@ def main() -> None:
         ).filter(F.length("text") > 0)
         return drop_exact_duplicates(docs, id_col="doc_id").persist()
 
+    # MATERIALIZE the persisted dedup input during warm-up: q4 times the
+    # LSH operator, not the upstream exact-dedup window shuffle (the r2
+    # driver bench charged q4 for this cold materialization — BENCH_r02
+    # q4 10.2 s vs same-day warm runs at ~5 s).
     unique_docs = _unique_docs()
+    n_unique = unique_docs.count()
 
     def q4():
         minhash_lsh_pairs(unique_docs, id_col="doc_id",
@@ -219,6 +248,21 @@ def main() -> None:
             F.median("l_discount"),
         ).collect()
 
+    # q10: raw-format ingestion — binaryFile scan -> decode (gzip/BOM
+    # rows included) -> CleanEval unwrap + truth derivation -> whitelist
+    # join (the S1 path at sf volume)
+    def q10():
+        from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+            convert_cleaneval,
+        )
+
+        out = convert_cleaneval(spark, f"{raw_tree}/orig",
+                                f"{raw_tree}/clean")
+        out.agg(
+            F.count("*"), F.sum(F.length("html")),
+            F.sum(F.length("plaintext")),
+        ).collect()
+
     timed("q1_extract_main", q1)
     timed("q2_extract_multi3", q2)
     timed("q3_extract_score_agg", q3)
@@ -229,6 +273,7 @@ def main() -> None:
     timed("q7_ensemble_vote", q7)
     timed("q8_sessionize", q8)
     timed("q9_rollup_agg", q9)
+    timed("q10_convert_cleaneval", q10)
     unique_docs.unpersist()
 
     docs_per_sec = round(n_pages / timings["q1_extract_main"], 1)
@@ -242,8 +287,14 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf,
                 "n_pages": n_pages,
+                "n_unique_docs": n_unique,
                 "cpus": cpus,
                 "total_sec": total,
+                # cache provenance: True means this run paid one-time
+                # input synthesis OUTSIDE the timed queries (q4's dedup
+                # materialization is always in the warm-up now)
+                "pages_cache_cold": pages_cache_cold,
+                "raw_tree_cold": raw_tree_cold,
                 # NB: only the START reading is a tenant-load signal — a
                 # reading taken at the end is dominated by this bench's
                 # own local[32] threads winding down.
