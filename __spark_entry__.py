@@ -404,8 +404,27 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pipe_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E6 deployment-pattern demo: extraction through an EXTERNAL
+    per-partition sidecar process (rdd.pipe, JSONL protocol) — the
+    DOM-Distiller-binary shape, one process per partition instead of the
+    reference's fork-per-document.  The stand-in executable applies this
+    engine's plain extractor, so PLAIN_SQL is a true value oracle of the
+    whole pipe round-trip (base64 -> sidecar -> JSONL parse)."""
+    from web_content_extraction_benchmark_spark.extractors.sidecar import (
+        sidecar_extract,
+        stub_sidecar_command,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    command, env = stub_sidecar_command()
+    return sidecar_extract(pages, command, env=env)
+
+
 def q_hourly_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tumbling 1h windows over events (streaming-equivalent batch plan)."""
+    """Tumbling 1h windows over events (streaming-equivalent batch plan;
+    driver row carried by stream_hourly, whose oracle is identical —
+    stream==batch is pinned by tests/test_streaming.py)."""
     events = _events(spark, sf_dir)
     out = windowed_event_counts(events, "1 hour")
     return out.select(
@@ -1077,7 +1096,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "percentiles": q_percentiles,
         "topk_window": q_topk_window,
         "conditional_agg": q_conditional_agg,
-        "hourly_windows": q_hourly_windows,
+        "pipe_extract": q_pipe_extract,
         "json_extract": q_json_extract,
         "dedup_exact": q_dedup_exact,
         "minhash_signatures": q_minhash_signatures,
@@ -1373,6 +1392,10 @@ def oracle_sql() -> dict[str, str]:
         "neural_extract": (
             f"SELECT {URL_SQL} AS url, {GOLD_SQL} AS plaintext FROM documents"
         ),
+        # E6 sidecar stand-in == plain extractor through the pipe protocol
+        "pipe_extract": (
+            f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
+        ),
         # majority_join (threshold 1) == plain full text (plain's answer
         # contains every window); majority2 (threshold 2) drops the
         # boilerplate only plain supports; 'best' (mc/readability/bte,
@@ -1561,13 +1584,7 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 6) AS sum_value
             FROM events GROUP BY event_type
         """,
-        "hourly_windows": """
-            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
-                       AS window_start,
-                   event_type, count(*) AS n_events,
-                   round(sum(value), 6) AS sum_value
-            FROM events GROUP BY 1, 2
-        """,
+
         "stream_hourly": """
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
                        AS window_start,
