@@ -34,6 +34,7 @@ def main() -> None:
         simhash64_col,
     )
     from web_content_extraction_benchmark_spark.operators.similarity import (
+        embedding_near_duplicates,
         ivf_cosine_topk,
         lsh_cosine_topk,
     )
@@ -113,6 +114,31 @@ def main() -> None:
             "Catalyst cell assignment (centroid literals), equi join on "
             "cell id, exact re-rank",
             ivf_cosine_topk(emb, queries, k=5, n_cells=8, n_probe=2),
+        ),
+        (
+            "ANN IVF top-k, broadcast codebook (96 cells)",
+            "one broadcast codebook row (BroadcastNestedLoopJoin of 1 "
+            "row) + higher-order argmin: plan size O(1) in n_cells — no "
+            "literal explosion, no shuffle, no window in assignment",
+            ivf_cosine_topk(emb, queries, k=5, n_cells=96, n_probe=24),
+        ),
+        (
+            "embedding near-duplicate pairs",
+            "LSH candidates -> exact cosine -> constant-threshold "
+            "filter: NO Window/rank node (near-dup needs no top-k sort)",
+            embedding_near_duplicates(emb, threshold=0.9, dim=64),
+        ),
+        (
+            "ensemble vote join (S11 preloaded-answers path)",
+            "ONE groupBy(url) Exchange carrying rendered text only — "
+            "raw html never enters an Exchange",
+            __import__(
+                "web_content_extraction_benchmark_spark.plans.pipeline",
+                fromlist=["ensemble_answers"],
+            ).ensemble_answers(
+                extract_answers(pages, ["main_content", "plain"]),
+                ["main_content", "plain"],
+            ),
         ),
     ]
 
