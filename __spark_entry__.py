@@ -292,15 +292,28 @@ def q_page_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_complexity_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_quantiles_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R14/R17 folded: per-dataset complexity quantiles (incl. the _all
+    rollup) UNION per-returnflag lineitem price quantiles — the same
+    exact interpolated-percentile operator over both a derived and a raw
+    table, one row per (src, grp)."""
+    qcols = ("q25", "q33", "q50", "q66", "q75")
     pages = synthesize_pages(spark, sf_dir)
     compl = page_complexity(pages, truth_table(pages))
     compl = compl.withColumn("complexity", F.round("complexity", 6))
-    q = complexity_quantiles(compl)
-    return q.select(
-        "dataset",
-        *[F.round(c, 6).alias(c) for c in ("q25", "q33", "q50", "q66", "q75")],
+    a = complexity_quantiles(compl).select(
+        F.lit("complexity").alias("src"),
+        F.col("dataset").alias("grp"),
+        *[F.round(c, 6).alias(c) for c in qcols],
     )
+    lineitem = _tpch(spark, sf_dir, "lineitem")
+    b = lineitem.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        *[
+            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(c)
+            for c, p in zip(qcols, (0.25, 0.33, 0.50, 0.66, 0.75))
+        ]
+    ).select(F.lit("lineitem_price").alias("src"), "grp", *qcols)
+    return a.unionByName(b)
 
 
 def q_complexity_band_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -363,19 +376,6 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
             F.round(F.median("l_discount"), 6).alias("median_disc"),
         )
-    )
-
-
-def q_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R14/R17: exact interpolated percentiles per group."""
-    lineitem = _tpch(spark, sf_dir, "lineitem")
-    return lineitem.groupBy("l_returnflag").agg(
-        *[
-            F.round(F.percentile("l_extendedprice", F.lit(p)), 6).alias(
-                f"p{int(p * 100)}"
-            )
-            for p in (0.25, 0.5, 0.75)
-        ]
     )
 
 
@@ -478,6 +478,50 @@ def q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     )
+
+
+def _chain_corpus(docs: DataFrame) -> DataFrame:
+    """docs (doc_id % 25 == 0) plus two word-prefix mutants per doc at
+    0.9n and 0.81n words: shingle-Jaccard(A,B) and (B,C) clear 0.85 while
+    (A,C) does not — so the cluster {A,B,C} exists only through the
+    TRANSITIVE closure, which is what q_neardup_clusters proves.  (Short
+    docs where the fractions collapse are fine: the oracle recomputes the
+    same pairs, whatever they are.)"""
+    words = F.split(F.col("text"), " ")
+    n = F.size(words)
+
+    def prefix(frac: float, offset: int) -> DataFrame:
+        take = F.floor(F.lit(frac) * n).cast("int")
+        return docs.select(
+            (F.col("doc_id") + offset).alias("doc_id"),
+            F.concat_ws(" ", F.slice(words, 1, take)).alias("text"),
+        )
+
+    return (
+        docs.select("doc_id", "text")
+        .unionByName(prefix(0.9, 4_000_000))
+        .unionByName(prefix(0.81, 8_000_000))
+    )
+
+
+def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIR RESOLUTION: ngram-Jaccard pairs (threshold 0.85)
+    over a planted A-B-C chain corpus -> connected components ->
+    (doc_id, component=min member).  A and C share a cluster despite no
+    direct edge — the transitive step a deduplicated corpus needs; the
+    DuckDB mirror recomputes the same pairs and closes them with a
+    recursive CTE."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
+        F.col("doc_id") % 25 == 0
+    )
+    corpus = _chain_corpus(docs)
+    pairs = ngram_jaccard_pairs(corpus, threshold=0.85)
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    comp = connected_components(pairs)
+    return comp.select(F.col("id").alias("doc_id"), "component")
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1077,6 +1121,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # new / folded this round
         "convert_raw_formats": q_convert_raw_formats,
         "neural_extract": q_neural_extract,
+        "neardup_clusters": q_neardup_clusters,
         "extract_all_models": q_extract_all_models,
         "ensemble_variants": q_ensemble_variants,
         "convert_cleaneval": q_convert_cleaneval,
@@ -1087,13 +1132,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "score_rouge": q_score_rouge,
         "agg_scores": q_agg_scores,
         "page_complexity": q_page_complexity,
-        "complexity_quantiles": q_complexity_quantiles,
+        "quantiles_all": q_quantiles_all,
         "complexity_band_counts": q_complexity_band_counts,
         "join_agg": q_join_agg,
         "semi_join": q_semi_join,
         "anti_join": q_anti_join,
         "rollup_agg": q_rollup_agg,
-        "percentiles": q_percentiles,
         "topk_window": q_topk_window,
         "conditional_agg": q_conditional_agg,
         "pipe_extract": q_pipe_extract,
@@ -1196,6 +1240,57 @@ def oracle_sql() -> dict[str, str]:
     WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
           (za.n + zb.n - coalesce(i.n_inter, 0)) >= 0.6
     """
+
+    # A-B-C prefix-chain corpus for the cluster-resolution oracle: pairs
+    # at 0.85 recomputed exactly, then closed transitively with a
+    # recursive CTE (mirrors connected_components min-label semantics).
+    _chain_sql = """
+    SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 4000000,
+           array_to_string(string_split(text, ' ')[1:CAST(
+               floor(0.9 * len(string_split(text, ' '))) AS INT)], ' ')
+    FROM documents WHERE doc_id % 25 = 0
+    UNION ALL
+    SELECT doc_id + 8000000,
+           array_to_string(string_split(text, ' ')[1:CAST(
+               floor(0.81 * len(string_split(text, ' '))) AS INT)], ' ')
+    FROM documents WHERE doc_id % 25 = 0
+    """
+    neardup_clusters_sql = (
+        _SHINGLES_SQL.format(mutants=_chain_sql).replace(
+            "WITH corpus", "WITH RECURSIVE corpus", 1
+        )
+        + """,
+    sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT i.id_a, i.id_b
+        FROM inter i
+        JOIN sizes za ON za.doc_id = i.id_a
+        JOIN sizes zb ON zb.doc_id = i.id_b
+        WHERE CAST(i.n_inter AS DOUBLE) / (za.n + zb.n - i.n_inter) >= 0.85
+          AND zb.n >= za.n * 0.85 AND zb.n <= za.n / 0.85
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a
+    )
+    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    FROM reach GROUP BY id
+    """
+    )
 
     ngram_pairs_sql = f"""
     {shingles_mutants},
@@ -1508,9 +1603,9 @@ def oracle_sql() -> dict[str, str]:
                    round(median(median_dist), 6) FROM per_ds
         """,
         "page_complexity": _COMPLEXITY_SQL,
-        "complexity_quantiles": f"""
+        "quantiles_all": f"""
             WITH c AS ({_COMPLEXITY_SQL})
-            SELECT dataset,
+            SELECT 'complexity' AS src, dataset AS grp,
                    round(quantile_cont(complexity, 0.25), 6) AS q25,
                    round(quantile_cont(complexity, 0.33), 6) AS q33,
                    round(quantile_cont(complexity, 0.50), 6) AS q50,
@@ -1518,13 +1613,23 @@ def oracle_sql() -> dict[str, str]:
                    round(quantile_cont(complexity, 0.75), 6) AS q75
             FROM c GROUP BY dataset
             UNION ALL
-            SELECT '_all', round(quantile_cont(complexity, 0.25), 6),
+            SELECT 'complexity', '_all',
+                   round(quantile_cont(complexity, 0.25), 6),
                    round(quantile_cont(complexity, 0.33), 6),
                    round(quantile_cont(complexity, 0.50), 6),
                    round(quantile_cont(complexity, 0.66), 6),
                    round(quantile_cont(complexity, 0.75), 6)
             FROM c
+            UNION ALL
+            SELECT 'lineitem_price', l_returnflag,
+                   round(quantile_cont(l_extendedprice, 0.25), 6),
+                   round(quantile_cont(l_extendedprice, 0.33), 6),
+                   round(quantile_cont(l_extendedprice, 0.50), 6),
+                   round(quantile_cont(l_extendedprice, 0.66), 6),
+                   round(quantile_cont(l_extendedprice, 0.75), 6)
+            FROM lineitem GROUP BY l_returnflag
         """,
+        "neardup_clusters": neardup_clusters_sql,
         "complexity_band_counts": f"""
             WITH c AS ({_COMPLEXITY_SQL})
             SELECT dataset,
@@ -1562,13 +1667,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
         """,
-        "percentiles": """
-            SELECT l_returnflag,
-                   round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
-                   round(quantile_cont(l_extendedprice, 0.50), 6) AS p50,
-                   round(quantile_cont(l_extendedprice, 0.75), 6) AS p75
-            FROM lineitem GROUP BY l_returnflag
-        """,
+
         "topk_window": """
             SELECT s_nationkey, s_suppkey, CAST(rnk AS INT) AS rnk FROM (
                 SELECT s_nationkey, s_suppkey,

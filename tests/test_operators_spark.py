@@ -298,3 +298,37 @@ def test_ivf_broadcast_codebook_recall(spark, sf_dir):
     approx_df = ivf_cosine_topk(emb, queries, k=5, n_cells=256, n_probe=64)
     approx = {(r.query_id, r.neighbor_id) for r in approx_df.collect()}
     assert len(exact & approx) / len(exact) >= 0.6
+
+
+def test_connected_components_transitive(spark):
+    """Pair resolution must close transitively: chain edges A-B, B-C
+    (no A-C) collapse into one component labeled by the min id; long
+    chains converge within the iteration budget."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23),
+             (23, 24)] + [(100 + i, 101 + i) for i in range(15)]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert all(got[20 + i] == 20 for i in range(5))
+    assert all(got[100 + i] == 100 for i in range(16))  # 15-hop chain
+    assert set(got) == {e for ab in edges for e in ab}
+
+
+def test_drop_near_duplicates_keeps_one_per_cluster(spark, docs):
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        drop_near_duplicates,
+    )
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 30)
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "id_a long, id_b long"
+    )
+    kept = {r.doc_id for r in drop_near_duplicates(base, pairs).collect()}
+    assert 0 in kept and 5 in kept            # canonical minima survive
+    assert {1, 2, 6}.isdisjoint(kept)         # cluster losers dropped
+    assert all(i in kept for i in range(7, 30))  # untouched docs stay

@@ -398,3 +398,85 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pair resolution: near-dup PAIRS -> clusters -> canonical winners.  The
+# reference stops at pair detection; an actually deduplicated training
+# corpus needs the transitive closure (A~B, B~C => drop two of three even
+# when A~C is below threshold).
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a",
+                         id_b: str = "id_b",
+                         max_iterations: int = 25) -> DataFrame:
+    """(id, component) for every node in ``pairs``; component = min
+    member id — the canonical representative.
+
+    Min-label propagation: every node starts labeled with itself, labels
+    flow across edges each round, nodes keep the min; converges in
+    <= cluster-diameter rounds.  Near-dup clusters in web corpora have
+    tiny diameters (duplicate chains of 2-5 documents), so plain
+    propagation with an early-exit convergence check is the right
+    default over the alternating-star dance; each round is one equi-join
+    + min-aggregate shuffle carrying (id, long) rows only.  The loop is
+    driver-side but each convergence probe is a single exact aggregate
+    (decimal sum of labels, monotonically decreasing) — no row data ever
+    reaches the driver.
+
+    Each round's labels are ``localCheckpoint``-ed: iterative plans
+    otherwise NEST one round's lineage inside the next and the
+    analyzer/driver heap blows up long before the data does (observed at
+    ~15 rounds even on toy edges).  On a real cluster with executor
+    churn, swap in reliable ``checkpoint()`` against the job's
+    checkpoint dir — same plan shape, fault-tolerant storage.
+    """
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
+    )
+    edges = sym.unionByName(
+        sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).distinct().persist()
+    labels = (
+        edges.select(F.col("a").alias("id")).distinct()
+        .select("id", F.col("id").alias("component"))
+        .localCheckpoint()
+    )
+
+    def label_sum(lbl: DataFrame):
+        # exact, overflow-free convergence metric (ANSI mode throws on
+        # long overflow; decimal(38,0) sums are exact)
+        return lbl.agg(
+            F.sum(F.col("component").cast("decimal(38,0)"))
+        ).collect()[0][0]
+
+    current = label_sum(labels)
+    for _ in range(max_iterations):
+        propagated = edges.join(labels, edges.a == labels.id).select(
+            F.col("b").alias("id"), "component"
+        )
+        new_labels = (
+            labels.unionByName(propagated)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+            .localCheckpoint()
+        )
+        new_sum = label_sum(new_labels)
+        labels = new_labels
+        if new_sum == current:
+            break
+        current = new_sum
+    edges.unpersist()
+    return labels
+
+
+def drop_near_duplicates(docs: DataFrame, pairs: DataFrame,
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical document (the min id) per near-dup cluster:
+    resolve pairs to components, anti-join the non-canonical members."""
+    components = connected_components(pairs)
+    losers = components.filter(F.col("id") != F.col("component")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
