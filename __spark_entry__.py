@@ -868,20 +868,26 @@ def q_ensemble_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R26/R27: StandardScaler + KMeans(k=2) with quantile label-flip
-    (no SQL oracle: iterative ML)."""
+    """R27 cluster assignment with a TRUE value oracle — the FROZEN
+    aligned codebook (trained once via the pyspark.ml path; see
+    complexity_ml.FROZEN_KMEANS, label-flip applied at freeze time) is
+    applied by exact integer micro-unit L2 argmin, so the
+    (kmeans_label, quantile_label) confusion counts are
+    engine-independent.  Training itself (R26 scaler / R27 KMeans /
+    R28 PCA) is iterative and stays pytest-gated
+    (tests/test_ml_and_io.py)."""
     from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        FEATURE_COLS,
+        frozen_kmeans_confusion,
         html_feature_table,
-        kmeans_complexity_clusters,
     )
 
     pages = synthesize_pages(spark, sf_dir).cache()
-    feats = html_feature_table(pages)
-    compl = page_complexity(pages, truth_table(pages))
-    out = kmeans_complexity_clusters(feats, compl, threshold=0.1)
-    return out.groupBy("kmeans_label", "quantile_label").agg(
-        F.count("*").alias("n")
+    feats = html_feature_table(pages).select(
+        "url", *[F.round(c, 6).alias(c) for c in FEATURE_COLS]
     )
+    compl = page_complexity(pages, truth_table(pages))
+    return frozen_kmeans_confusion(feats, compl)
 
 
 def q_lr_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1412,6 +1418,45 @@ def oracle_sql() -> dict[str, str]:
         FROM cm
     """
 
+    # Frozen-kmeans mirror: exact integer micro-unit squared L2 to the
+    # pinned aligned centroids, ties -> cluster 0 (same as Spark's <=).
+    from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        FROZEN_KMEANS,
+    )
+
+    def _km_dist_sql(centroid: list[float]) -> str:
+        terms = []
+        for col, c in zip(FEATURE_COLS, centroid):
+            d = (
+                f"(CAST(round(({feature_expr[col]}) * {_u}, 0) AS BIGINT)"
+                f" - CAST({int(round(c * _u))} AS BIGINT))"
+            )
+            terms.append(f"{d} * {d}")
+        return " + ".join(terms)
+
+    km_sql = f"""
+        WITH t AS (
+            SELECT doc_id, {_TRUTH_TOKENS_SQL} AS tt, {_SRC_TOKENS_SQL} AS ss,
+                   {_km_dist_sql(FROZEN_KMEANS['centroids'][0])} AS d0,
+                   {_km_dist_sql(FROZEN_KMEANS['centroids'][1])} AS d1
+            FROM documents
+        ),
+        lab AS (
+            SELECT CASE WHEN d0 <= d1 THEN 0 ELSE 1 END AS kmeans_label,
+                   CASE WHEN ss = 0 THEN 1
+                        WHEN round(1.0 - least(1.0, greatest(0.0,
+                             CAST(tt AS DOUBLE) / ss)), 6)
+                             >= {FROZEN_KMEANS['threshold']} THEN 1
+                        ELSE 0 END AS quantile_label
+            FROM t
+        )
+        SELECT CAST(kmeans_label AS INT) AS kmeans_label,
+               CAST(quantile_label AS INT) AS quantile_label,
+               count(*) AS n
+        FROM lab GROUP BY 1, 2
+    """
+
+
     from web_content_extraction_benchmark_spark.sources.raw_datasets import (
         l3s_original_sql,
     )
@@ -1468,6 +1513,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "html_features": html_features_sql,
         "lr_classify": lr_sql,
+        "kmeans_clusters": km_sql,
         # one row per (model, url): the 7 per-family byte-identity
         # formulas unioned (folded from 7 r2 queries)
         "extract_all_models": " UNION ALL ".join(

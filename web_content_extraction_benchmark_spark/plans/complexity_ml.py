@@ -83,6 +83,63 @@ def kmeans_complexity_clusters(features: DataFrame,
     return out.select("url", "dataset", "kmeans_label", "quantile_label")
 
 
+# Frozen k-means codebook for the ORACLED cluster-assignment tail:
+# trained once through the pyspark.ml path (sf0.01, k=2, seed=42,
+# maxIter=200, raw 6-decimal-rounded features), the label-flip alignment
+# (complexity.py:229-230) applied AT FREEZE TIME so index 1 is the
+# high-complexity side, centroids rounded to 6 and pinned.  Training
+# (R26-R28: scaler/KMeans/PCA) stays pytest-gated — iterative; APPLYING a
+# pinned codebook is exact integer micro-unit L2 argmin, bit-reproducible
+# across engines.
+FROZEN_KMEANS: dict = {
+    "version": "kmeans-complexity-v1",
+    "threshold": 0.05,
+    # FEATURE_COLS order; aligned (cluster 1 = high-complexity side)
+    "centroids": [
+        [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.833333, 0.0, 0.0, 0.0,
+         0.166666, 0.0, 0.0, 0.0, 0.047964],
+        [0.069205, 0.0, 0.0, 0.0, 0.0, 0.0, 0.13543, 0.125166, 0.0,
+         0.29404, 0.092384, 0.0, 0.0, 0.0, 0.19758],
+    ],
+}
+
+
+def frozen_kmeans_confusion(features: DataFrame, complexity: DataFrame,
+                            spec: dict = FROZEN_KMEANS) -> DataFrame:
+    """(kmeans_label, quantile_label, n) counts from the frozen aligned
+    codebook: per-page nearest centroid by EXACT integer micro-unit
+    squared L2 (ties -> cluster 0), quantile label from the binarized
+    complexity.  No floats anywhere in the assignment, so the confusion
+    counts hash-match the DuckDB mirror."""
+    u = 1_000_000
+
+    def dist2(centroid: list[float]):
+        expr = F.lit(0).cast("long")
+        for col, c in zip(FEATURE_COLS, centroid):
+            d = (
+                F.round(F.col(col) * u, 0).cast("long")
+                - F.lit(int(round(c * u)))
+            )
+            expr = expr + d * d
+        return expr
+
+    c0, c1 = spec["centroids"]
+    assigned = features.join(
+        complexity.select(
+            "url",
+            (F.round("complexity", 6) >= spec["threshold"])
+            .cast("int").alias("quantile_label"),
+        ),
+        "url",
+    ).select(
+        F.when(dist2(c0) <= dist2(c1), 0).otherwise(1).alias("kmeans_label"),
+        "quantile_label",
+    )
+    return assigned.groupBy("kmeans_label", "quantile_label").agg(
+        F.count("*").alias("n")
+    )
+
+
 # Frozen logistic model for the ORACLED classify+metrics tail: trained
 # once through the pyspark.ml path below (sf0.01 train split, maxIter=200,
 # regParam=0.01, raw 6-decimal-rounded features), coefficients exported
