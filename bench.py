@@ -271,9 +271,28 @@ def main() -> None:
     timed("q5_ann_bruteforce", q5)
     timed("q6_textstats", q6)
     timed("q7_ensemble_vote", q7)
+    # q11: near-dup PAIR RESOLUTION — LSH pairs over the deduped corpus
+    # resolved into clusters (min-label propagation) and counted; the
+    # transitive step an actually deduplicated corpus needs
+    def q11():
+        from web_content_extraction_benchmark_spark.operators.dedup import (
+            connected_components,
+        )
+
+        pairs = minhash_lsh_pairs(unique_docs, id_col="doc_id",
+                                  jaccard_threshold=0.8)
+        # url ids -> stable longs for the label lattice
+        keyed = pairs.select(
+            F.xxhash64("id_a").alias("id_a"), F.xxhash64("id_b").alias("id_b")
+        )
+        connected_components(keyed).agg(
+            F.count("*"), F.countDistinct("component")
+        ).collect()
+
     timed("q8_sessionize", q8)
     timed("q9_rollup_agg", q9)
     timed("q10_convert_cleaneval", q10)
+    timed("q11_neardup_clusters", q11)
     unique_docs.unpersist()
 
     docs_per_sec = round(n_pages / timings["q1_extract_main"], 1)
