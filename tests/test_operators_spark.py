@@ -332,3 +332,51 @@ def test_drop_near_duplicates_keeps_one_per_cluster(spark, docs):
     assert 0 in kept and 5 in kept            # canonical minima survive
     assert {1, 2, 6}.isdisjoint(kept)         # cluster losers dropped
     assert all(i in kept for i in range(7, 30))  # untouched docs stay
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property check: the distributed min-label propagation equals a
+    single-threaded union-find on random graphs."""
+    import random
+
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(7)
+    for _ in range(2):
+        n = 60
+        edges = list(
+            {
+                (a, b)
+                for a, b in (
+                    (rng.randrange(n), rng.randrange(n)) for _ in range(45)
+                )
+                if a != b
+            }
+        )
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        nodes = {e for ab in edges for e in ab}
+        comp_min: dict[int, int] = {}
+        for x in nodes:
+            r = find(x)
+            comp_min[r] = min(comp_min.get(r, x), x)
+        expected = {x: comp_min[find(x)] for x in nodes}
+        got = {
+            r.id: r.component
+            for r in connected_components(
+                spark.createDataFrame(edges, "id_a long, id_b long")
+            ).collect()
+        }
+        assert got == expected

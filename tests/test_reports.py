@@ -69,3 +69,20 @@ def test_csv_quoting():
     assert _fmt(0.5) == "0.5"
     assert _fmt(1.0) == "1"
     assert _fmt("x") == "x"
+
+
+def test_export_report_latex_and_null_safety(spark, tmp_path):
+    """S9 tail: the .tex export escapes LaTeX specials, and rows with
+    NULL cells sort without TypeError (ADVICE r2); csv.writer doubles
+    embedded quotes."""
+    df = spark.createDataFrame(
+        [("a_b & c", None, 0.5), ('quo"te', "ds%1", None)],
+        "model string, dataset string, mean_dist double",
+    )
+    paths = export_report(df, str(tmp_path), name="edge")
+    tex = open(paths["tex"]).read()
+    assert r"\&" in tex and r"a\_b" in tex and r"\%" in tex
+    assert tex.startswith(r"\begin{tabular}{lll}")
+    assert r"\toprule" in tex and r"\bottomrule" in tex
+    csv_text = open(paths["csv"]).read()
+    assert '"quo""te"' in csv_text  # RFC-4180 doubled quote

@@ -63,4 +63,33 @@ def export_report(agg_df: DataFrame, out_dir: str,
         f.write("|" + "|".join("---" for _ in cols) + "|\n")
         for row in rows:
             f.write("| " + " | ".join(row) + " |\n")
-    return {"csv": csv_path, "md": md_path}
+    tex_path = os.path.join(out_dir, f"{name}.tex")
+    with open(tex_path, "w", encoding="utf-8") as f:
+        f.write(_latex_table(cols, rows))
+    return {"csv": csv_path, "md": md_path, "tex": tex_path}
+
+
+_TEX_ESCAPES = {
+    "\\": r"\textbackslash{}", "&": r"\&", "%": r"\%", "$": r"\$",
+    "#": r"\#", "_": r"\_", "{": r"\{", "}": r"\}",
+    "~": r"\textasciitilde{}", "^": r"\textasciicircum{}",
+}
+
+
+def _tex(value: str) -> str:
+    return "".join(_TEX_ESCAPES.get(ch, ch) for ch in value)
+
+
+def _latex_table(cols: list[str], rows: list[list[str]]) -> str:
+    """booktabs LaTeX table (the reference's score-table export,
+    eval.py:201-239, without the pandas/xlsxwriter dependency)."""
+    lines = [
+        r"\begin{tabular}{" + "l" * len(cols) + "}",
+        r"\toprule",
+        " & ".join(_tex(c) for c in cols) + r" \\",
+        r"\midrule",
+    ]
+    for row in rows:
+        lines.append(" & ".join(_tex(v) for v in row) + r" \\")
+    lines += [r"\bottomrule", r"\end{tabular}", ""]
+    return "\n".join(lines)
