@@ -97,9 +97,21 @@ def main() -> None:
     ).select(F.col("url").alias("doc_id"), F.col("plaintext").alias("text"))
     unique_docs = drop_exact_duplicates(docs, id_col="doc_id").persist()
     pairs = minhash_lsh_pairs(unique_docs, id_col="doc_id",
-                              jaccard_threshold=0.8)
+                              jaccard_threshold=0.8).persist()
+    # Pair RESOLUTION: transitive closure -> one canonical doc per
+    # cluster (the step that actually shrinks the corpus).
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    clusters = connected_components(
+        pairs.select(F.xxhash64("id_a").alias("id_a"),
+                     F.xxhash64("id_b").alias("id_b"))
+    )
+    n_clusters = clusters.select("component").distinct().count()
     print(f"[4] dedup: {unique_docs.count()} unique docs, "
-          f"{pairs.count()} near-dup pairs")
+          f"{pairs.count()} near-dup pairs -> {n_clusters} clusters "
+          f"({clusters.count() - n_clusters} docs droppable)")
 
     # 6. Snapshot-log commit (atomic manifest flip) + resume proof.
     table = SnapshotTable(os.path.join(out_dir, "answers_table"))
