@@ -139,6 +139,15 @@ def main() -> None:
         answers = extract_answers(df, ["main_content"])
         answers.agg(F.sum(F.length("plaintext"))).collect()
 
+    # q1b: same extraction with NO runtime shuffle — the bench table is
+    # already balance-partitioned at write (ingest-time salting), so q1b
+    # is the steady-state cost and (q1 - q1b) prices the runtime
+    # repartition operator itself
+    def q1b():
+        answers = extract_answers(pages.select("url", "html"),
+                                  ["main_content"])
+        answers.agg(F.sum(F.length("plaintext"))).collect()
+
     # q2: three extractor families in one decode pass
     def q2():
         df = repartition_salted(pages.select("url", "html"), cpus * 2)
@@ -264,8 +273,14 @@ def main() -> None:
         ).collect()
 
     timed("q1_extract_main", q1)
+    timed("q1b_extract_presalted", q1b)
     timed("q2_extract_multi3", q2)
     timed("q3_extract_score_agg", q3)
+    # re-pin the dedup cache UNTIMED: q3's big scores persist can evict
+    # unique_docs' blocks, and a bench of the LSH operator must not
+    # charge it a cache rebuild (observed bimodal q4: 5 s warm vs ~20 s
+    # after eviction, at identical loadavg)
+    unique_docs.count()
     timed("q4_minhash_lsh", q4)
     timed("q4b_minhash_prod128", q4b)
     timed("q5_ann_bruteforce", q5)
