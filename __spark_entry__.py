@@ -1457,10 +1457,6 @@ def oracle_sql() -> dict[str, str]:
     """
 
 
-    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
-        l3s_original_sql,
-    )
-
     return {
         "jsonl_roundtrip": (
             f"SELECT {URL_SQL} AS url, {PLAIN_SQL} AS plaintext FROM documents"
