@@ -380,3 +380,26 @@ def test_connected_components_matches_union_find(spark):
             ).collect()
         }
         assert got == expected
+
+
+def test_simhash_contract_on_random_unicode(spark):
+    """Catalyst == Python kernel on randomized unicode text covering the
+    whole token contract surface: ASCII whitespace runs, unicode
+    whitespace (kept inside tokens), accents, CJK, empty-ish strings."""
+    import random
+
+    rng = random.Random(42)
+    alphabet = (
+        list("abcXYZ019_-") + ["é", "ß", "漢", "字", " ", " "]
+        + [" ", "\t", "\n", "\r", "\x0b", "\x0c"]
+    )
+    texts = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 60)))
+        for _ in range(80)
+    ]
+    rows = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, text string"
+    ).select("i", simhash64_col(F.col("text")).alias("sig")).collect()
+    got = {r.i: r.sig for r in rows}
+    for i, text in enumerate(texts):
+        assert got[i] == simhash64_py(text), repr(text)
