@@ -1064,14 +1064,36 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gap-based sessionization (batch twin of the stateful streaming
-    operator; 30-min gap)."""
+    """Gap-based sessionization (30-min gap) executed by the REAL
+    stateful streaming operator (applyInPandasWithState, append mode):
+    the events file streams in followed by one far-future sentinel per
+    user (end-of-backfill flush), which closes every real session — so
+    the streamed output equals the batch/SQL truth exactly while the
+    sentinel sessions stay open in state.  (r2's row ran only the batch
+    twin; the stateful path was pytest-only.)"""
+    import os
+    import shutil
+    import tempfile
+
     from web_content_extraction_benchmark_spark.streaming.sessions import (
-        batch_sessionize,
+        run_session_stream_to_memory,
+        write_session_flush_sentinels,
     )
 
-    events = _events(spark, sf_dir)
-    out = batch_sessionize(events)
+    src = tempfile.mkdtemp(prefix="wceb_sess_stream_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "a.parquet"))
+    write_session_flush_sentinels(
+        spark, _events(spark, sf_dir), os.path.join(src, "b_sentinels")
+    )
+    for name in os.listdir(os.path.join(src, "b_sentinels")):
+        if name.endswith(".parquet"):
+            shutil.move(
+                os.path.join(src, "b_sentinels", name),
+                os.path.join(src, "b.parquet"),
+            )
+    shutil.rmtree(os.path.join(src, "b_sentinels"), ignore_errors=True)
+    run_session_stream_to_memory(spark, src, query_name="q_sessionize")
+    out = spark.sql("SELECT * FROM q_sessionize")
     return out.select(
         "user_id",
         F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),

@@ -403,3 +403,30 @@ def test_simhash_contract_on_random_unicode(spark):
     got = {r.i: r.sig for r in rows}
     for i, text in enumerate(texts):
         assert got[i] == simhash64_py(text), repr(text)
+
+
+def test_simhash_bucket_cap_prunes_hot_buckets(spark, docs):
+    """Opt-in skew valve: (chunk_id, chunk) buckets above max_bucket are
+    dropped from blocking — a 40-doc identical-text clique (every chunk
+    bucket hot) produces zero candidates under the cap, while a small
+    pair elsewhere is still found through its under-cap buckets."""
+    sample = docs.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    one = sample.first().text
+    other = "completely different words " * 5
+    hot = spark.createDataFrame(
+        [(20_000 + i, one) for i in range(40)], "doc_id long, text string"
+    )
+    pair = spark.createDataFrame(
+        [(30_000, other), (30_001, other)], "doc_id long, text string"
+    )
+    corpus = sample.unionByName(hot).unionByName(pair)
+
+    uncapped = {(r.id_a, r.id_b)
+                for r in simhash_near_duplicates(corpus).collect()}
+    assert sum(1 for a, b in uncapped if a >= 20_000 and b < 30_000) >= 780
+
+    capped = {(r.id_a, r.id_b)
+              for r in simhash_near_duplicates(
+                  corpus, max_bucket=10).collect()}
+    assert (30_000, 30_001) in capped
+    assert not any(20_000 <= a < 30_000 for a, _ in capped)

@@ -361,7 +361,8 @@ def simhash64_py(text: str) -> int:
 
 def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
                             id_col: str = "doc_id",
-                            max_hamming: int = 3) -> DataFrame:
+                            max_hamming: int = 3,
+                            max_bucket: int | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, blocked on 16-bit
     chunks: two signatures within hamming<=3 share at least one of the 4
     chunks exactly (pigeonhole) -> join per chunk, then verify.
@@ -371,7 +372,16 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
     corpus with millions of empty docs every one of them would share all
     four chunks with every other — one degenerate bucket turning the
     chunk join quadratic.  Blank docs are exact duplicates of each other
-    by construction; route them through exact dedup, not SimHash."""
+    by construction; route them through exact dedup, not SimHash.
+
+    ``max_bucket`` is the opt-in skew valve for web-scale corpora:
+    NATURAL hot chunks (template boilerplate dominating one 16-bit
+    slice across millions of pages) also go quadratic; with a cap,
+    (chunk_id, chunk) groups larger than it are dropped from blocking.
+    Recall loss is bounded by pigeonhole redundancy — a pair survives if
+    ANY of its up-to-4 shared chunks stays under the cap — and exact
+    copies share all four, so only genuinely hot template slices degrade.
+    Default None = exact (the oracle-checked mode)."""
     sig = df.select(
         F.col(id_col).alias("id"), simhash64_col(F.col(text_col)).alias("sig")
     ).filter(F.col("sig") != 0)
@@ -386,6 +396,15 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
             )
         ).alias("chunk_id", "chunk"),
     )
+    if max_bucket is not None:
+        from pyspark.sql.window import Window
+
+        bucket_n = F.count("*").over(
+            Window.partitionBy("chunk_id", "chunk")
+        )
+        chunks = chunks.withColumn("__n", bucket_n).filter(
+            F.col("__n") <= max_bucket
+        ).drop("__n")
     a = chunks.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
                       "chunk_id", "chunk")
     b = chunks.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),

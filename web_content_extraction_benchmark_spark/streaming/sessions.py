@@ -157,3 +157,43 @@ def batch_sessionize(events: DataFrame,
         )
         .drop("session_id")
     )
+
+
+def run_session_stream_to_memory(
+    spark: SparkSession, source_dir: str, query_name: str = "sessions",
+    watermark: str = "1 hour",
+) -> None:
+    """Drive the stateful sessionizer to completion into a memory sink
+    (append mode: only CLOSED sessions are emitted)."""
+    out = stream_sessionize(spark, source_dir, watermark=watermark)
+    query = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .start()
+    )
+    query.processAllAvailable()
+    query.stop()
+
+
+def write_session_flush_sentinels(spark: SparkSession, events: DataFrame,
+                                  out_path: str,
+                                  days_ahead: int = 2) -> None:
+    """One far-future zero-value event per user: delivered as the
+    stream's last file it opens a fresh session per user (gap >> the
+    session gap), CLOSING every real session so the streamed append-mode
+    output equals the batch truth exactly; the sentinel sessions
+    themselves stay open in state and are never emitted.  This is the
+    standard end-of-backfill flush pattern for gap-sessionization."""
+    max_ts = events.agg(F.max("ts")).collect()[0][0]
+    sentinels = events.select("user_id").distinct().select(
+        F.lit(0).cast("long").alias("event_id"),
+        "user_id",
+        F.lit(max_ts).cast("timestamp_ntz").alias("ts"),
+        F.lit("__flush__").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit(None).cast("string").alias("props"),
+    ).withColumn(
+        "ts", F.col("ts") + F.expr(f"INTERVAL {days_ahead} DAYS")
+    )
+    sentinels.coalesce(1).write.mode("overwrite").parquet(out_path)
