@@ -173,12 +173,15 @@ def _simhash_sig_sql(corpus_sql: str) -> str:
     hex digits -> per-bit +/-1 votes -> sign bits packed two's-complement."""
     return f"""
         WITH corpus AS ({corpus_sql}),
-        -- token contract: non-empty runs between ASCII whitespace
-        -- (mirrors simhash64_col's filtered split bit-for-bit)
+        -- token contract: non-empty runs between ASCII whitespace,
+        -- spelled as an EXPLICIT class: RE2's \\s is [\\t\\n\\f\\r ]
+        -- (no \\x0b) while Java's \\s includes \\x0b — the explicit
+        -- class mirrors simhash64_col's split bit-for-bit
         words AS (
             SELECT doc_id, w FROM (
                 SELECT doc_id,
-                       unnest(string_split_regex(text, '\\s+')) AS w
+                       unnest(string_split_regex(text,
+                           '[ \\t\\n\\x0b\\f\\r]+')) AS w
                 FROM corpus WHERE text IS NOT NULL
             ) WHERE w != ''
         ),
@@ -1092,6 +1095,12 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 os.path.join(src, "b.parquet"),
             )
     shutil.rmtree(os.path.join(src, "b_sentinels"), ignore_errors=True)
+    # The file stream orders micro-batches by modification time: the
+    # sentinel file MUST come second, or its far-future timestamps
+    # advance the watermark and every real event is dropped as late.
+    # Pin the order explicitly instead of trusting copy/write timing.
+    os.utime(os.path.join(src, "a.parquet"), (1_000_000, 1_000_000))
+    os.utime(os.path.join(src, "b.parquet"), (2_000_000, 2_000_000))
     run_session_stream_to_memory(spark, src, query_name="q_sessionize")
     out = spark.sql("SELECT * FROM q_sessionize")
     return out.select(

@@ -48,10 +48,17 @@ def sidecar_extract(pages: DataFrame, command: list[str],
     payload = pages.select(
         "url", F.base64(F.col("html")).alias("html_b64")
     ).toJSON()
+    # checkCode=True: a sidecar that dies mid-partition (OOM, bad input)
+    # must FAIL the task, not silently truncate its partition's output —
+    # undetectable data loss at corpus scale otherwise.  FAILFAST on the
+    # JSONL parse for the same reason (PERMISSIVE would turn malformed
+    # sidecar output into all-null rows).
     piped = payload.pipe(
-        shlex.join(command), env=env or {}
+        shlex.join(command), env=env or {}, checkCode=True
     )
-    out = spark.read.schema(SIDECAR_OUTPUT_SCHEMA).json(piped)
+    out = spark.read.schema(SIDECAR_OUTPUT_SCHEMA).option(
+        "mode", "FAILFAST"
+    ).json(piped)
     return out.select("url", "plaintext")
 
 

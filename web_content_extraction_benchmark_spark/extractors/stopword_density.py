@@ -53,12 +53,15 @@ GOOD, BAD, SHORT, NEAR_GOOD = "good", "bad", "short", "near_good"
 def _paragraphs(body: Node) -> list[tuple[str, int]]:
     """(raw_text, linked_char_count) per block paragraph.
 
-    Link chars are counted on WHITESPACE-SQUEEZED text inside <a>
-    subtrees — the justext package normalizes each appended chunk before
-    accumulating charsCountInLinks, so counting raw chars against the
-    squeezed paragraph length would inflate the ratio (past 1.0 on
-    whitespace-heavy anchors) and flip paragraphs to BAD that justext
-    keeps (ADVICE r2)."""
+    Link chars are counted on the WHITESPACE-SQUEEZED CONCATENATION of
+    the paragraph's link text, so link_density = squeezed-link-chars /
+    squeezed-paragraph-chars is bounded by 1 (raw counts inflated it
+    past 1.0 on whitespace-heavy anchors and flipped paragraphs to BAD —
+    ADVICE r2).  Documented deviation: the justext package normalizes
+    each appended chunk INDIVIDUALLY (boundary spaces of adjacent
+    anchors each count), so its ratio can differ by a character or two
+    per anchor boundary; this module's whole-paragraph squeeze matches
+    how the paragraph length itself is computed."""
     out: list[tuple[str, int]] = []
     parts: list[str] = []
     link_parts: list[str] = []

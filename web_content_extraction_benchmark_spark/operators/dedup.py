@@ -299,10 +299,10 @@ def simhash64_col(text_col: Column) -> Column:
 
     Token contract (shared bit-for-bit with ``simhash64_py`` and the
     DuckDB oracle mirror): tokens are the non-empty maximal runs between
-    ASCII whitespace ``[ \\t\\n\\x0b\\f\\r]`` — Java/RE2/Python all agree
-    on that class, whereas "trim + split" and ``str.split()`` disagree on
-    leading tabs and Unicode whitespace (NBSP/U+2028 stay INSIDE tokens
-    on every engine here)."""
+    ASCII whitespace ``[ \\t\\n\\x0b\\f\\r]`` — Java's ``\\s`` IS that
+    class; the Python kernel and the DuckDB mirror spell it explicitly
+    (RE2's ``\\s`` omits ``\\x0b``, and ``str.split()`` adds Unicode
+    whitespace — NBSP/U+2028 stay INSIDE tokens on every engine here)."""
     tokens = F.filter(F.split(text_col, r"\s+"), lambda t: t != F.lit(""))
     hashes = F.transform(tokens, lambda t: F.substring(F.md5(t), 1, 16))
     bit_idx = F.sequence(F.lit(0), F.lit(63))
@@ -429,20 +429,22 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 25) -> DataFrame:
+                         max_iterations: int = 30) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min
-    member id — the canonical representative.
+    member id — the canonical representative.  Ids may be any orderable
+    type (long doc ids, url strings, ...).
 
-    Min-label propagation: every node starts labeled with itself, labels
-    flow across edges each round, nodes keep the min; converges in
-    <= cluster-diameter rounds.  Near-dup clusters in web corpora have
-    tiny diameters (duplicate chains of 2-5 documents), so plain
-    propagation with an early-exit convergence check is the right
-    default over the alternating-star dance; each round is one equi-join
-    + min-aggregate shuffle carrying (id, long) rows only.  The loop is
-    driver-side but each convergence probe is a single exact aggregate
-    (decimal sum of labels, monotonically decreasing) — no row data ever
-    reaches the driver.
+    Min-label propagation with POINTER JUMPING: every node starts
+    labeled with itself; each round labels flow across edges AND each
+    node re-reads its current label's label (path halving), so
+    convergence takes O(log diameter) rounds, not O(diameter) — a
+    10^6-hop snapshot chain converges in ~20 rounds.  Each round is two
+    equi-join + min-aggregate shuffles carrying (id, id) rows only;
+    convergence is probed with a changed-row count (type-agnostic), and
+    exhausting ``max_iterations`` without converging RAISES instead of
+    returning silently split clusters (a truncated result would make
+    drop_near_duplicates keep multiple 'canonicals' per cluster with no
+    signal).
 
     Each round's labels are ``localCheckpoint``-ed: iterative plans
     otherwise NEST one round's lineage inside the next and the
@@ -451,9 +453,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     churn, swap in reliable ``checkpoint()`` against the job's
     checkpoint dir — same plan shape, fault-tolerant storage.
     """
-    sym = pairs.select(
-        F.col(id_a).cast("long").alias("a"), F.col(id_b).cast("long").alias("b")
-    )
+    sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().persist()
@@ -463,31 +463,45 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .localCheckpoint()
     )
 
-    def label_sum(lbl: DataFrame):
-        # exact, overflow-free convergence metric (ANSI mode throws on
-        # long overflow; decimal(38,0) sums are exact)
-        return lbl.agg(
-            F.sum(F.col("component").cast("decimal(38,0)"))
-        ).collect()[0][0]
-
-    current = label_sum(labels)
     for _ in range(max_iterations):
         propagated = edges.join(labels, edges.a == labels.id).select(
             F.col("b").alias("id"), "component"
         )
-        new_labels = (
+        merged = (
             labels.unionByName(propagated)
             .groupBy("id")
             .agg(F.min("component").alias("component"))
+        )
+        # pointer jump: component <- min(component, label(component));
+        # every component value is itself a node id, so the inner join
+        # is total
+        hop = merged.select(
+            F.col("id").alias("__cid"), F.col("component").alias("__cc")
+        )
+        new_labels = (
+            merged.join(hop, merged.component == F.col("__cid"))
+            .select(
+                "id", F.least("component", "__cc").alias("component")
+            )
             .localCheckpoint()
         )
-        new_sum = label_sum(new_labels)
+        changed = (
+            new_labels.join(
+                labels.withColumnRenamed("component", "__old"), "id"
+            )
+            .filter(F.col("component") != F.col("__old"))
+            .count()
+        )
         labels = new_labels
-        if new_sum == current:
-            break
-        current = new_sum
+        if changed == 0:
+            edges.unpersist()
+            return labels
     edges.unpersist()
-    return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} "
+        "rounds — raise max_iterations (pointer jumping needs "
+        "O(log diameter) rounds, so this means a pathological graph)"
+    )
 
 
 def drop_near_duplicates(docs: DataFrame, pairs: DataFrame,

@@ -357,6 +357,7 @@ def ensemble_answers(
     weights: dict[str, int] | None = None,
     vote_fraction: float = 0.66,
     full_text_model: str = "plain",
+    urls: DataFrame | None = None,
 ) -> DataFrame:
     """Majority-vote ensemble as a grouped plan: per-page answer map via
     ``map_from_entries(collect_list(...))`` (replaces the reference's
@@ -373,7 +374,14 @@ def ensemble_answers(
     render, union one in: ``extract_answers(pages, ["plain"])``.
     ``full_text_model`` rows are used pre-normalization, exactly as the
     in-kernel ``extract_plain`` call used to be; when it is not among
-    ``input_models`` it contributes no vote."""
+    ``input_models`` it contributes no vote.
+
+    Output rows come from the answers table's url set; extraction emits
+    a row per (page, model), so in-engine callers get one row per page.
+    For preloaded answers whose url coverage may be PARTIAL, pass the
+    page universe as ``urls`` (a url-only frame — still no page payload
+    in any shuffle): pages absent from the answers table then emit ''
+    instead of silently vanishing."""
     vote_threshold = int(len(input_models) * vote_fraction)
     wanted = sorted(set(input_models) | {full_text_model})
     answer_maps = (
@@ -385,6 +393,10 @@ def ensemble_answers(
             ).alias("answers")
         )
     )
+    if urls is not None:
+        answer_maps = urls.select("url").distinct().join(
+            answer_maps, "url", "left"
+        )
 
     def vote(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

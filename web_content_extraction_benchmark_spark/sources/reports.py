@@ -43,13 +43,21 @@ def export_report(agg_df: DataFrame, out_dir: str,
     os.makedirs(out_dir, exist_ok=True)
     cols = agg_df.columns
     # None-safe canonical order (None is not orderable against non-None
-    # in Python; ADVICE r2), then RFC-4180 CSV via csv.writer (doubled
-    # quotes, embedded newlines handled).
+    # in Python; ADVICE r2) that keeps NUMERIC columns numerically
+    # ordered (str(v) alone would put 10.5 before 2.1), then RFC-4180
+    # CSV via csv.writer (doubled quotes, embedded newlines handled).
+    def _cell_key(v):
+        if v is None:
+            return (2, "", 0.0)
+        if isinstance(v, bool) or not isinstance(v, (int, float)):
+            return (1, str(v), 0.0)
+        return (0, "", float(v))
+
     rows = [
         [_fmt(v) for v in row]
         for row in sorted(
             (tuple(r) for r in agg_df.collect()),
-            key=lambda row: [(v is None, str(v)) for v in row],
+            key=lambda row: [_cell_key(v) for v in row],
         )
     ]
     csv_path = os.path.join(out_dir, f"{name}.csv")

@@ -186,6 +186,9 @@ def write_session_flush_sentinels(spark: SparkSession, events: DataFrame,
     themselves stay open in state and are never emitted.  This is the
     standard end-of-backfill flush pattern for gap-sessionization."""
     max_ts = events.agg(F.max("ts")).collect()[0][0]
+    if max_ts is None:  # empty input: nothing to flush, write no rows
+        events.limit(0).write.mode("overwrite").parquet(out_path)
+        return
     sentinels = events.select("user_id").distinct().select(
         F.lit(0).cast("long").alias("event_id"),
         "user_id",
