@@ -430,3 +430,19 @@ def test_simhash_bucket_cap_prunes_hot_buckets(spark, docs):
                   corpus, max_bucket=10).collect()}
     assert (30_000, 30_001) in capped
     assert not any(20_000 <= a < 30_000 for a, _ in capped)
+
+
+def test_connected_components_on_string_ids(spark):
+    """Ids are type-generic: url strings work directly (no long cast —
+    ANSI mode would throw); canonical = lexicographic min."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [("u/a", "u/b"), ("u/b", "u/c"), ("u/x", "u/y")],
+        "id_a string, id_b string",
+    )
+    got = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert got == {"u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
+                   "u/x": "u/x", "u/y": "u/x"}

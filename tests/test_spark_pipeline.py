@@ -203,3 +203,22 @@ def test_empty_and_gzip_edge_rows(spark, pages):
     )
     rows = gz.collect()
     assert rows and all(r.plaintext == r.gold for r in rows)
+
+
+def test_ensemble_partial_answer_coverage(spark, pages):
+    """Preloaded answer tables may cover only some pages: with the urls=
+    page universe, uncovered pages emit '' instead of vanishing."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        ensemble_answers,
+    )
+
+    models = ["main_content", "plain"]
+    some = pages.limit(40).cache()
+    answers = extract_answers(some, models)
+    universe = pages.limit(60).select("url")
+    voted = {r.url: r.plaintext
+             for r in ensemble_answers(
+                 answers, models, urls=universe).collect()}
+    assert len(voted) == 60
+    covered = {r.url for r in some.select("url").collect()}
+    assert all(voted[u] == "" for u in set(voted) - covered)
