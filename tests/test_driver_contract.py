@@ -1,0 +1,28 @@
+"""Driver-contract invariants (CLAUDE.md 50-query cap rule)."""
+
+
+def test_exactly_fifty_queries_all_oracled():
+    """The driver checks at most 50 queries per round: the dict must hold
+    EXACTLY 50 entries (fold, don't append) and every entry must carry a
+    DuckDB oracle (round-3 state: zero rows-only)."""
+    import __spark_entry__ as entry
+
+    q = entry.queries()
+    o = entry.oracle_sql()
+    assert len(q) == 50, f"{len(q)} queries — fold to keep the driver cap"
+    missing = [name for name in q if name not in o]
+    assert not missing, f"queries without oracles: {missing}"
+    orphans = [name for name in o if name not in q]
+    assert not orphans, f"oracles without queries: {orphans}"
+
+
+def test_queries_and_oracles_are_pure_builders():
+    """queries()/oracle_sql() must build without a SparkSession (the
+    driver may construct them before creating one)."""
+    import __spark_entry__ as entry
+
+    assert all(callable(fn) for fn in entry.queries().values())
+    assert all(
+        isinstance(sql, str) and sql.strip()
+        for sql in entry.oracle_sql().values()
+    )
