@@ -489,21 +489,26 @@ def _chain_corpus(docs: DataFrame) -> DataFrame:
     (A,C) does not — so the cluster {A,B,C} exists only through the
     TRANSITIVE closure, which is what q_neardup_clusters proves.  (Short
     docs where the fractions collapse are fine: the oracle recomputes the
-    same pairs, whatever they are.)"""
+    same pairs, whatever they are.)
+
+    Mutant ids live in a DISJOINT NEGATIVE namespace (-(2*doc_id+k)) so
+    they can never collide with real non-negative doc_ids at any corpus
+    size — a fixed additive offset would silently merge unrelated graph
+    nodes once doc_ids reach it."""
     words = F.split(F.col("text"), " ")
     n = F.size(words)
 
-    def prefix(frac: float, offset: int) -> DataFrame:
+    def prefix(frac: float, k: int) -> DataFrame:
         take = F.floor(F.lit(frac) * n).cast("int")
         return docs.select(
-            (F.col("doc_id") + offset).alias("doc_id"),
+            (-(F.col("doc_id") * 2 + k)).alias("doc_id"),
             F.concat_ws(" ", F.slice(words, 1, take)).alias("text"),
         )
 
     return (
         docs.select("doc_id", "text")
-        .unionByName(prefix(0.9, 4_000_000))
-        .unionByName(prefix(0.81, 8_000_000))
+        .unionByName(prefix(0.9, 1))
+        .unionByName(prefix(0.81, 2))
     )
 
 
@@ -1284,12 +1289,12 @@ def oracle_sql() -> dict[str, str]:
     _chain_sql = """
     SELECT doc_id, text FROM documents WHERE doc_id % 25 = 0
     UNION ALL
-    SELECT doc_id + 4000000,
+    SELECT -(doc_id * 2 + 1),
            array_to_string(string_split(text, ' ')[1:CAST(
                floor(0.9 * len(string_split(text, ' '))) AS INT)], ' ')
     FROM documents WHERE doc_id % 25 = 0
     UNION ALL
-    SELECT doc_id + 8000000,
+    SELECT -(doc_id * 2 + 2),
            array_to_string(string_split(text, ' ')[1:CAST(
                floor(0.81 * len(string_split(text, ' '))) AS INT)], ' ')
     FROM documents WHERE doc_id % 25 = 0
@@ -1420,7 +1425,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lab
         )
         SELECT n_test, tp, fp, fn, tn,
-               round(CAST(tp + tn AS DOUBLE) / n_test, 6) AS accuracy,
+               round(CASE WHEN n_test > 0
+                     THEN CAST(tp + tn AS DOUBLE) / n_test
+                     ELSE 0.0 END, 6) AS accuracy,
                round(CASE WHEN (CASE WHEN tp + fp > 0
                                 THEN CAST(tp AS DOUBLE) / (tp + fp)
                                 ELSE 0 END)

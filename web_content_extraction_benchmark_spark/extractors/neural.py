@@ -93,16 +93,26 @@ def block_features(block: Block) -> list[float]:
 # Per-worker-process model cache: Spark reuses Python workers across
 # tasks, so the (deserialize weights -> build model) cost is paid once
 # per worker, not once per task/batch — the load-once contract a real
-# TF/Keras model needs.
+# TF/Keras model needs.  Keyed on a CONTENT hash, not the version
+# string: two weight dicts that reuse a version (e.g. a tweaked copy of
+# FROZEN_WEIGHTS) must not silently share a cached model.
 _MODEL_CACHE: dict[str, TinyBlockMLP] = {}
 
 
+def _weights_key(weights: dict) -> str:
+    import hashlib
+    import json
+
+    return hashlib.md5(
+        json.dumps(weights, sort_keys=True, default=str).encode()
+    ).hexdigest()
+
+
 def _worker_model(weights: dict) -> TinyBlockMLP:
-    model = _MODEL_CACHE.get(weights["version"])
+    key = _weights_key(weights)
+    model = _MODEL_CACHE.get(key)
     if model is None:
-        model = _MODEL_CACHE.setdefault(
-            weights["version"], TinyBlockMLP(weights)
-        )
+        model = _MODEL_CACHE.setdefault(key, TinyBlockMLP(weights))
     return model
 
 

@@ -59,15 +59,27 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
 
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
-    """Keep the lowest-id doc per identical text (deterministic winner)."""
-    from pyspark.sql.window import Window
+    """Keep the lowest-id doc per identical text (deterministic winner).
 
-    window = Window.partitionBy(F.md5(F.col(text_col))).orderBy(F.col(id_col))
-    return (
-        df.withColumn("_rn", F.row_number().over(window))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
+    Keys-only plan: the LOSER set (non-minimal ids per digest) is derived
+    from a (digest, id) projection — groupBy + join shuffles carry 32-byte
+    keys and ids, exactly like ``exact_duplicates`` — then full rows are
+    kept via ``left_anti`` against those ids.  At typical dup rates the
+    loser set is a small fraction of the corpus and AQE converts the anti
+    join to a broadcast, so the document payloads never enter ANY
+    exchange.  A ``row_number()`` window partitioned by the digest would
+    instead sort-exchange every full row; at 100 TB that is the
+    difference between shuffling ~40 B/row (or nothing) and shuffling
+    the corpus."""
+    digest = F.md5(F.col(text_col))
+    keys = df.select(digest.alias("_th"), F.col(id_col))
+    winners = keys.groupBy("_th").agg(F.min(id_col).alias("_win"))
+    losers = (
+        keys.join(winners, "_th")
+        .filter(F.col(id_col) != F.col("_win"))
+        .select(id_col)
     )
+    return df.join(losers, [id_col], "left_anti")
 
 
 def shingle_col(text_col: Column, k: int = SHINGLE_SIZE) -> Column:
@@ -397,14 +409,19 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
         ).alias("chunk_id", "chunk"),
     )
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        bucket_n = F.count("*").over(
-            Window.partitionBy("chunk_id", "chunk")
+        # Over-cap keys via groupBy (map-side partial aggregation — a hot
+        # multi-million-row bucket never lands whole in one task, unlike a
+        # Window.partitionBy count) and broadcast them into a left_anti
+        # join: the valve's whole premise is that hot keys are FEW.
+        hot = (
+            chunks.groupBy("chunk_id", "chunk")
+            .count()
+            .filter(F.col("count") > max_bucket)
+            .select("chunk_id", "chunk")
         )
-        chunks = chunks.withColumn("__n", bucket_n).filter(
-            F.col("__n") <= max_bucket
-        ).drop("__n")
+        chunks = chunks.join(
+            F.broadcast(hot), ["chunk_id", "chunk"], "left_anti"
+        )
     a = chunks.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"),
                       "chunk_id", "chunk")
     b = chunks.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"),

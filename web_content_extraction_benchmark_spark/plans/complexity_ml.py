@@ -215,7 +215,10 @@ def frozen_lr_metrics(features: DataFrame, complexity: DataFrame,
     denom = F.sqrt((tp + fp) * (tp + fn) * (tn + fp) * (tn + fn))
     return cm.select(
         "n_test", "tp", "fp", "fn", "tn",
-        F.round((tp + tn) / F.col("n_test"), 6).alias("accuracy"),
+        F.round(
+            F.when(F.col("n_test") > 0, (tp + tn) / F.col("n_test"))
+            .otherwise(F.lit(0.0)), 6
+        ).alias("accuracy"),
         F.round(
             F.when(prec + rec > 0, 2 * prec * rec / (prec + rec))
             .otherwise(F.lit(0.0)), 6

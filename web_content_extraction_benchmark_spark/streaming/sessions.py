@@ -184,19 +184,35 @@ def write_session_flush_sentinels(spark: SparkSession, events: DataFrame,
     session gap), CLOSING every real session so the streamed append-mode
     output equals the batch truth exactly; the sentinel sessions
     themselves stay open in state and are never emitted.  This is the
-    standard end-of-backfill flush pattern for gap-sessionization."""
-    max_ts = events.agg(F.max("ts")).collect()[0][0]
-    if max_ts is None:  # empty input: nothing to flush, write no rows
-        events.limit(0).write.mode("overwrite").parquet(out_path)
-        return
-    sentinels = events.select("user_id").distinct().select(
-        F.lit(0).cast("long").alias("event_id"),
-        "user_id",
-        F.lit(max_ts).cast("timestamp_ntz").alias("ts"),
-        F.lit("__flush__").alias("event_type"),
-        F.lit(0.0).alias("value"),
-        F.lit(None).cast("string").alias("props"),
-    ).withColumn(
-        "ts", F.col("ts") + F.expr(f"INTERVAL {days_ahead} DAYS")
-    )
-    sentinels.coalesce(1).write.mode("overwrite").parquet(out_path)
+    standard end-of-backfill flush pattern for gap-sessionization.
+
+    Cost: ONE pass over events — users and the global max timestamp both
+    come from a single map-side-combined ``groupBy(user_id).max(ts)``
+    (the global max is then a scalar over that per-user aggregate, and
+    the sentinel rows are built from it too).  The earlier version paid
+    a second full scan for ``distinct(user_id)``."""
+    per_user = events.groupBy("user_id").agg(
+        F.max("ts").alias("__max_ts")
+    ).persist()
+    try:
+        max_ts = per_user.agg(F.max("__max_ts")).collect()[0][0]
+        if max_ts is None:  # empty input: nothing to flush, write no rows
+            # coalesce(1) forces exactly one (empty) part-file so callers
+            # that move/touch the part-file don't hit FileNotFoundError.
+            events.limit(0).coalesce(1).write.mode("overwrite").parquet(
+                out_path
+            )
+            return
+        sentinels = per_user.select(
+            F.lit(0).cast("long").alias("event_id"),
+            "user_id",
+            F.lit(max_ts).cast("timestamp_ntz").alias("ts"),
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {days_ahead} DAYS")
+        )
+        sentinels.coalesce(1).write.mode("overwrite").parquet(out_path)
+    finally:
+        per_user.unpersist()
