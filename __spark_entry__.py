@@ -796,13 +796,14 @@ def q_convert_raw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_neural_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E15 deployment-pattern demo: a frozen tiny block-classifier MLP,
-    broadcast once and materialized once per worker, extracts main text
-    inside mapInPandas (the BoilerNet shape, reference
-    extractors.py:146-153, minus the unshippable Keras checkpoint).  The
-    frozen circuit provably equals the density classifier (pinned
-    corpus-wide in tests/test_neural_stub.py), so GOLD_SQL is a true
-    value oracle, not a rows-only check."""
+    """E15: a TRAINED frozen block-classifier MLP (seeded numpy Adam,
+    tools/train_neural.py — beats the density rule on the held-out
+    doc_id%7==5 split), broadcast once and materialized once per worker,
+    extracts main text inside mapInPandas (the BoilerNet shape,
+    reference extractors.py:146-153 + boilernet/net/train.py).  The
+    learned model agrees with gold on every template block with >13
+    logit margin (pinned corpus-wide in tests/test_neural_stub.py), so
+    GOLD_SQL is a true value oracle, not a rows-only check."""
     from web_content_extraction_benchmark_spark.extractors.neural import (
         neural_extract_answers,
     )
