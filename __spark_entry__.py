@@ -1119,10 +1119,22 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal plumbing (fake decoder; no SQL oracle)."""
+    """Multimodal decode: REAL stdlib BMP (24-bit header+pixel parse)
+    and WAV (RIFF walk + PCM16) kernels run inside mapInPandas over the
+    synthetic payload table; the DuckDB oracle mirrors the decoded
+    channel means / RMS / zero-crossing rate with closed-form integer
+    arithmetic (multimodal.synthetic_media_params is the shared source
+    of truth).  Video rows stay a documented fake -> NULL features."""
     media = synthesize_media(spark, n_rows=64)
     feats = extract_media_features(media)
-    return feats.select("media_id", "kind", "n_bytes")
+    real = F.col("kind").isin("image", "audio")
+    cols = [
+        F.round(
+            F.when(real, F.element_at("features", k)), 6
+        ).alias(f"f{k}")
+        for k in range(1, 7)
+    ]
+    return feats.select("media_id", "kind", "n_bytes", *cols)
 
 
 # ---------------------------------------------------------------------------
@@ -1935,11 +1947,58 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs WHERE cos >= 0.999
         """,
         "media_features": """
-            SELECT CAST(i AS BIGINT) AS media_id,
-                   CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
-                        ELSE 'video' END AS kind,
-                   CAST(32 * (1 + i % 5) AS BIGINT) AS n_bytes
-            FROM generate_series(0, 63) t(i)
+            -- Closed-form mirror of multimodal.synthetic_media_params:
+            -- stripe BMP channel means and square-wave WAV stats are
+            -- exact integer arithmetic (uint8/PCM16 sums stay integral
+            -- in float64), so the real decoders are value-checked.
+            WITH p AS (
+                SELECT i,
+                       CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                            ELSE 'video' END AS kind,
+                       8 + i % 9 AS w, 6 + i % 7 AS h,
+                       (37*i) % 256 AS r1, (59*i) % 256 AS g1,
+                       (83*i) % 256 AS b1,
+                       (101*i) % 256 AS r2, (131*i) % 256 AS g2,
+                       (151*i) % 256 AS b2,
+                       8000 + 1000 * (i % 5) AS rate,
+                       1 + i % 4 AS hp,
+                       1000 + 37*i AS amp,
+                       2 * (1 + i % 4) * (20 + i % 10) AS n
+                FROM generate_series(0, 63) t(i)
+            ),
+            d AS (
+                SELECT *,
+                       CAST(floor((w + 1) / 2) AS BIGINT) AS ne,
+                       w - CAST(floor((w + 1) / 2) AS BIGINT) AS nodd
+                FROM p
+            )
+            SELECT CAST(i AS BIGINT) AS media_id, kind,
+                   CAST(CASE kind
+                        WHEN 'image' THEN 54 +
+                             h * (CAST(floor((3*w + 3) / 4) AS BIGINT) * 4)
+                        WHEN 'audio' THEN 44 + 2 * n
+                        ELSE 32 * (1 + i % 5) END AS BIGINT) AS n_bytes,
+                   round(CASE kind WHEN 'image' THEN CAST(w AS DOUBLE)
+                         WHEN 'audio' THEN CAST(rate AS DOUBLE) END, 6) AS f1,
+                   round(CASE kind WHEN 'image' THEN CAST(h AS DOUBLE)
+                         WHEN 'audio' THEN CAST(n AS DOUBLE) END, 6) AS f2,
+                   round(CASE kind
+                         WHEN 'image' THEN (ne*r1 + nodd*r2) / CAST(w AS DOUBLE)
+                         WHEN 'audio' THEN 0.0 END, 6) AS f3,
+                   round(CASE kind
+                         WHEN 'image' THEN (ne*g1 + nodd*g2) / CAST(w AS DOUBLE)
+                         WHEN 'audio' THEN amp / 32768.0 END, 6) AS f4,
+                   round(CASE kind
+                         WHEN 'image' THEN (ne*b1 + nodd*b2) / CAST(w AS DOUBLE)
+                         WHEN 'audio' THEN (CAST(n AS DOUBLE) / hp - 1)
+                                           / (n - 1) END, 6) AS f5,
+                   round(CASE kind
+                         WHEN 'image' THEN
+                             ((ne*r1 + nodd*r2) / CAST(w AS DOUBLE)
+                              + (ne*g1 + nodd*g2) / CAST(w AS DOUBLE)
+                              + (ne*b1 + nodd*b2) / CAST(w AS DOUBLE)) / 3.0
+                         WHEN 'audio' THEN amp / 32768.0 END, 6) AS f6
+            FROM d
         """,
         "language_id": f"""
             SELECT doc_id,
