@@ -286,21 +286,29 @@ def main() -> None:
     timed("q5_ann_bruteforce", q5)
     timed("q6_textstats", q6)
     timed("q7_ensemble_vote", q7)
-    # q11: near-dup PAIR RESOLUTION — LSH pairs over the deduped corpus
-    # resolved into clusters (min-label propagation) and counted; the
-    # transitive step an actually deduplicated corpus needs
+    # q11: near-dup PAIR RESOLUTION — the LSH pair set q4 already priced
+    # is materialized UNTIMED (pipeline-stage checkpoint), so the q11
+    # line measures the resolution operator (connected components over
+    # the pair graph), not a re-run of candidate generation (VERDICT r3,
+    # What's wrong #2 — the r3 number double-charged q4's LSH work).
+    neardup_pairs = (
+        minhash_lsh_pairs(unique_docs, id_col="doc_id",
+                          jaccard_threshold=0.8)
+        # url ids -> stable longs for the label lattice
+        .select(
+            F.xxhash64("id_a").alias("id_a"),
+            F.xxhash64("id_b").alias("id_b"),
+        )
+        .persist()
+    )
+    n_neardup_pairs = neardup_pairs.count()
+
     def q11():
         from web_content_extraction_benchmark_spark.operators.dedup import (
             connected_components,
         )
 
-        pairs = minhash_lsh_pairs(unique_docs, id_col="doc_id",
-                                  jaccard_threshold=0.8)
-        # url ids -> stable longs for the label lattice
-        keyed = pairs.select(
-            F.xxhash64("id_a").alias("id_a"), F.xxhash64("id_b").alias("id_b")
-        )
-        connected_components(keyed).agg(
+        connected_components(neardup_pairs).agg(
             F.count("*"), F.countDistinct("component")
         ).collect()
 
@@ -308,6 +316,7 @@ def main() -> None:
     timed("q9_rollup_agg", q9)
     timed("q10_convert_cleaneval", q10)
     timed("q11_neardup_clusters", q11)
+    neardup_pairs.unpersist()
     unique_docs.unpersist()
 
     docs_per_sec = round(n_pages / timings["q1_extract_main"], 1)
@@ -322,6 +331,7 @@ def main() -> None:
                 "sf": sf,
                 "n_pages": n_pages,
                 "n_unique_docs": n_unique,
+                "n_neardup_pairs": n_neardup_pairs,
                 "cpus": cpus,
                 "total_sec": total,
                 # cache provenance: True means this run paid one-time

@@ -1,0 +1,70 @@
+"""wceb-spark CLI (cli.py): the reference `wceb` command surface
+(extract / convert-datasets / eval score / eval aggregate / complexity
+calculate) driven end-to-end over the same plan functions the driver
+queries use."""
+
+import pytest
+
+from web_content_extraction_benchmark_spark.cli import build_parser, main
+
+
+def test_cli_extract_score_aggregate_complexity(tmp_path, spark, sf_dir):
+    answers = str(tmp_path / "answers")
+    scores = str(tmp_path / "scores")
+    report = str(tmp_path / "report")
+
+    main(["extract", "--sf-dir", sf_dir, "-m", "main_content", "-m",
+          "neural", "-o", answers, "--golden"])
+    got = spark.read.json(answers)
+    assert set(r.model for r in got.select("model").distinct().collect()) \
+        == {"main_content", "neural"}
+
+    main(["eval", "score", "--answers", answers, "--sf-dir", sf_dir,
+          "-o", scores, "--golden"])
+    sc = spark.read.json(scores)
+    assert {"dist", "f1", "prec", "rec"} <= set(sc.columns)
+
+    main(["eval", "aggregate", "--scores", scores, "-o", report])
+    csv = (tmp_path / "report" / "scores.csv").read_text()
+    assert "_micro" in csv and "_macro" in csv
+    assert (tmp_path / "report" / "scores.md").exists()
+    assert (tmp_path / "report" / "scores.tex").exists()
+
+    main(["complexity", "calculate", "--sf-dir", sf_dir,
+          "-o", str(tmp_path / "cx"), "--golden"])
+    cx = spark.read.json(str(tmp_path / "cx"))
+    assert cx.count() > 100
+
+
+def test_cli_convert_datasets(tmp_path, spark, sf_dir):
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        synthesize_cleaneval_tree,
+    )
+
+    raw = str(tmp_path / "raw")
+    out = str(tmp_path / "combined")
+    n = synthesize_cleaneval_tree(sf_dir, raw)
+    main(["convert-datasets", "--format", "cleaneval", "-i", raw,
+          "-o", out, "--golden"])
+    df = spark.read.json(out)
+    assert df.count() == n
+    assert {"source", "url", "html", "plaintext"} <= set(df.columns)
+
+
+def test_cli_rejects_unknown_model():
+    with pytest.raises(SystemExit):
+        main(["extract", "--sf-dir", "/nonexistent", "-m", "nope",
+              "-o", "/tmp/x"])
+
+
+def test_cli_surface_matches_reference_commands():
+    """Command-name parity with the reference click CLI
+    (cli/__init__.py: extract, convert_datasets, eval, complexity)."""
+    parser = build_parser()
+    sub = next(
+        a for a in parser._actions
+        if isinstance(a, type(parser._subparsers._group_actions[0]))
+    )
+    assert {"extract", "convert-datasets", "eval", "complexity"} <= set(
+        sub.choices
+    )

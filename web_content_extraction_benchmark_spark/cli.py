@@ -1,0 +1,268 @@
+"""``wceb-spark`` — CLI parity wrapper over the Spark plans.
+
+Mirrors the reference's ``wceb`` click CLI surface (cli/extract.py:22-68,
+cli/eval.py, cli/complexity.py: ``extract``, ``convert-datasets``,
+``eval score``, ``eval aggregate``, ``complexity calculate``) with a thin
+argparse layer — each subcommand only parses flags and calls the same
+plan functions the driver queries use.
+
+Run as ``python -m web_content_extraction_benchmark_spark.cli <cmd> ...``
+or via the repo-root ``wceb-spark`` launcher.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+ANSWERS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("model", T.StringType(), False),
+        T.StructField("plaintext", T.StringType(), True),
+    ]
+)
+
+SCORES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("model", T.StringType(), False),
+        T.StructField("dataset", T.StringType(), True),
+        T.StructField("dist", T.DoubleType(), True),
+        T.StructField("prec", T.DoubleType(), True),
+        T.StructField("rec", T.DoubleType(), True),
+        T.StructField("f1", T.DoubleType(), True),
+    ]
+)
+
+# format name -> (root-relative input args builder).  Paths follow the
+# layouts the reference readers expect (dataset_readers.py:171-317),
+# which the synthesize_*_tree writers reproduce.
+RAW_FORMATS = (
+    "cleaneval",
+    "cleanportaleval",
+    "l3s",
+    "dragnet",
+    "cetd",
+    "readability",
+    "scrapinghub",
+    "googletrends",
+)
+
+
+def _spark(args: argparse.Namespace) -> SparkSession:
+    from .session import get_spark
+
+    spark = get_spark(
+        "wceb-spark-cli",
+        master=args.master,
+        shuffle_partitions=args.shuffle_partitions,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    return spark
+
+
+def _models(args: argparse.Namespace) -> list[str]:
+    from .extractors import list_extractors
+
+    avail = list_extractors() + ["neural"]
+    models = args.model or ["main_content"]
+    if "all" in models:
+        models = [m for m in avail if m != "neural"]
+    unknown = sorted(set(models) - set(avail))
+    if unknown:
+        raise SystemExit(
+            f"unknown model(s) {unknown}; available: {avail}"
+        )
+    return models
+
+
+def cmd_extract(args: argparse.Namespace) -> None:
+    """Reference ``wceb extract``: run extractors, write sorted JSONL."""
+    from .extractors.neural import neural_extract_answers
+    from .plans.pipeline import extract_answers, repartition_salted
+    from .sources.jsonl import write_jsonl
+    from .sources.pages import synthesize_pages
+
+    spark = _spark(args)
+    models = _models(args)
+    pages = synthesize_pages(spark, args.sf_dir)
+    if args.salt_partitions:
+        pages = repartition_salted(pages, args.salt_partitions)
+    parts = []
+    classic = [m for m in models if m != "neural"]
+    if classic:
+        parts.append(
+            extract_answers(pages, classic).select("url", "model", "plaintext")
+        )
+    if "neural" in models:
+        parts.append(
+            neural_extract_answers(pages).select(
+                "url", F.lit("neural").alias("model"), "plaintext"
+            )
+        )
+    answers = parts[0]
+    for p in parts[1:]:
+        answers = answers.unionByName(p)
+    write_jsonl(answers.select("url", "model", "plaintext"), args.output,
+                sort_by="url", golden=args.golden)
+    print(f"wrote answers for models={models} -> {args.output}")
+
+
+def cmd_convert_datasets(args: argparse.Namespace) -> None:
+    """Reference ``wceb convert-datasets``: raw tree -> combined JSONL."""
+    from .sources import raw_datasets as rd
+    from .sources.jsonl import write_jsonl
+
+    spark = _spark(args)
+    root = args.input
+    fmt = args.format
+    if fmt == "cleaneval":
+        df = rd.convert_cleaneval(spark, f"{root}/orig", f"{root}/clean")
+    elif fmt == "cleanportaleval":
+        df = rd.convert_cleanportaleval(
+            spark, f"{root}/input", f"{root}/GoldStandard"
+        )
+    elif fmt == "l3s":
+        df = rd.convert_l3s(spark, f"{root}/original", f"{root}/annotated")
+    elif fmt == "dragnet":
+        df = rd.convert_dragnet(
+            spark, f"{root}/HTML", f"{root}/corrected/Corrected"
+        )
+    elif fmt == "cetd":
+        df = rd.convert_cetd(spark, root)
+    elif fmt == "readability":
+        df = rd.convert_readability_ds(spark, f"{root}/test-pages")
+    elif fmt == "scrapinghub":
+        df = rd.convert_scrapinghub(spark, root)
+    else:  # googletrends
+        df = rd.convert_googletrends(
+            spark, f"{root}/raw_html", f"{root}/prepared_html"
+        )
+    write_jsonl(df, args.output, sort_by="source", golden=args.golden)
+    print(f"converted {fmt} -> {args.output}")
+
+
+def cmd_eval_score(args: argparse.Namespace) -> None:
+    """Reference ``wceb eval score``: per-page metrics vs ground truth."""
+    from .plans.pipeline import score_answers
+    from .sources.jsonl import read_jsonl, write_jsonl
+    from .sources.pages import synthesize_pages, truth_table
+
+    spark = _spark(args)
+    answers = read_jsonl(spark, args.answers, ANSWERS_SCHEMA)
+    if args.model:
+        answers = answers.filter(F.col("model").isin(args.model))
+    truth = truth_table(synthesize_pages(spark, args.sf_dir))
+    scores = score_answers(answers, truth)
+    write_jsonl(scores, args.output, sort_by="url", golden=args.golden)
+    print(f"scored {args.answers} -> {args.output}")
+
+
+def cmd_eval_aggregate(args: argparse.Namespace) -> None:
+    """Reference ``wceb eval aggregate``: mean/median per (model,
+    dataset) + _micro/_macro rollups, exported as CSV/markdown/LaTeX."""
+    from .plans.pipeline import aggregate_scores
+    from .sources.jsonl import read_jsonl
+    from .sources.reports import export_report
+
+    spark = _spark(args)
+    scores = read_jsonl(spark, args.scores, SCORES_SCHEMA)
+    agg = aggregate_scores(scores)
+    rounded = agg.select(
+        "model", "dataset",
+        *[F.round(c, 6).alias(c) for c in agg.columns[2:]],
+    )
+    paths = export_report(rounded, args.output_dir, name=args.name)
+    for kind, path in sorted(paths.items()):
+        print(f"{kind}: {path}")
+
+
+def cmd_complexity_calculate(args: argparse.Namespace) -> None:
+    """Reference ``wceb complexity calculate``: per-page complexity +
+    quantile table."""
+    from .operators.relational import complexity_quantiles, page_complexity
+    from .sources.jsonl import write_jsonl
+    from .sources.pages import synthesize_pages, truth_table
+
+    spark = _spark(args)
+    pages = synthesize_pages(spark, args.sf_dir)
+    cx = page_complexity(pages, truth_table(pages)).persist()
+    write_jsonl(
+        cx.select("url", F.round("complexity", 6).alias("complexity")),
+        args.output, sort_by="url", golden=args.golden,
+    )
+    for row in complexity_quantiles(cx).collect():
+        print(row.asDict())
+    cx.unpersist()
+    print(f"complexities -> {args.output}")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(
+        prog="wceb-spark",
+        description="PySpark web-content-extraction benchmark CLI",
+    )
+    parser.add_argument("--master", default="local[*]")
+    parser.add_argument("--shuffle-partitions", type=int, default=32)
+    sub = parser.add_subparsers(dest="command", required=True)
+
+    p = sub.add_parser("extract", help="run extractors, write JSONL answers")
+    p.add_argument("-m", "--model", action="append",
+                   help="model name or 'all' (repeatable)")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--salt-partitions", type=int, default=0,
+                   help="salted repartition width (0 = keep input layout)")
+    p.add_argument("--golden", action="store_true",
+                   help="single sorted file (test/golden mode)")
+    p.set_defaults(fn=cmd_extract)
+
+    p = sub.add_parser("convert-datasets",
+                       help="convert a raw dataset tree to combined JSONL")
+    p.add_argument("--format", required=True, choices=RAW_FORMATS)
+    p.add_argument("-i", "--input", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--golden", action="store_true")
+    p.set_defaults(fn=cmd_convert_datasets)
+
+    pe = sub.add_parser("eval", help="score / aggregate model answers")
+    esub = pe.add_subparsers(dest="eval_command", required=True)
+
+    p = esub.add_parser("score", help="per-page metrics vs ground truth")
+    p.add_argument("--answers", required=True)
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("-m", "--model", action="append")
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--golden", action="store_true")
+    p.set_defaults(fn=cmd_eval_score)
+
+    p = esub.add_parser("aggregate",
+                        help="mean/median + micro/macro rollup report")
+    p.add_argument("--scores", required=True)
+    p.add_argument("-o", "--output-dir", required=True)
+    p.add_argument("--name", default="scores")
+    p.set_defaults(fn=cmd_eval_aggregate)
+
+    pc = sub.add_parser("complexity", help="page extraction complexity")
+    csub = pc.add_subparsers(dest="complexity_command", required=True)
+    p = csub.add_parser("calculate", help="per-page complexity + quantiles")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--golden", action="store_true")
+    p.set_defaults(fn=cmd_complexity_calculate)
+
+    return parser
+
+
+def main(argv: list[str] | None = None) -> None:
+    args = build_parser().parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1:])
