@@ -86,3 +86,50 @@ def test_export_report_latex_and_null_safety(spark, tmp_path):
     assert r"\toprule" in tex and r"\bottomrule" in tex
     csv_text = open(paths["csv"]).read()
     assert '"quo""te"' in csv_text  # RFC-4180 doubled quote
+
+
+def test_score_distribution_tables_golden(spark, tmp_path):
+    """Histogram + box-plot data tables (the numbers behind the
+    reference's eval.py:284-327 plots) as deterministic exports."""
+    from web_content_extraction_benchmark_spark.sources.reports import (
+        score_boxplot_stats,
+        score_histogram,
+    )
+
+    scores = spark.createDataFrame(
+        [("m1", s) for s in (0.0, 0.1, 0.1, 0.5, 1.0)]
+        + [("m2", s) for s in (0.2, 0.4, 0.6, 0.8)],
+        "model string, f1 double",
+    )
+    hist = {
+        (r.model, r.bin): (r.bin_lo, r.bin_hi, r.n)
+        for r in score_histogram(scores, "f1", bins=10).collect()
+    }
+    # 0.1 lands in bin 1 [0.1, 0.2); 1.0 clamps into the last bin
+    assert hist[("m1", 0)] == (0.0, 0.1, 1)
+    assert hist[("m1", 1)] == (0.1, 0.2, 2)
+    assert hist[("m1", 5)] == (0.5, 0.6, 1)
+    assert hist[("m1", 9)] == (0.9, 1.0, 1)
+    assert hist[("m2", 2)][2] == 1 and hist[("m2", 8)][2] == 1
+    assert sum(v[2] for (m, _), v in hist.items() if m == "m1") == 5
+
+    box = {r.model: r for r in score_boxplot_stats(scores, "f1").collect()}
+    m1 = box["m1"]
+    assert (m1["min"], m1["median"], m1["max"]) == (0.0, 0.1, 1.0)
+    assert m1["q25"] == 0.1 and m1["q75"] == 0.5  # exact interpolated
+    assert m1["mean"] == round((0.0 + 0.1 + 0.1 + 0.5 + 1.0) / 5, 6)
+    assert m1["lower_err"] == round(abs(m1["mean"] - m1["q25"]), 6)
+    assert m1["upper_err"] == round(abs(m1["q75"] - m1["mean"]), 6)
+    m2 = box["m2"]
+    assert (m2["min"], m2["max"], m2["n"]) == (0.2, 0.8, 4)
+    assert m2["median"] == 0.5
+
+    # the export path renders them like any aggregate table
+    paths = export_report(
+        score_boxplot_stats(scores, "f1"), str(tmp_path), name="box"
+    )
+    content = open(paths["csv"]).read()
+    assert content.splitlines()[0] == (
+        "model,n,min,q25,median,q75,max,mean,lower_err,upper_err"
+    )
+    assert len(content.splitlines()) == 3

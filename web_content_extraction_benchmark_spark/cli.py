@@ -165,19 +165,44 @@ def cmd_eval_score(args: argparse.Namespace) -> None:
 
 def cmd_eval_aggregate(args: argparse.Namespace) -> None:
     """Reference ``wceb eval aggregate``: mean/median per (model,
-    dataset) + _micro/_macro rollups, exported as CSV/markdown/LaTeX."""
+    dataset) + _micro/_macro rollups, exported as CSV/markdown/LaTeX,
+    plus the histogram/box-plot distribution tables behind the
+    reference's plots."""
     from .plans.pipeline import aggregate_scores
     from .sources.jsonl import read_jsonl
-    from .sources.reports import export_report
+    from .sources.reports import (
+        export_report,
+        score_boxplot_stats,
+        score_histogram,
+    )
 
     spark = _spark(args)
-    scores = read_jsonl(spark, args.scores, SCORES_SCHEMA)
+    scores = read_jsonl(spark, args.scores, SCORES_SCHEMA).persist()
     agg = aggregate_scores(scores)
     rounded = agg.select(
         "model", "dataset",
         *[F.round(c, 6).alias(c) for c in agg.columns[2:]],
     )
     paths = export_report(rounded, args.output_dir, name=args.name)
+    paths.update(
+        {
+            f"hist_{k}": v
+            for k, v in export_report(
+                score_histogram(scores, args.score_col),
+                args.output_dir, name=f"{args.name}_hist",
+            ).items()
+        }
+    )
+    paths.update(
+        {
+            f"box_{k}": v
+            for k, v in export_report(
+                score_boxplot_stats(scores, args.score_col),
+                args.output_dir, name=f"{args.name}_box",
+            ).items()
+        }
+    )
+    scores.unpersist()
     for kind, path in sorted(paths.items()):
         print(f"{kind}: {path}")
 
@@ -246,6 +271,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--scores", required=True)
     p.add_argument("-o", "--output-dir", required=True)
     p.add_argument("--name", default="scores")
+    p.add_argument("--score-col", default="f1",
+                   help="main score column for distribution tables")
     p.set_defaults(fn=cmd_eval_aggregate)
 
     pc = sub.add_parser("complexity", help="page extraction complexity")

@@ -101,3 +101,72 @@ def _latex_table(cols: list[str], rows: list[list[str]]) -> str:
         lines.append(" & ".join(_tex(v) for v in row) + r" \\")
     lines += [r"\bottomrule", r"\end{tabular}", ""]
     return "\n".join(lines)
+
+
+# ---------------------------------------------------------------------------
+# Distribution tables — the data behind the reference's plots
+# ---------------------------------------------------------------------------
+
+
+def score_histogram(scores: DataFrame, score_col: str = "f1",
+                    bins: int = 25) -> DataFrame:
+    """Per-model score histogram — the numbers behind the reference's
+    ``_plot_score_histograms`` (eval.py:303-327: 25 bins over [0, 1],
+    one panel per model) as a plain table so downstream plotting needs
+    no Spark.  Fully distributed: bin assignment is a Catalyst
+    expression and the exchange carries (model, bin) partial counts,
+    never score rows."""
+    from pyspark.sql import functions as F
+
+    clamped = F.greatest(F.lit(0.0), F.least(F.lit(1.0), F.col(score_col)))
+    b = F.least(
+        F.floor(clamped * bins).cast("int"), F.lit(bins - 1)
+    )
+    return (
+        scores.select("model", b.alias("bin"))
+        .groupBy("model", "bin")
+        .agg(F.count("*").alias("n"))
+        .select(
+            "model",
+            "bin",
+            F.round(F.col("bin") / bins, 6).alias("bin_lo"),
+            F.round((F.col("bin") + 1) / bins, 6).alias("bin_hi"),
+            "n",
+        )
+    )
+
+
+def score_boxplot_stats(scores: DataFrame,
+                        score_col: str = "f1") -> DataFrame:
+    """Per-model box/bar-plot statistics — the numbers behind the
+    reference's per-model box plots and mean bar plots with
+    q25/q75 error bars (eval.py:284-295): min, exact interpolated
+    quartiles, max, mean, and the asymmetric error-bar halves
+    |mean - q25| / |q75 - mean|."""
+    from pyspark.sql import functions as F
+
+    q = F.percentile(
+        F.col(score_col),
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)),
+    )
+    agg = scores.groupBy("model").agg(
+        F.count("*").alias("n"),
+        F.min(score_col).alias("mn"),
+        F.max(score_col).alias("mx"),
+        F.mean(score_col).alias("mean_raw"),
+        q.alias("q"),
+    )
+    mean = F.col("mean_raw")
+    q25, q75 = F.col("q")[0], F.col("q")[2]
+    return agg.select(
+        "model",
+        "n",
+        F.round("mn", 6).alias("min"),
+        F.round(q25, 6).alias("q25"),
+        F.round(F.col("q")[1], 6).alias("median"),
+        F.round(q75, 6).alias("q75"),
+        F.round("mx", 6).alias("max"),
+        F.round(mean, 6).alias("mean"),
+        F.round(F.abs(mean - q25), 6).alias("lower_err"),
+        F.round(F.abs(q75 - mean), 6).alias("upper_err"),
+    )
