@@ -140,6 +140,55 @@ def main() -> None:
                 ["main_content", "plain"],
             ),
         ),
+        (
+            "exact-dedup winner selection (keys-only)",
+            "loser ids derived from a (digest, id) projection "
+            "(groupBy min + keys-only join), removed via left_anti — "
+            "NO Window/sort over document payloads; AQE broadcasts the "
+            "loser side at realistic dup rates",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.dedup",
+                fromlist=["drop_exact_duplicates"],
+            ).drop_exact_duplicates(
+                docs.select("doc_id", "text"), id_col="doc_id"
+            ),
+        ),
+        (
+            "simhash blocking with skew valve (max_bucket)",
+            "over-cap bucket keys via map-side groupBy count + broadcast "
+            "left_anti (no single-task Window buffering a hot bucket)",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.dedup",
+                fromlist=["simhash_near_duplicates"],
+            ).simhash_near_duplicates(
+                docs.select("doc_id", "text"), max_bucket=1000
+            ),
+        ),
+        (
+            "trained neural extraction (E15 kernel)",
+            "ONE mapInPandas Python eval node over (url, html) — weights "
+            "travel via broadcast variable (not literals in the plan), "
+            "inference is batched matmul inside the worker",
+            __import__(
+                "web_content_extraction_benchmark_spark.extractors.neural",
+                fromlist=["neural_extract_answers"],
+            ).neural_extract_answers(pages),
+        ),
+        (
+            "multimodal decode (real BMP/WAV kernels)",
+            "ONE mapInPandas node, payload column isolated to the decode "
+            "stage; no shuffle",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.multimodal",
+                fromlist=["extract_media_features", "synthesize_media"],
+            ).extract_media_features(
+                __import__(
+                    "web_content_extraction_benchmark_spark.operators"
+                    ".multimodal",
+                    fromlist=["synthesize_media"],
+                ).synthesize_media(spark, n_rows=16)
+            ),
+        ),
     ]
 
     out_path = os.path.join(
