@@ -297,7 +297,13 @@ def _synthesize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFram
         for doc_id, source, text, lang in zip(doc_ids, sources, texts, langs):
             doc_id = int(doc_id)
             rows["url"].append(url_for(doc_id, source))
-            rows["warc_ts"].append(EPOCH_2023 + pd.Timedelta(seconds=doc_id))
+            # seconds bounded to keep replicate-offset ids (copy * 10^7,
+            # up to ~2*10^10 at the 10M-page stress level) inside the
+            # pandas ns-timestamp range; identity for every base doc_id,
+            # so the SQL mirrors never see the modulo.
+            rows["warc_ts"].append(
+                EPOCH_2023 + pd.Timedelta(seconds=doc_id % 4_000_000_000)
+            )
             rows["html"].append(
                 encode_page_html(doc_id, build_page_html(doc_id, source, text))
             )
@@ -322,10 +328,15 @@ def synthesize_pages(
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if replicate > 1:
+        # copy * 10^7 must be LONG arithmetic: an int literal keeps the
+        # multiply in INT32, which under ANSI mode throws at replicate
+        # >= 215 (first hit at the 10M-page stress level).
         docs = docs.withColumn(
             "copy", F.explode(F.sequence(F.lit(0), F.lit(replicate - 1)))
         ).withColumn(
-            "doc_id", (F.col("doc_id") + F.col("copy") * F.lit(10_000_000)).cast("long")
+            "doc_id",
+            F.col("doc_id")
+            + F.col("copy").cast("long") * F.lit(10_000_000).cast("long"),
         ).drop("copy")
     if partitions:
         docs = docs.repartition(partitions)
