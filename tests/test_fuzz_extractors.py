@@ -84,3 +84,67 @@ def test_simhash_python_kernel_total(text):
     sig = simhash64_py(text)
     assert -(2 ** 63) <= sig < 2 ** 63
     assert simhash64_py(text) == sig
+
+
+# --- multimodal codec fuzz: encode->decode roundtrips + garbage safety ---
+
+@given(
+    st.integers(1, 40), st.integers(1, 20),
+    st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+    st.tuples(st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)),
+)
+@settings(max_examples=40, deadline=None)
+def test_bmp_roundtrip_fuzzed(w, h, c1, c2):
+    from web_content_extraction_benchmark_spark.operators.multimodal import (
+        bmp_features,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    px = decode_bmp(encode_bmp(w, h, c1, c2))
+    assert px.shape == (h, w, 3)
+    assert tuple(px[0, 0]) == c1
+    if w > 1:
+        assert tuple(px[h - 1, 1]) == c2
+    f = bmp_features(encode_bmp(w, h, c1, c2))
+    ne, no = (w + 1) // 2, w // 2
+    assert f[:2] == [float(w), float(h)]
+    assert f[2] == (ne * c1[0] + no * c2[0]) / w
+
+
+@given(
+    st.integers(8000, 48000), st.integers(1, 8), st.integers(1, 40),
+    st.integers(1, 32767),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_roundtrip_fuzzed(rate, hp, periods, amp):
+    from web_content_extraction_benchmark_spark.operators.multimodal import (
+        decode_wav,
+        encode_wav,
+        wav_features,
+    )
+
+    n = 2 * hp * periods
+    got_rate, s = decode_wav(encode_wav(rate, n, amp, hp))
+    assert got_rate == rate and len(s) == n
+    f = wav_features(encode_wav(rate, n, amp, hp))
+    assert f[2] == 0.0  # full periods -> exact zero mean
+    assert f[3] == amp / 32768.0  # square-wave rms == amplitude exactly
+    assert f[4] == (n // hp - 1) / (n - 1) if n > 1 else f[4] == 0.0
+
+
+@given(st.binary(max_size=200))
+@settings(max_examples=60, deadline=None)
+def test_codec_garbage_never_crashes_undetected(payload):
+    """Arbitrary bytes either decode cleanly or raise ValueError — never
+    a silent wrong answer or an uncontrolled exception type."""
+    from web_content_extraction_benchmark_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+    )
+
+    for dec in (decode_bmp, decode_wav):
+        try:
+            dec(payload)
+        except ValueError:
+            pass
