@@ -1,0 +1,105 @@
+"""Deterministic sampling operators (operators/sampling.py): exact
+member-set reproducibility across engines (DuckDB cross-check), retries,
+and partitionings — the property rand()-based sampling lacks."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from web_content_extraction_benchmark_spark.operators.sampling import (
+    assign_split,
+    deterministic_sample,
+    sample_predicate_sql,
+    stratified_sample,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    ).cache()
+
+
+def test_member_set_matches_duckdb_exactly(docs, sf_dir):
+    """The Spark predicate and the independent DuckDB mirror select the
+    IDENTICAL member set — oracle-grade engine independence."""
+    for fraction, seed in ((0.25, 0), (0.5, 7), (0.03, 42)):
+        spark_ids = {
+            r.doc_id
+            for r in deterministic_sample(docs, fraction, seed=seed).collect()
+        }
+        duck_ids = {
+            row[0]
+            for row in duckdb.sql(
+                f"SELECT doc_id FROM '{sf_dir}/documents.parquet' "
+                f"WHERE {sample_predicate_sql('doc_id', fraction, seed)}"
+            ).fetchall()
+        }
+        assert spark_ids == duck_ids, (fraction, seed)
+        assert spark_ids  # non-degenerate at these fractions
+
+
+def test_fraction_accuracy_and_seed_independence(docs):
+    n = docs.count()
+    kept = deterministic_sample(docs, 0.5, seed=1).count()
+    assert abs(kept / n - 0.5) < 0.1
+    a = {r.doc_id for r in deterministic_sample(docs, 0.3, seed=1).collect()}
+    b = {r.doc_id for r in deterministic_sample(docs, 0.3, seed=2).collect()}
+    assert a != b  # seeds draw different members
+    # nested fractions with one seed: the 10% sample is a subset of 30%
+    c = {r.doc_id for r in deterministic_sample(docs, 0.1, seed=1).collect()}
+    assert c <= a
+
+
+def test_stable_under_repartitioning(docs):
+    """Membership is a pure key property: any physical layout (the
+    stand-in for retries / AQE re-plans) yields the same sample."""
+    base = {r.doc_id for r in deterministic_sample(docs, 0.4).collect()}
+    shuffled = {
+        r.doc_id
+        for r in deterministic_sample(docs.repartition(17), 0.4).collect()
+    }
+    assert base == shuffled
+
+
+def test_stratified_quotas(docs):
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    keep_all, keep_none = langs[0], langs[1]
+    out = stratified_sample(
+        docs, {keep_all: 1.0, keep_none: 0.0}, strata_col="lang"
+    )
+    counts = {r.lang: r.n for r in out.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert counts[keep_all] == totals[keep_all]
+    assert keep_none not in counts
+    # unlisted strata follow default_fraction=0.0
+    assert set(counts) == {keep_all}
+
+
+def test_split_is_leak_proof_and_exhaustive(docs):
+    out = assign_split(docs, 0.2, seed=3)
+    sides = out.groupBy("split").agg(F.count("*").alias("n")).collect()
+    assert {r.split for r in sides} == {"train", "test"}
+    assert sum(r.n for r in sides) == docs.count()
+    # same key -> same side, even computed in a separate job
+    again = assign_split(docs.repartition(5), 0.2, seed=3)
+    joined = out.select("doc_id", "split").join(
+        again.select("doc_id", F.col("split").alias("split2")), "doc_id"
+    )
+    assert joined.filter(F.col("split") != F.col("split2")).count() == 0
+
+
+def test_sample_filter_is_shuffle_free(docs):
+    plan = deterministic_sample(docs, 0.5)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_bad_fraction_rejected(docs):
+    with pytest.raises(ValueError):
+        deterministic_sample(docs, 1.5)
+    with pytest.raises(ValueError):
+        stratified_sample(docs, {"en": -0.1}, strata_col="lang")

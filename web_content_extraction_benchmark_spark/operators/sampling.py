@@ -1,0 +1,93 @@
+"""Deterministic corpus sampling — the reproducibility-critical cousin
+of ``df.sample()`` for training-data pipelines.
+
+``rand()``-based sampling is a correctness hazard at 100 TB: a task
+retry or a partition-count change re-draws the randomness and silently
+changes the corpus.  These operators decide membership from
+``md5(seed:key)`` alone — pure, engine-independent (DuckDB reproduces
+the exact member set, see ``sample_predicate_sql``), stable under
+retries, repartitioning, and AQE re-planning, and O(1) per row with no
+shuffle (a Catalyst projection + filter that pushes down past column
+pruning).
+
+The same primitive yields leak-proof train/test assignment
+(``assign_split``): membership of a key is a global property of the key,
+so the same document can never land in both sides of a split, no matter
+how many jobs, machines, or retries compute it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 16^8 buckets from the first 8 md5 hex digits: granularity 6e-9, and
+# the value fits comfortably in a long on both engines.
+_BUCKETS = 16 ** 8
+
+
+def sample_hash(key: Column, seed: int = 0) -> Column:
+    """Uniform long in [0, 16^8) derived from md5("{seed}:{key}")."""
+    digest = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
+
+
+def deterministic_sample(df: DataFrame, fraction: float,
+                         key_col: str = "doc_id",
+                         seed: int = 0) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership decided by key hash only."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction must be in [0, 1], got {fraction}")
+    bound = int(round(fraction * _BUCKETS))
+    return df.filter(sample_hash(F.col(key_col), seed) < F.lit(bound))
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str, key_col: str = "doc_id",
+                      seed: int = 0,
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language quotas:
+    keep 100% of low-resource languages, 1% of English).  Strata not in
+    ``fractions`` get ``default_fraction``.  Unlike ``df.sampleBy`` the
+    member set is reproducible and engine-independent."""
+    for stratum, fraction in fractions.items():
+        if not 0.0 <= fraction <= 1.0:
+            raise ValueError(f"fraction for {stratum!r}: {fraction}")
+    bound = F.lit(int(round(default_fraction * _BUCKETS)))
+    for stratum, fraction in sorted(fractions.items()):
+        bound = F.when(
+            F.col(strata_col) == stratum,
+            F.lit(int(round(fraction * _BUCKETS))),
+        ).otherwise(bound)
+    return df.filter(sample_hash(F.col(key_col), seed) < bound)
+
+
+def assign_split(df: DataFrame, test_fraction: float,
+                 key_col: str = "doc_id", seed: int = 0,
+                 split_col: str = "split") -> DataFrame:
+    """Add a leak-proof 'train'/'test' column: assignment is a pure
+    function of the key, so no document can ever appear on both sides —
+    across jobs, retries, or engines."""
+    bound = int(round(test_fraction * _BUCKETS))
+    return df.withColumn(
+        split_col,
+        F.when(
+            sample_hash(F.col(key_col), seed) < F.lit(bound), F.lit("test")
+        ).otherwise(F.lit("train")),
+    )
+
+
+def sample_predicate_sql(key_expr: str, fraction: float,
+                         seed: int = 0) -> str:
+    """The ANSI/DuckDB mirror of the membership predicate — digit-wise
+    hex-to-int conversion of the first 8 md5 hex chars (the same
+    strpos-based pattern the SimHash oracle uses), so an independent
+    engine reproduces the exact member set."""
+    bound = int(round(fraction * _BUCKETS))
+    digest = f"md5('{seed}:' || CAST({key_expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({digest}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    return f"(({terms}) < {bound})"
