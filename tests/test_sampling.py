@@ -103,3 +103,54 @@ def test_bad_fraction_rejected(docs):
         deterministic_sample(docs, 1.5)
     with pytest.raises(ValueError):
         stratified_sample(docs, {"en": -0.1}, strata_col="lang")
+
+
+def test_quota_per_key_matches_duckdb(spark, sf_dir):
+    """Per-host caps: winner set equals the DuckDB row_number mirror."""
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        quota_per_key,
+        quota_predicate_sql,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    got = {
+        r.doc_id
+        for r in quota_per_key(docs, 30, key_col="lang").collect()
+    }
+    want = {
+        row[0]
+        for row in duckdb.sql(
+            quota_predicate_sql(
+                f"(SELECT doc_id, lang FROM "
+                f"'{sf_dir}/documents.parquet')",
+                30, "lang",
+            )
+        ).fetchall()
+    }
+    assert got == want and got
+    # cap is respected per key
+    counts = (
+        quota_per_key(docs, 30, key_col="lang")
+        .groupBy("lang").agg(F.count("*").alias("n")).collect()
+    )
+    assert all(r.n <= 30 for r in counts)
+
+
+def test_quota_limit_applied_before_shuffle(spark, sf_dir):
+    """The rank filter must compile to WindowGroupLimit with a map-side
+    (Partial) pass — a hot host is cut to the quota per input partition
+    BEFORE the exchange, which is what keeps per-host caps safe under
+    web-scale host skew."""
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        quota_per_key,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    plan = quota_per_key(docs, 5, key_col="lang")._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+    assert "Partial" in plan, plan

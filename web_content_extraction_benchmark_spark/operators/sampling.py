@@ -91,3 +91,38 @@ def sample_predicate_sql(key_expr: str, fraction: float,
         for i in range(8)
     )
     return f"(({terms}) < {bound})"
+
+
+def quota_per_key(df: DataFrame, quota: int, key_col: str,
+                  order_col: str = "doc_id") -> DataFrame:
+    """Keep at most ``quota`` rows per key (e.g. per-host caps, the
+    standard web-corpus anti-spam measure), deterministically: the
+    winners are the ``quota`` smallest ``order_col`` values per key.
+
+    Plan note: the rank filter compiles to ``WindowGroupLimit`` — Spark
+    applies the limit map-side BEFORE the shuffle, so a hot host's
+    millions of rows are cut to ``quota`` per input partition before any
+    exchange (the pre-shuffle guard that makes this safe under host
+    skew)."""
+    from pyspark.sql.window import Window
+
+    if quota < 1:
+        raise ValueError(f"quota must be >= 1, got {quota}")
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= quota)
+        .drop("_rn")
+    )
+
+
+def quota_predicate_sql(table_sql: str, quota: int, key_expr: str,
+                        order_expr: str = "doc_id") -> str:
+    """DuckDB mirror of ``quota_per_key`` (row_number cast to INT per
+    the DuckDB type-cast rules in CLAUDE.md)."""
+    return (
+        f"SELECT * EXCLUDE (_rn) FROM ("
+        f"SELECT *, CAST(row_number() OVER ("
+        f"PARTITION BY {key_expr} ORDER BY {order_expr}) AS INT) AS _rn "
+        f"FROM {table_sql}) WHERE _rn <= {quota}"
+    )
