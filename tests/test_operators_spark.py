@@ -494,3 +494,32 @@ def test_connected_components_on_string_ids(spark):
     got = {r.id: r.component for r in connected_components(pairs).collect()}
     assert got == {"u/a": "u/a", "u/b": "u/a", "u/c": "u/a",
                    "u/x": "u/x", "u/y": "u/x"}
+
+
+def test_bmp_top_down_negative_height():
+    """BMP height is a SIGNED field: negative height means top-down row
+    order (no flip).  A decoder parsing it unsigned would either garble
+    or reject every real top-down bitmap."""
+    import struct
+
+    from web_content_extraction_benchmark_spark.operators.multimodal import (
+        decode_bmp,
+    )
+
+    w, h = 2, 2
+    row_size = (3 * w + 3) // 4 * 4
+    rows = [
+        bytes((0, 0, 255)) + bytes((0, 255, 0)),  # BGR: red, green (top)
+        bytes((255, 0, 0)) + bytes((255, 255, 255)),
+    ]
+    pix = b"".join(r + b"\x00" * (row_size - len(r)) for r in rows)
+    payload = (
+        struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, w, -h, 1, 24, 0, len(pix),
+                      0, 0, 0, 0)
+        + pix
+    )
+    px = decode_bmp(payload)
+    assert px.shape == (2, 2, 3)
+    assert tuple(px[0, 0]) == (255, 0, 0)  # top-left stays red: no flip
+    assert tuple(px[1, 1]) == (255, 255, 255)

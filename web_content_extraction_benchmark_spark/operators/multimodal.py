@@ -77,7 +77,8 @@ def decode_bmp(payload: bytes) -> np.ndarray:
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError("not a BMP payload")
     pix_offset = struct.unpack_from("<I", payload, 10)[0]
-    header_size, width, height = struct.unpack_from("<IiI", payload, 14)
+    # height is SIGNED: negative means top-down row order
+    header_size, width, height = struct.unpack_from("<Iii", payload, 14)
     planes, bpp = struct.unpack_from("<HH", payload, 26)
     compression = struct.unpack_from("<I", payload, 30)[0]
     if header_size < 40 or planes != 1 or bpp != 24 or compression != 0:
