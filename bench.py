@@ -312,10 +312,35 @@ def main() -> None:
             F.count("*"), F.countDistinct("component")
         ).collect()
 
+    # q12: corpus prep for LLM training — per-host quota (WindowGroupLimit
+    # cuts hot hosts map-side), deterministic hash sampling (pure filter),
+    # token-aware greedy packing into 4096-token sequences (sharded
+    # applyInPandas).  The end-of-pipeline step after dedup/filtering.
+    def q12():
+        from web_content_extraction_benchmark_spark.operators.packing import (
+            pack_sequences,
+        )
+        from web_content_extraction_benchmark_spark.operators.sampling import (
+            deterministic_sample,
+            quota_per_key,
+        )
+
+        docs = pages.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.regexp_extract("url", r"https://([^/]+)/", 1).alias("host"),
+            F.size(F.split("gold", " ")).alias("n_tokens"),
+        )
+        capped = quota_per_key(docs, 20_000, key_col="host")
+        sampled = deterministic_sample(capped, 0.5, key_col="doc_id")
+        pack_sequences(sampled, capacity=4096, n_shards=64).agg(
+            F.count("*"), F.max("chunk"), F.sum("chunk_fill")
+        ).collect()
+
     timed("q8_sessionize", q8)
     timed("q9_rollup_agg", q9)
     timed("q10_convert_cleaneval", q10)
     timed("q11_neardup_clusters", q11)
+    timed("q12_corpus_prep", q12)
     neardup_pairs.unpersist()
     unique_docs.unpersist()
 
