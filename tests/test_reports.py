@@ -133,3 +133,76 @@ def test_score_distribution_tables_golden(spark, tmp_path):
         "model,n,min,q25,median,q75,max,mean,lower_err,upper_err"
     )
     assert len(content.splitlines()) == 3
+
+
+def test_xlsx_export_stdlib_verified(spark, tmp_path):
+    """S9 XLSX sink, from scratch: the written file must be a valid
+    SpreadsheetML package (verified by unzipping and parsing the XML
+    parts with stdlib ElementTree — no third-party reader), with a bold
+    header row and the per-column numeric maximum in bold, mirroring
+    the reference's pandas-Styler highlight (eval.py:201-239)."""
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    paths = export_report(_agg(spark), str(tmp_path), name="scores")
+    assert paths["xlsx"].endswith("scores.xlsx")
+
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(paths["xlsx"]) as zf:
+        names = set(zf.namelist())
+        assert {"[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+                "xl/_rels/workbook.xml.rels", "xl/styles.xml",
+                "xl/worksheets/sheet1.xml"} <= names
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+        styles = ET.fromstring(zf.read("xl/styles.xml"))
+
+    # style table: style 1 is the bold font
+    fonts = styles.findall(f"{NS}fonts/{NS}font")
+    assert fonts[1].find(f"{NS}b") is not None
+
+    rows = sheet.findall(f"{NS}sheetData/{NS}row")
+    assert len(rows) == 4  # header + 3 data rows (sorted)
+
+    def cells(row):
+        out = {}
+        for c in row.findall(f"{NS}c"):
+            ref, style = c.get("r"), c.get("s")
+            t = c.find(f"{NS}is/{NS}t")
+            v = c.find(f"{NS}v")
+            out[ref] = (t.text if t is not None else
+                        (v.text if v is not None else None), style)
+        return out
+
+    header = cells(rows[0])
+    assert header["A1"] == ("model", "1")  # bold header
+    assert header["C1"][0] == "mean_dist"
+    body = [cells(r) for r in rows[1:]]
+    # rows sort canonically: plain/ds_a 0.25, plain/ds_b 1.0, readability
+    assert body[0]["A2"][0] == "plain" and body[0]["C2"][0] == "0.25"
+    # the numeric max (1.0) is bold; other numeric cells are not
+    assert body[1]["C3"] == ("1.0", "1")
+    assert body[0]["C2"][1] is None
+    assert body[2]["C4"][1] is None
+
+
+def test_xlsx_column_refs_and_escaping(tmp_path, spark):
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    from web_content_extraction_benchmark_spark.sources.xlsx import (
+        column_ref,
+        write_xlsx,
+    )
+
+    assert [column_ref(i) for i in (0, 25, 26, 27, 701, 702)] == [
+        "A", "Z", "AA", "AB", "ZZ", "AAA"
+    ]
+    path = write_xlsx(
+        str(tmp_path / "esc.xlsx"), ["a<b", "n"],
+        [["x & <y>", 3], [None, 7]],
+    )
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    texts = [t.text for t in sheet.iter(f"{NS}t")]
+    assert "a<b" in texts and "x & <y>" in texts  # XML-escaped, parses back

@@ -34,10 +34,10 @@ def _fmt(value) -> str:
 
 def export_report(agg_df: DataFrame, out_dir: str,
                   name: str = "metrics") -> dict[str, str]:
-    """Collect a (small, aggregated) DataFrame and write ``<name>.csv``
-    and ``<name>.md`` under ``out_dir``.  Row order is canonicalized by
-    sorting on all columns so exports are reproducible.  Returns the
-    written paths."""
+    """Collect a (small, aggregated) DataFrame and write ``<name>.csv``,
+    ``<name>.md``, ``<name>.tex`` and ``<name>.xlsx`` under ``out_dir``.
+    Row order is canonicalized by sorting on all columns so exports are
+    reproducible.  Returns the written paths."""
     import csv
 
     os.makedirs(out_dir, exist_ok=True)
@@ -53,13 +53,11 @@ def export_report(agg_df: DataFrame, out_dir: str,
             return (1, str(v), 0.0)
         return (0, "", float(v))
 
-    rows = [
-        [_fmt(v) for v in row]
-        for row in sorted(
-            (tuple(r) for r in agg_df.collect()),
-            key=lambda row: [_cell_key(v) for v in row],
-        )
-    ]
+    typed_rows = sorted(
+        (tuple(r) for r in agg_df.collect()),
+        key=lambda row: [_cell_key(v) for v in row],
+    )
+    rows = [[_fmt(v) for v in row] for row in typed_rows]
     csv_path = os.path.join(out_dir, f"{name}.csv")
     with open(csv_path, "w", encoding="utf-8", newline="") as f:
         writer = csv.writer(f, lineterminator="\n")
@@ -74,7 +72,14 @@ def export_report(agg_df: DataFrame, out_dir: str,
     tex_path = os.path.join(out_dir, f"{name}.tex")
     with open(tex_path, "w", encoding="utf-8") as f:
         f.write(_latex_table(cols, rows))
-    return {"csv": csv_path, "md": md_path, "tex": tex_path}
+    from .xlsx import write_xlsx
+
+    xlsx_path = write_xlsx(
+        os.path.join(out_dir, f"{name}.xlsx"), cols,
+        [list(r) for r in typed_rows], sheet_name=name,
+    )
+    return {"csv": csv_path, "md": md_path, "tex": tex_path,
+            "xlsx": xlsx_path}
 
 
 _TEX_ESCAPES = {
