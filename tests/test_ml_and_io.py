@@ -91,3 +91,53 @@ def test_jsonl_golden_roundtrip(spark, tmp_path):
     assert keys == ["u1", "u2"]  # sorted by key (extract.py:33-37)
     back = read_jsonl(spark, path, ANSWER_JSONL_SCHEMA)
     assert back.orderBy("url").collect() == df.orderBy("url").collect()
+
+
+def test_tsne_separates_clusters_and_is_deterministic():
+    """R31 data side (reference complexity.py:137-144): the from-scratch
+    seeded t-SNE must keep well-separated feature clusters separated in
+    2-D, reproduce bit-identically for a seed, and stay finite."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_spark.plans.tsne import tsne_embed
+
+    rng = np.random.default_rng(1)
+    centers = np.array(
+        [[0.0] * 10, [8.0] * 10, [-8.0] * 5 + [8.0] * 5]
+    )
+    X = np.vstack([c + rng.normal(0, 0.5, size=(50, 10)) for c in centers])
+    labels = np.repeat([0, 1, 2], 50)
+    Y = tsne_embed(X, n_iter=300)
+    assert Y.shape == (150, 2) and np.isfinite(Y).all()
+    cents = np.stack([Y[labels == k].mean(axis=0) for k in range(3)])
+    pred = np.argmin(
+        ((Y[:, None, :] - cents[None]) ** 2).sum(-1), axis=1
+    )
+    assert (pred == labels).mean() >= 0.95
+    assert np.array_equal(Y, tsne_embed(X, n_iter=300))
+    # degenerate sizes stay total
+    assert tsne_embed(np.zeros((0, 4))).shape == (0, 2)
+    assert tsne_embed(np.ones((1, 4))).shape == (1, 2)
+    assert np.isfinite(tsne_embed(np.ones((5, 3)), n_iter=50)).all()
+
+
+def test_complexity_tsne_spark_roundtrip(spark, sf_dir):
+    """Feature extraction stays in Spark; only the small aggregated
+    matrix is collected; coordinates come back as a (url, x, y) table."""
+    from web_content_extraction_benchmark_spark.plans.complexity_ml import (
+        html_feature_table,
+    )
+    from web_content_extraction_benchmark_spark.plans.tsne import (
+        complexity_tsne,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(spark, sf_dir).limit(150).cache()
+    feats = html_feature_table(pages)
+    out = complexity_tsne(feats, n_iter=120)
+    rows = out.collect()
+    assert len(rows) == feats.count()
+    assert all(r.x is not None and r.y is not None for r in rows)
+    assert set(out.columns) == {"url", "x", "y"}
