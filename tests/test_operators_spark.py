@@ -523,3 +523,27 @@ def test_bmp_top_down_negative_height():
     assert px.shape == (2, 2, 3)
     assert tuple(px[0, 0]) == (255, 0, 0)  # top-left stays red: no flip
     assert tuple(px[1, 1]) == (255, 255, 255)
+
+
+def test_connected_components_long_chain_logarithmic_rounds(spark):
+    """Pointer jumping must close a 512-node path graph (diameter 511)
+    well within max_iterations ~ O(log n) — plain min-label propagation
+    without jumping would need ~511 rounds and trip the loud
+    non-convergence guard."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 512
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)]
+        + [(10_000 + i, 10_001 + i) for i in range(20)],
+        "id_a long, id_b long",
+    )
+    comp = connected_components(pairs, max_iterations=14)  # ~log2(512)+pad
+    rows = comp.collect()
+    assert len(rows) == n + 21
+    chain = {r.id for r in rows if r.id < 10_000}
+    assert chain == set(range(n))
+    assert {r.component for r in rows if r.id < 10_000} == {0}
+    assert {r.component for r in rows if r.id >= 10_000} == {10_000}

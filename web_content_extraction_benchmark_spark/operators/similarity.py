@@ -265,14 +265,20 @@ def ivf_cosine_topk(
     sample_fraction: float = 1.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse k-means cells over the corpus, queries probe
     their ``n_probe`` nearest cells, exact cosine re-rank on the cell-join
     candidates.  The join key is the cell id — like the LSH path, the
     shuffle carries small keys instead of a cross product; recall/cost
-    trades off via (n_cells, n_probe)."""
-    centroids = _kmeans_centroids(corpus, vec_col, n_cells, seed,
-                                  sample_fraction)
+    trades off via (n_cells, n_probe).
+
+    Pass a prebuilt ``centroids`` codebook (see ``ivf_train``) to skip
+    the k-means training — the production shape, where the index is
+    built once and probed by every subsequent query batch."""
+    if centroids is None:
+        centroids = _kmeans_centroids(corpus, vec_col, n_cells, seed,
+                                      sample_fraction)
 
     def with_cells(df: DataFrame, name: str, probe: int) -> DataFrame:
         return _cell_assignments(df, name, id_col, vec_col, centroids, probe)
@@ -330,3 +336,15 @@ def embedding_near_duplicates(
             F.col("cos"),
         )
     )
+
+
+def ivf_train(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
+              sample_fraction: float = 1.0,
+              vec_col: str = "embedding") -> list:
+    """Train the IVF coarse quantizer once and return the codebook (a
+    plain list of centroid vectors) for reuse across query batches via
+    ``ivf_cosine_topk(..., centroids=...)``.  Index build and probe are
+    separate costs at scale: the build is amortized over every
+    subsequent lookup."""
+    return _kmeans_centroids(corpus, vec_col, n_cells, seed,
+                             sample_fraction)
