@@ -342,30 +342,61 @@ def q_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R2: customers having at least one order (left semi)."""
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R2+R3 folded (op column, r4 — frees a slot under the 50-query
+    cap): customers with at least one order (left semi, grouped) UNION
+    customers with no high-value order (left anti, the resume/
+    skip-existing shape)."""
     orders = _tpch(spark, sf_dir, "orders")
     customer = _tpch(spark, sf_dir, "customer")
-    return (
+    semi = (
         customer.join(
             orders.select(F.col("o_custkey").alias("c_custkey")),
             "c_custkey", "left_semi",
         )
         .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"))
+        .agg(F.count("*").alias("v"))
+        .select(
+            F.lit("semi").alias("op"), F.col("c_mktsegment").alias("k"),
+            F.col("v").cast("long").alias("v"),
+        )
     )
-
-
-def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """R3: customers with no high-value order (resume/skip-existing shape)."""
-    orders = _tpch(spark, sf_dir, "orders").filter(
-        F.col("o_totalprice") > 350000
-    )
-    customer = _tpch(spark, sf_dir, "customer")
-    return customer.join(
-        orders.select(F.col("o_custkey").alias("c_custkey")),
+    anti = customer.join(
+        orders.filter(F.col("o_totalprice") > 350000).select(
+            F.col("o_custkey").alias("c_custkey")
+        ),
         "c_custkey", "left_anti",
-    ).select("c_custkey", "c_name")
+    ).select(
+        F.lit("anti").alias("op"), F.col("c_name").alias("k"),
+        F.col("c_custkey").cast("long").alias("v"),
+    )
+    return semi.unionByName(anti)
+
+
+def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM corpus-prep tail, fully value-oracled end to end: per-lang
+    quota capping (30 smallest doc_ids per lang — the per-host anti-spam
+    cap shape), deterministic md5-hash sampling at 0.5 (membership is a
+    pure key property: identical in DuckDB, stable under retries), and
+    greedy 700-token sequence packing.  The packing runs single-shard
+    here so the DuckDB recursive-CTE mirror reproduces the EXACT chunk
+    assignment; the scale path shards by id hash (n_shards, pytest- and
+    bench-covered)."""
+    from web_content_extraction_benchmark_spark.operators.packing import (
+        pack_sequences,
+    )
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        deterministic_sample,
+        quota_per_key,
+    )
+
+    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    capped = quota_per_key(docs, 30, key_col="lang")
+    sampled = deterministic_sample(capped, 0.5, key_col="doc_id", seed=7)
+    packed = pack_sequences(sampled, 700)
+    return packed.select("doc_id", "chunk", "chunk_fill", "oversize")
 
 
 def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1190,8 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_all": q_quantiles_all,
         "complexity_band_counts": q_complexity_band_counts,
         "join_agg": q_join_agg,
-        "semi_join": q_semi_join,
-        "anti_join": q_anti_join,
+        "semi_anti_join": q_semi_anti_join,
+        "corpus_prep": q_corpus_prep,
         "rollup_agg": q_rollup_agg,
         "topk_window": q_topk_window,
         "conditional_agg": q_conditional_agg,
@@ -1216,6 +1247,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_features": q_html_features,
         "kmeans_clusters": q_kmeans_clusters,
     }
+
+
+def _corpus_prep_sql() -> str:
+    """Composed DuckDB mirror of q_corpus_prep: the quota row_number
+    subquery feeds the md5 sample predicate feeds the recursive-CTE
+    greedy packing — each piece is the operator's own SQL mirror
+    (operators/sampling.py, operators/packing.py), so the oracle tracks
+    the operators, not a hand-copied formula."""
+    from web_content_extraction_benchmark_spark.operators.packing import (
+        pack_sequences_sql,
+    )
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        quota_predicate_sql,
+        sample_predicate_sql,
+    )
+
+    capped = quota_predicate_sql(
+        "(SELECT doc_id, lang, text FROM documents "
+        "WHERE text IS NOT NULL)",
+        30, "lang",
+    )
+    sub = (
+        f"(SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
+        f"FROM ({capped}) "
+        f"WHERE {sample_predicate_sql('doc_id', 0.5, 7)})"
+    )
+    return (
+        "SELECT doc_id, chunk, chunk_fill, oversize FROM ("
+        + pack_sequences_sql(sub, 700)
+        + ")"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1741,17 +1803,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON c_nationkey = n_nationkey
             GROUP BY n_name
         """,
-        "semi_join": """
-            SELECT c_mktsegment, count(*) AS n_customers
+        "semi_anti_join": """
+            SELECT 'semi' AS op, c_mktsegment AS k,
+                   CAST(count(*) AS BIGINT) AS v
             FROM customer
             WHERE c_custkey IN (SELECT o_custkey FROM orders)
             GROUP BY c_mktsegment
-        """,
-        "anti_join": """
-            SELECT c_custkey, c_name FROM customer
+            UNION ALL
+            SELECT 'anti', c_name, CAST(c_custkey AS BIGINT)
+            FROM customer
             WHERE c_custkey NOT IN
                 (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
         """,
+        "corpus_prep": _corpus_prep_sql(),
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    round(sum(l_quantity), 4) AS sum_qty,
