@@ -120,6 +120,34 @@ def main() -> None:
     print(f"[5] committed snapshot v{table.current_snapshot().snapshot_id}; "
           f"resume would re-process {todo.count()} pages (expect 0)")
     print(f"[6] lineage rows: {lineage.count()} partitions x models")
+
+    # 7. Corpus prep for training: per-host quota (map-side
+    #    WindowGroupLimit), deterministic hash sample (retry-stable
+    #    membership), token-aware greedy packing into training
+    #    sequences (sharded).
+    from web_content_extraction_benchmark_spark.operators.packing import (
+        pack_sequences,
+    )
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        deterministic_sample,
+        quota_per_key,
+    )
+
+    counted = unique_docs.select(
+        F.xxhash64("doc_id").alias("doc_id"),
+        F.regexp_extract("doc_id", r"https://([^/]+)/", 1).alias("host"),
+        F.size(F.split("text", " ")).alias("n_tokens"),
+    )
+    prepped = deterministic_sample(
+        quota_per_key(counted, 1000, key_col="host"), 0.9, key_col="doc_id"
+    )
+    packed = pack_sequences(prepped, capacity=2048, n_shards=8)
+    stats = packed.agg(
+        F.count("*").alias("docs"),
+        F.countDistinct("shard", "chunk").alias("sequences"),
+    ).collect()[0]
+    print(f"[7] corpus prep: {stats.docs} docs packed into "
+          f"{stats.sequences} 2048-token sequences")
     print("PIPELINE OK", out_dir)
 
 

@@ -26,3 +26,20 @@ def test_queries_and_oracles_are_pure_builders():
         isinstance(sql, str) and sql.strip()
         for sql in entry.oracle_sql().values()
     )
+
+
+def test_deployment_zip_is_fresh():
+    """The spark-submit artifact must contain every current package
+    module — a stale zip silently deploys old code (regenerate with
+    `python tools/make_pyfiles.py`)."""
+    import os
+    import pathlib
+    import zipfile
+
+    repo = pathlib.Path(__file__).resolve().parent.parent
+    with zipfile.ZipFile(repo / "wceb_spark.zip") as zf:
+        names = set(zf.namelist())
+    pkg = repo / "web_content_extraction_benchmark_spark"
+    for path in pkg.rglob("*.py"):
+        rel = os.path.relpath(path, repo)
+        assert rel in names, f"stale wceb_spark.zip: missing {rel}"
