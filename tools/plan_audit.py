@@ -175,6 +175,40 @@ def main() -> None:
             ).neural_extract_answers(pages),
         ),
         (
+            "deterministic sample (md5 membership)",
+            "pure Catalyst filter — no Exchange, no Python, no rand()",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.sampling",
+                fromlist=["deterministic_sample"],
+            ).deterministic_sample(docs.select("doc_id", "lang"), 0.3),
+        ),
+        (
+            "per-key quota cap",
+            "WindowGroupLimit with a map-side Partial pass: hot keys cut "
+            "to the quota per input partition BEFORE the exchange",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.sampling",
+                fromlist=["quota_per_key"],
+            ).quota_per_key(docs.select("doc_id", "lang"), 10,
+                            key_col="lang"),
+        ),
+        (
+            "token-aware sequence packing (sharded)",
+            "ONE hashpartitioning Exchange on the shard key feeding "
+            "FlatMapGroupsInPandas — sequential greedy work bounded per "
+            "shard, no global sort",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.packing",
+                fromlist=["pack_sequences"],
+            ).pack_sequences(
+                docs.select(
+                    "doc_id",
+                    F.size(F.split("text", " ")).alias("n_tokens"),
+                ),
+                capacity=2048, n_shards=8,
+            ),
+        ),
+        (
             "multimodal decode (real BMP/WAV kernels)",
             "ONE mapInPandas node, payload column isolated to the decode "
             "stage; no shuffle",
