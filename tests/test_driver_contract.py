@@ -30,16 +30,22 @@ def test_queries_and_oracles_are_pure_builders():
 
 def test_deployment_zip_is_fresh():
     """The spark-submit artifact must contain every current package
-    module — a stale zip silently deploys old code (regenerate with
-    `python tools/make_pyfiles.py`)."""
+    module WITH current content — a stale zip silently deploys old code
+    (regenerate with `python tools/make_pyfiles.py`).  CRC comparison
+    catches edited-but-not-repackaged modules, not just missing ones."""
     import os
     import pathlib
     import zipfile
+    import zlib
 
     repo = pathlib.Path(__file__).resolve().parent.parent
     with zipfile.ZipFile(repo / "wceb_spark.zip") as zf:
-        names = set(zf.namelist())
+        crcs = {info.filename: info.CRC for info in zf.infolist()}
     pkg = repo / "web_content_extraction_benchmark_spark"
     for path in pkg.rglob("*.py"):
         rel = os.path.relpath(path, repo)
-        assert rel in names, f"stale wceb_spark.zip: missing {rel}"
+        assert rel in crcs, f"stale wceb_spark.zip: missing {rel}"
+        assert zlib.crc32(path.read_bytes()) == crcs[rel], (
+            f"stale wceb_spark.zip: outdated {rel} "
+            "(run python tools/make_pyfiles.py)"
+        )

@@ -547,3 +547,41 @@ def test_connected_components_long_chain_logarithmic_rounds(spark):
     assert chain == set(range(n))
     assert {r.component for r in rows if r.id < 10_000} == {0}
     assert {r.component for r in rows if r.id >= 10_000} == {10_000}
+
+
+def test_drop_exact_duplicates_null_texts_form_one_group(spark):
+    """NULL texts must dedup as ONE group (the old window semantics and
+    exact_duplicates' null-safe groupBy): a null-unsafe digest join
+    would never match NULL digests and silently keep every NULL row
+    (code-review r4 finding)."""
+    corpus = spark.createDataFrame(
+        [(1, None), (2, None), (3, "x"), (4, "x"), (5, None)],
+        "doc_id long, text string",
+    )
+    kept = sorted(r.doc_id for r in drop_exact_duplicates(corpus).collect())
+    assert kept == [1, 3]
+
+
+def test_codec_declared_but_truncated_payloads_raise_valueerror():
+    """Payloads with valid magic but truncated/lying headers must raise
+    ValueError, not struct.error or silent garbage (code-review r4)."""
+    import struct
+
+    from web_content_extraction_benchmark_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+    )
+
+    # WAV: fmt chunk declares 16 bytes but carries 4
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 20, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + b"\x01\x00\x01\x00"
+    )
+    with pytest.raises(ValueError):
+        decode_wav(wav)
+    # BMP: pixel offset pointing back into the headers
+    bmp = bytearray(encode_bmp(2, 2, (0, 0, 0), (1, 1, 1)))
+    struct.pack_into("<I", bmp, 10, 0)
+    with pytest.raises(ValueError):
+        decode_bmp(bytes(bmp))

@@ -154,3 +154,14 @@ def test_quota_limit_applied_before_shuffle(spark, sf_dir):
         .executedPlan().toString()
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan, plan
+
+
+def test_assign_split_rejects_bad_fraction(docs):
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        assign_split,
+    )
+
+    with pytest.raises(ValueError):
+        assign_split(docs, 1.2)
+    with pytest.raises(ValueError):
+        assign_split(docs, -0.1)

@@ -109,7 +109,7 @@ def cmd_extract(args: argparse.Namespace) -> None:
     for p in parts[1:]:
         answers = answers.unionByName(p)
     write_jsonl(answers.select("url", "model", "plaintext"), args.output,
-                sort_by="url", golden=args.golden)
+                sort_by=["url", "model"], golden=args.golden)
     print(f"wrote answers for models={models} -> {args.output}")
 
 
@@ -143,7 +143,8 @@ def cmd_convert_datasets(args: argparse.Namespace) -> None:
         df = rd.convert_googletrends(
             spark, f"{root}/raw_html", f"{root}/prepared_html"
         )
-    write_jsonl(df, args.output, sort_by="source", golden=args.golden)
+    write_jsonl(df, args.output, sort_by=["source", "url"],
+                golden=args.golden)
     print(f"converted {fmt} -> {args.output}")
 
 
@@ -159,7 +160,8 @@ def cmd_eval_score(args: argparse.Namespace) -> None:
         answers = answers.filter(F.col("model").isin(args.model))
     truth = truth_table(synthesize_pages(spark, args.sf_dir))
     scores = score_answers(answers, truth)
-    write_jsonl(scores, args.output, sort_by="url", golden=args.golden)
+    write_jsonl(scores, args.output, sort_by=["url", "model"],
+                golden=args.golden)
     print(f"scored {args.answers} -> {args.output}")
 
 

@@ -70,8 +70,16 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
     exchange.  A ``row_number()`` window partitioned by the digest would
     instead sort-exchange every full row; at 100 TB that is the
     difference between shuffling ~40 B/row (or nothing) and shuffling
-    the corpus."""
-    digest = F.md5(F.col(text_col))
+    the corpus.
+
+    NULL texts form one duplicate group (matching the old window
+    semantics and ``exact_duplicates``' null-safe groupBy): the digest
+    maps NULL to a sentinel that cannot collide with any md5 hex string,
+    because an equi join on a NULL digest would never match and every
+    NULL row would silently survive."""
+    digest = F.when(
+        F.col(text_col).isNull(), F.lit("__NULL_TEXT__")
+    ).otherwise(F.md5(F.col(text_col)))
     keys = df.select(digest.alias("_th"), F.col(id_col))
     winners = keys.groupBy("_th").agg(F.min(id_col).alias("_win"))
     losers = (

@@ -85,6 +85,10 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("only 24-bit uncompressed BMP is supported")
     if width <= 0 or height == 0:
         raise ValueError("degenerate BMP dimensions")
+    if pix_offset < 14 + header_size:
+        # an offset pointing back into the headers would silently decode
+        # header bytes as pixels
+        raise ValueError("BMP pixel offset inside headers")
     bottom_up = height > 0
     h = abs(int(height))
     row_size = (3 * width + 3) // 4 * 4
@@ -116,6 +120,10 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
         cid, size = payload[pos:pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
         body = payload[pos + 8:pos + 8 + size]
         if cid == b"fmt ":
+            # a declared-but-truncated chunk must fail the decode-cleanly-
+            # or-ValueError contract, not leak struct.error
+            if len(body) < 16:
+                raise ValueError("truncated WAV fmt chunk")
             fmt, channels, sample_rate = struct.unpack_from("<HHI", body, 0)
             bits = struct.unpack_from("<H", body, 14)[0]
             if fmt != 1 or channels != 1 or bits != 16:

@@ -68,6 +68,10 @@ def assign_split(df: DataFrame, test_fraction: float,
     """Add a leak-proof 'train'/'test' column: assignment is a pure
     function of the key, so no document can ever appear on both sides —
     across jobs, retries, or engines."""
+    if not 0.0 <= test_fraction <= 1.0:
+        raise ValueError(
+            f"test_fraction must be in [0, 1], got {test_fraction}"
+        )
     bound = int(round(test_fraction * _BUCKETS))
     return df.withColumn(
         split_col,

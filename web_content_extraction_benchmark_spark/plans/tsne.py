@@ -95,7 +95,9 @@ def tsne_embed(X: np.ndarray, perplexity: float = 30.0,
         np.fill_diagonal(num, 0.0)
         Q = np.maximum(num / num.sum(), 1e-12)
         W = (Peff - Q) * num
-        grad = 4.0 * ((np.diag(W.sum(axis=1)) - W) @ Y)
+        # == 4 * (diag(rowsum(W)) - W) @ Y without the dense n x n
+        # diagonal temporary
+        grad = 4.0 * (W.sum(axis=1)[:, None] * Y - W @ Y)
         m = momentum if it < 20 else final_momentum
         inc = m * inc - learning_rate * grad
         Y = Y + inc

@@ -35,13 +35,20 @@ def read_jsonl(spark: SparkSession, path: str,
     return spark.read.schema(schema).json(path)
 
 
-def write_jsonl(df: DataFrame, path: str, sort_by: str | None = None,
+def write_jsonl(df: DataFrame, path: str,
+                sort_by: str | list[str] | None = None,
                 golden: bool = False) -> None:
     """JSONL sink.  ``golden=True`` reproduces the reference's diffable
     golden-file mode: globally sorted by key, single file.  At scale the
-    sort+coalesce is an anti-pattern — golden mode is for tests only."""
-    if golden and sort_by:
-        df = df.orderBy(sort_by).coalesce(1)
-    elif sort_by:
-        df = df.sortWithinPartitions(sort_by)
+    sort+coalesce is an anti-pattern — golden mode is for tests only.
+
+    ``sort_by`` may be a list; golden mode needs the FULL unique key
+    (e.g. ["url", "model"]) — a sort on a non-unique prefix leaves
+    equal-key rows in nondeterministic order and the bytes stop being
+    diffable."""
+    keys = [sort_by] if isinstance(sort_by, str) else (sort_by or [])
+    if golden and keys:
+        df = df.orderBy(*keys).coalesce(1)
+    elif keys:
+        df = df.sortWithinPartitions(*keys)
     df.write.mode("overwrite").json(path)
