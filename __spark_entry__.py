@@ -1299,7 +1299,9 @@ def oracle_sql() -> dict[str, str]:
     }
     quality_sql = f"""
     SELECT doc_id,
-           CASE WHEN n_words = 0 THEN 0.0
+           -- split('') is [''] so n_words is never 0: guard on the
+           -- trimmed text like the Spark side (lockstep)
+           CASE WHEN text IS NULL OR trim(text) = '' THEN 0.0
                 ELSE round(greatest(0.0, least(1.0,
                      0.4 * least(n_words / 50.0, 1.0)
                    + 0.3 * (CASE WHEN mean_wl BETWEEN 3.0 AND 9.0
@@ -1307,7 +1309,7 @@ def oracle_sql() -> dict[str, str]:
                    + 0.3 * least(5.0 * hits_en / n_words, 1.0)
                    - least(0.2 * punct_runs, 0.6))), 6) END AS quality
     FROM (
-        SELECT doc_id,
+        SELECT doc_id, text,
                len(string_split_regex(trim(text), '\\s+')) AS n_words,
                CAST(length(text) - (len(string_split_regex(trim(text), '\\s+')) - 1)
                     AS DOUBLE) / len(string_split_regex(trim(text), '\\s+'))
@@ -1896,11 +1898,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sessionize": """
             WITH gapped AS (
-                -- whole-second truncation matches Spark's cast-to-long
+                -- MICROSECOND epochs: lockstep with both the stream
+                -- kernel (ts_us compare) and batch_sessionize
+                -- (unix_micros) — second truncation diverges on gaps
+                -- within 1 s of the threshold
                 SELECT user_id, ts, value,
-                       CASE WHEN CAST(floor(epoch_us(ts) / 1000000) AS BIGINT)
-                             - lag(CAST(floor(epoch_us(ts) / 1000000) AS
-                                   BIGINT)) OVER win > 1800
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER win
+                                 > 1800000000
                             THEN 1 ELSE 0 END AS gap
                 FROM events
                 WINDOW win AS (PARTITION BY user_id ORDER BY ts)
@@ -1960,13 +1964,22 @@ def oracle_sql() -> dict[str, str]:
         "ann_cosine_topk": """
             WITH scored AS (
                 SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                       -- zero-norm guard in lockstep with the Spark
+                       -- cosine (NaN would sort above real neighbors)
+                       CASE WHEN
+                         sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
+                                               CAST(q.embedding AS DOUBLE[])))
+                         * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
+                                                 CAST(c.embedding AS DOUBLE[])))
+                         != 0
+                       THEN
                        list_dot_product(CAST(q.embedding AS DOUBLE[]),
                                         CAST(c.embedding AS DOUBLE[])) /
                        (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]),
                                               CAST(q.embedding AS DOUBLE[]))) *
                         sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]),
                                               CAST(c.embedding AS DOUBLE[]))))
-                           AS cos
+                       ELSE 0.0 END AS cos
                 FROM embeddings q, embeddings c
                 WHERE q.vec_id % 100 = 0 AND q.vec_id != c.vec_id
             )
@@ -2002,9 +2015,14 @@ def oracle_sql() -> dict[str, str]:
             ),
             pairs AS (
                 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                       list_dot_product(a.v, b.v) /
-                       (sqrt(list_dot_product(a.v, a.v)) *
-                        sqrt(list_dot_product(b.v, b.v))) AS cos
+                       -- zero-norm guard in lockstep with the Spark
+                       -- cosine (NaN would sort above real neighbors)
+                       CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                                 sqrt(list_dot_product(b.v, b.v)) != 0
+                            THEN list_dot_product(a.v, b.v) /
+                                 (sqrt(list_dot_product(a.v, a.v)) *
+                                  sqrt(list_dot_product(b.v, b.v)))
+                            ELSE 0.0 END AS cos
                 FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
             )
             SELECT id_a, id_b, round(cos, 6) AS cos

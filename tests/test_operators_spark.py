@@ -585,3 +585,39 @@ def test_codec_declared_but_truncated_payloads_raise_valueerror():
     struct.pack_into("<I", bmp, 10, 0)
     with pytest.raises(ValueError):
         decode_bmp(bytes(bmp))
+
+
+def test_cosine_zero_vector_is_not_nan_poison(spark):
+    """A zero embedding must score 0.0 (and rank LAST), not NaN — Spark
+    sorts NaN above every real value, so an unguarded 0/0 would rank a
+    zero vector #1 for every query and pass every threshold filter
+    (code-review r4 finding)."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = spark.createDataFrame(
+        [(1, [1.0] * 4), (2, [1.0] * 4), (3, [0.0] * 4), (4, [0.5] * 4)],
+        "vec_id long, embedding array<double>",
+    )
+    top = cosine_topk(emb, emb.filter("vec_id = 1"), k=3).collect()
+    ranked = {r.rank: (r.neighbor_id, r.cos) for r in top}
+    assert ranked[1][0] in (2, 4) and abs(ranked[1][1] - 1.0) < 1e-9
+    assert ranked[3] == (3, 0.0)  # zero vector scores 0.0, ranks last
+    pairs = embedding_near_duplicates(emb, threshold=0.9, dim=4).collect()
+    assert all(3 not in (r.id_a, r.id_b) for r in pairs)
+
+
+def test_quality_score_zeroes_empty_and_null_text(spark):
+    """Empty, whitespace-only, and NULL texts must score 0.0 — split('')
+    returns [''] so an n_words==0 guard is dead code, and null-skipping
+    least/greatest would otherwise hand NULL text a 0.175 score that
+    clears typical quality cutoffs (code-review r4 finding)."""
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, None),
+         (4, "this is a perfectly normal sentence with many fine words")],
+        "doc_id long, text string",
+    )
+    scores = {r.doc_id: r.quality for r in quality_score(df).collect()}
+    assert scores[1] == 0.0 and scores[2] == 0.0 and scores[3] == 0.0
+    assert scores[4] > 0.3

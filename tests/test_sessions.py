@@ -65,3 +65,84 @@ def test_stream_sessions_subset_of_batch(spark, sf_dir, tmp_path):
     )
     assert len(batch) - len(streamed) <= n_users
     assert len(streamed) > 0
+
+
+class _FakeState:
+    def __init__(self):
+        self._v = None
+        self.hasTimedOut = False
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+    def remove(self):
+        self._v = None
+
+    def setTimeoutTimestamp(self, ts):
+        self.timeout = ts
+
+
+def _run_kernel(state, events_us):
+    """Drive _sessionize_group with one micro-batch of (ts_us, value)."""
+    import pandas as pd
+
+    from web_content_extraction_benchmark_spark.streaming.sessions import (
+        _sessionize_group,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "ts": [pd.Timestamp(t, unit="us") for t, _ in events_us],
+            "value": [v for _, v in events_us],
+        }
+    )
+    return list(_sessionize_group(("u1",), iter([pdf]), state))
+
+
+def test_kernel_late_event_extends_envelope_not_shrinks():
+    """A late-but-within-watermark event arriving in a LATER micro-batch
+    must extend the open session's envelope (min start / max end), never
+    move session_end backward — an unconditional last=ts would make the
+    next in-gap event look like a gap and spuriously split the session
+    (code-review r4 finding)."""
+    HOUR = 3_600_000_000
+    state = _FakeState()
+    assert _run_kernel(state, [(10 * HOUR, 1.0)]) == []
+    # batch 2: late event 30 min earlier (within a 1h watermark)
+    _run_kernel(state, [(int(9.5 * HOUR), 1.0)])
+    start, last, n, total = state.get
+    assert start == int(9.5 * HOUR)  # envelope extends backward
+    assert last == 10 * HOUR         # ...and end does NOT shrink
+    assert n == 2
+    # batch 3: event 5 min after the true end stays IN the session
+    _run_kernel(state, [(10 * HOUR + 300_000_000, 1.0)])
+    assert state.get[1] == 10 * HOUR + 300_000_000
+    assert state.get[2] == 3
+
+
+def test_batch_gap_uses_microseconds(spark):
+    """Gap arithmetic must match the stream kernel at MICROSECOND
+    resolution: a true gap of 1800.9 s splits even though whole-second
+    truncation would compute exactly 1800 and merge (code-review r4)."""
+    import datetime as dt
+
+    from web_content_extraction_benchmark_spark.streaming.sessions import (
+        batch_sessionize,
+    )
+
+    t0 = dt.datetime(2023, 1, 1, 0, 0, 10, 0)
+    t1 = t0 + dt.timedelta(seconds=1800, microseconds=900_000)
+    events = spark.createDataFrame(
+        [(1, "u", t0, "e", 1.0, None), (2, "u", t1, "e", 1.0, None)],
+        "event_id long, user_id string, ts timestamp_ntz, "
+        "event_type string, value double, props string",
+    )
+    assert batch_sessionize(events).count() == 2  # split, not merged

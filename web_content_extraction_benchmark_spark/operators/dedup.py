@@ -91,21 +91,11 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
 
 
 def shingle_col(text_col: Column, k: int = SHINGLE_SIZE) -> Column:
-    """Distinct word k-gram shingles of a single-spaced text column.
+    """Distinct word k-gram shingles of a single-spaced text column
+    (short-doc guard lives in the shared ``grams.positional_kgrams``)."""
+    from .grams import positional_kgrams
 
-    Guarded for texts shorter than k words: Spark's sequence(1, 0)
-    DESCENDS ([1, 0]), and slice with start 0 throws — short docs get an
-    empty shingle set instead."""
-    words = F.split(text_col, " ")
-    n = F.size(words)
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    return F.array_distinct(positional_kgrams(F.split(text_col, " "), k))
 
 
 def minhash_signature(shingles: Column,

@@ -199,13 +199,15 @@ def media_feature_vector(payload: bytes | None, kind: str) -> list[float]:
     return _fake_features(payload)
 
 
-def extract_media_features(media: DataFrame,
-                           batch_rows: int = 256) -> DataFrame:
+def extract_media_features(media: DataFrame) -> DataFrame:
     """mapInPandas over Arrow batches: payload binary -> feature vector.
 
-    The per-batch shape (bounded rows, payload column isolated) is the
-    production pattern for MB-scale payloads; image/audio decode is
-    real, video features fall back to the documented fake."""
+    The payload column is isolated to this one stage; batch ROW COUNT is
+    governed by the session's Arrow batch size
+    (``spark.sql.execution.arrow.maxRecordsPerBatch`` /
+    ``SPARK_GRAFT_ARROW_BATCH``) — size it to ~256 MB / p99_payload for
+    MB-scale media.  Image/audio decode is real; video features fall
+    back to the documented fake."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(

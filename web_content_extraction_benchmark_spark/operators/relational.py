@@ -55,13 +55,16 @@ def complexity_quantiles(complexity: DataFrame,
     """R17: exact quantile table, per dataset plus global
     (complexity.py:46, 76-84)."""
     labels = labels or COMPLEXITY_QUANTILE_LABELS
+    # round before int(): bare truncation float-rounds labels like 0.29
+    # down to q28
+    names = [f"q{int(round(q * 100))}" for q in labels]
     aggs = [
-        F.percentile("complexity", F.lit(q)).alias(f"q{int(q * 100)}")
-        for q in labels
+        F.percentile("complexity", F.lit(q)).alias(name)
+        for q, name in zip(labels, names)
     ]
     per_ds = complexity.groupBy("dataset").agg(*aggs)
     overall = complexity.agg(*aggs).select(
-        F.lit("_all").alias("dataset"), *[f"q{int(q * 100)}" for q in labels]
+        F.lit("_all").alias("dataset"), *names
     )
     return per_ds.unionByName(overall)
 

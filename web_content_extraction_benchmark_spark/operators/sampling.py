@@ -27,8 +27,14 @@ _BUCKETS = 16 ** 8
 
 
 def sample_hash(key: Column, seed: int = 0) -> Column:
-    """Uniform long in [0, 16^8) derived from md5("{seed}:{key}")."""
-    digest = F.md5(F.concat_ws(":", F.lit(str(seed)), key.cast("string")))
+    """Uniform long in [0, 16^8) derived from md5("{seed}:{key}").
+
+    NULL keys hash to NULL (``concat`` propagates, matching the SQL
+    mirror's ``||``), so NULL-key rows are never sampled and
+    ``assign_split`` sends them to 'train' — identically in both
+    engines.  ``concat_ws`` would silently hash the bare seed string and
+    sample every NULL-key row as one correlated block."""
+    digest = F.md5(F.concat(F.lit(f"{seed}:"), key.cast("string")))
     return F.conv(F.substring(digest, 1, 8), 16, 10).cast("long")
 
 

@@ -38,7 +38,20 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Zero-norm-guarded cosine: an all-zero vector scores 0.0 against
+    everything.  The unguarded 0.0/0.0 = NaN is poison downstream —
+    Spark sorts NaN GREATER than any value, so a single zero embedding
+    would rank #1 for every query and pass every threshold filter."""
+    return cosine_with_norms(a, b, norm(a), norm(b))
+
+
+def cosine_with_norms(a: Column, b: Column,
+                      norm_a: Column, norm_b: Column) -> Column:
+    """Cosine from pre-materialized norms: candidate-pair scoring should
+    compute each row's norm ONCE in its own projection, not once per
+    pair (same IEEE result — identical operation tree)."""
+    denom = norm_a * norm_b
+    return F.when(denom != 0, dot(a, b) / denom).otherwise(F.lit(0.0))
 
 
 def _as_double(col: Column) -> Column:
@@ -61,19 +74,23 @@ def cosine_topk(
         queries.select(
             F.col(id_col).alias("query_id"),
             _as_double(F.col(vec_col)).alias("qv"),
-        )
+        ).select("query_id", "qv", norm(F.col("qv")).alias("qn"))
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         _as_double(F.col(vec_col)).alias("cv"),
-    )
+    ).select("neighbor_id", "cv", norm(F.col("cv")).alias("cn"))
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qv"), F.col("cv")).alias("cos"),
+            # norms materialized per row above: one dot product per pair
+            # instead of three O(dim) aggregates
+            cosine_with_norms(
+                F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")
+            ).alias("cos"),
         )
     )
     window = Window.partitionBy("query_id").orderBy(
@@ -126,13 +143,18 @@ def lsh_candidate_cosines(
         out = df.select(
             F.col(id_col).alias(name),
             _as_double(F.col(vec_col)).alias(f"{name}_v"),
+        ).select(
+            # norm materialized per ROW before the bucket explode/join:
+            # the verify stage then pays one dot product per candidate
+            # pair, not three O(dim) aggregates
+            name, f"{name}_v", norm(F.col(f"{name}_v")).alias(f"{name}_n"),
         )
         buckets = [
             hyperplane_bucket_udf(dim, n_planes, seed + t)(F.col(f"{name}_v"))
             for t in range(n_tables)
         ]
         return out.select(
-            name, f"{name}_v",
+            name, f"{name}_v", f"{name}_n",
             F.posexplode(F.array(*buckets)).alias("table_id", "bucket"),
         )
 
@@ -146,7 +168,10 @@ def lsh_candidate_cosines(
     return candidates.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos"),
+        cosine_with_norms(
+            F.col("query_id_v"), F.col("neighbor_id_v"),
+            F.col("query_id_n"), F.col("neighbor_id_n"),
+        ).alias("cos"),
     )
 
 
@@ -283,9 +308,15 @@ def ivf_cosine_topk(
     def with_cells(df: DataFrame, name: str, probe: int) -> DataFrame:
         return _cell_assignments(df, name, id_col, vec_col, centroids, probe)
 
-    # corpus vectors live in exactly their own cell; queries multi-probe
-    cb = with_cells(corpus, "neighbor_id", 1)
-    qb = with_cells(queries, "query_id", n_probe)
+    # corpus vectors live in exactly their own cell; queries multi-probe;
+    # norms materialized per row before the cell join (one dot product
+    # per candidate pair in the re-rank)
+    cb = with_cells(corpus, "neighbor_id", 1).withColumn(
+        "neighbor_id_n", norm(F.col("neighbor_id_v"))
+    )
+    qb = with_cells(queries, "query_id", n_probe).withColumn(
+        "query_id_n", norm(F.col("query_id_v"))
+    )
     candidates = (
         qb.join(cb, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -294,7 +325,10 @@ def ivf_cosine_topk(
     scored = candidates.select(
         "query_id",
         "neighbor_id",
-        cosine(F.col("query_id_v"), F.col("neighbor_id_v")).alias("cos"),
+        cosine_with_norms(
+            F.col("query_id_v"), F.col("neighbor_id_v"),
+            F.col("query_id_n"), F.col("neighbor_id_n"),
+        ).alias("cos"),
     )
     window = Window.partitionBy("query_id").orderBy(
         F.desc("cos"), F.asc("neighbor_id")

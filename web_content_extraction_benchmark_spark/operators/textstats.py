@@ -100,9 +100,14 @@ def quality_score(df: DataFrame, text_col: str = "text",
         0.4 * length_component + 0.3 * word_len_component + 0.3 * stop_component
         - penalty
     )
+    # NB: split('') returns [''], so n_words is never 0 — the emptiness
+    # guard must test the trimmed text itself (NULL text would otherwise
+    # score 0.175 through null-skipping least/greatest, and whitespace-
+    # only text 0.083: garbage clearing a typical 0.05-0.1 cutoff).
+    empty = F.col(text_col).isNull() | (F.trim(F.col(text_col)) == "")
     return df.withColumn(
         "quality",
-        F.when(n_words == 0, F.lit(0.0)).otherwise(
+        F.when(empty, F.lit(0.0)).otherwise(
             F.greatest(F.lit(0.0), F.least(F.lit(1.0), score))
         ),
     )
@@ -123,13 +128,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     dup_word_frac = F.when(
         n > 0, F.round(1.0 - F.size(F.array_distinct(words)) / n, 6)
     ).otherwise(F.lit(0.0))
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 2)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    from .grams import positional_kgrams
+
+    bigrams = positional_kgrams(words, 2)
     run_state = F.aggregate(
         F.array_sort(bigrams),
         F.struct(
@@ -176,17 +177,11 @@ def winnowing_fingerprints(
     value that never needed to leave its row.  The trailing windows
     shorter than ``window`` are kept (slice truncates at the end), same
     as rowsBetween's partition-end capping."""
+    from .grams import positional_kgrams
+
     words = F.split(F.col(text_col), " ")
-    n = F.size(words)
-    # Guarded: sequence(1, 0) DESCENDS in Spark ([1, 0] -> slice start 0
-    # is an error), so documents shorter than k words get an empty array.
-    grams = F.when(
-        n >= k,
-        F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.md5(F.concat_ws(" ", F.slice(words, i, k))),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # short-doc guard lives in the shared positional_kgrams helper
+    grams = positional_kgrams(words, k, transform=F.md5)
     two_step = df.select(F.col(id_col).alias("id"), grams.alias("_grams"))
     # NB: sequence(1, 0) DESCENDS in Spark, so the gram-less edge needs an
     # explicit empty array (matches the old explode form: no rows emitted).

@@ -94,7 +94,12 @@ def _sessionize_group(
             n = 1
             total = values[i]
         else:
-            last = ts_us
+            # late-but-within-watermark events can arrive in a LATER
+            # micro-batch than newer ones: extend the session envelope,
+            # never shrink it (an unconditional last = ts_us would move
+            # session_end backward and split the next in-gap event off)
+            start = min(start, ts_us)
+            last = max(last, ts_us)
             n += 1
             total += values[i]
 
@@ -139,10 +144,13 @@ def batch_sessionize(events: DataFrame,
     from pyspark.sql.window import Window
 
     by_user = Window.partitionBy("user_id").orderBy("ts")
-    # NTZ timestamps reject a direct long cast; go via timestamp_ltz
-    epoch = F.col("ts").cast("timestamp_ltz").cast("long")
+    # MICROSECOND epoochs, matching the stream kernel's ts_us compare
+    # exactly — whole-second truncation diverges from the stream on
+    # gaps within 1 s of the threshold (NTZ timestamps reject a direct
+    # cast; go via timestamp_ltz)
+    epoch = F.unix_micros(F.col("ts").cast("timestamp_ltz"))
     gap = F.when(
-        epoch - F.lag(epoch).over(by_user) > gap_seconds, 1
+        epoch - F.lag(epoch).over(by_user) > gap_seconds * 1_000_000, 1
     ).otherwise(0)
     with_session = events.withColumn(
         "session_id", F.sum(gap).over(by_user)
