@@ -45,9 +45,17 @@ def kmeans_complexity_clusters(features: DataFrame,
                                seed: int = 42,
                                reduce_dim: int | None = None) -> DataFrame:
     """KMeans(k=2, maxIter=500) over scaled features; labels flipped so
-    cluster 1 aligns with the high-complexity quantile side."""
+    cluster 1 aligns with the high-complexity quantile side.
+
+    The flip arithmetic (1 - label) and the binary quantile alignment
+    are only meaningful at k=2; other k would silently emit negative /
+    swapped labels, so they are rejected loudly."""
     from pyspark.ml.clustering import KMeans
 
+    if k != 2:
+        raise ValueError(
+            f"label-flip alignment is defined for k=2 only, got k={k}"
+        )
     scaled = _assemble_scaled(features)
     col = "scaled"
     if reduce_dim:
@@ -75,6 +83,11 @@ def kmeans_complexity_clusters(features: DataFrame,
         ).alias("n_agree"),
         F.count("*").alias("n"),
     ).collect()[0]
+    if not agree.n:
+        raise ValueError(
+            "features and complexity share no urls — cannot align "
+            "cluster labels on an empty join"
+        )
     flip = agree.n_agree * 2 < agree.n
     out = labeled.withColumn(
         "kmeans_label",

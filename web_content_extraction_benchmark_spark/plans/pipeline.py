@@ -234,8 +234,13 @@ def extract_answers(
 
     Decodes each page once and runs every requested extractor on it inside
     a single Arrow batch pass.  With ``with_lineage=True`` returns
-    ``(answers, lineage)``; the combined frame is split by a marker column,
-    so persist upstream if both sides will be consumed.
+    ``(answers, lineage)``; both sides are filters over one combined
+    frame, which is PERSISTED here so consuming answers and then lineage
+    runs the expensive extraction kernel ONCE (and the lineage wall-time
+    stats describe the same execution the answers came from).  The cache
+    is released by Spark's context cleaner once both frames are garbage
+    collected; callers wanting explicit control can ``unpersist`` via
+    either frame's lineage.
     """
     models = models or list(EXTRACTORS)
     if not with_lineage:
@@ -244,7 +249,7 @@ def extract_answers(
         )
     combined = pages.select("url", "html").mapInPandas(
         _run_extractors(models, snapshot_id), schema=_COMBINED_SCHEMA
-    )
+    ).persist()
     answers = combined.filter(F.col("kind") == 0).select(
         *[f.name for f in ANSWERS_SCHEMA.fields]
     )
@@ -384,14 +389,34 @@ def ensemble_answers(
     instead of silently vanishing."""
     vote_threshold = int(len(input_models) * vote_fraction)
     wanted = sorted(set(input_models) | {full_text_model})
-    answer_maps = (
+    # Dedup (model, plaintext) entries INSIDE the aggregate — preloaded
+    # third-party answer sets can legally repeat a (url, model) key, and
+    # map_from_entries throws DUPLICATED_MAP_KEY on the whole job
+    # otherwise.  Sorting then keeping each model's first entry makes
+    # the winner deterministic (min plaintext; the reference's in-memory
+    # cache was last-write-wins, i.e. load-order-dependent) while the
+    # plan keeps its ONE groupBy(url) shuffle.  `entries` gets its own
+    # projection so CollapseProject does not inline the sort into both
+    # consumers (CLAUDE.md); the filter lambda's 2nd arg is the ELEMENT
+    # INDEX (0-based; element_at is 1-based, so element_at(e, i) is the
+    # previous element).
+    grouped = (
         answers.filter(F.col("model").isin(wanted))
         .groupBy("url")
         .agg(
-            F.map_from_entries(
+            F.array_sort(
                 F.collect_list(F.struct("model", "plaintext"))
-            ).alias("answers")
+            ).alias("entries")
         )
+    )
+    e = F.col("entries")
+    first_per_model = F.filter(
+        e,
+        lambda x, i: (i == F.lit(0))
+        | (x["model"] != F.element_at(e, i)["model"]),
+    )
+    answer_maps = grouped.select(
+        "url", F.map_from_entries(first_per_model).alias("answers")
     )
     if urls is not None:
         answer_maps = urls.select("url").distinct().join(

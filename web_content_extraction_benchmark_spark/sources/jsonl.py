@@ -47,7 +47,12 @@ def write_jsonl(df: DataFrame, path: str,
     equal-key rows in nondeterministic order and the bytes stop being
     diffable."""
     keys = [sort_by] if isinstance(sort_by, str) else (sort_by or [])
-    if golden and keys:
+    if golden and not keys:
+        raise ValueError(
+            "golden=True requires sort_by (the full unique key) — "
+            "unsorted multi-file output cannot be byte-diffable"
+        )
+    if golden:
         df = df.orderBy(*keys).coalesce(1)
     elif keys:
         df = df.sortWithinPartitions(*keys)

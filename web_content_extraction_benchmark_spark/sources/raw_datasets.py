@@ -198,24 +198,6 @@ def convert_cleaneval(spark: SparkSession, raw_dir: str,
     )
 
 
-_L3S_TRUTH_SCHEMA = T.StructType(
-    [
-        T.StructField("source", T.StringType(), False),
-        T.StructField("plaintext", T.StringType(), True),
-    ]
-)
-
-
-def _l3s_pages(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    for pdf in batches:
-        yield pd.DataFrame(
-            {
-                "source": pdf["source"],
-                "html": [decode_html(raw) for raw in pdf["content"]],
-            }
-        )
-
-
 def _l3s_truths(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield pd.DataFrame(
@@ -232,16 +214,13 @@ def convert_l3s(spark: SparkSession, original_dir: str,
                 annotated_dir: str) -> DataFrame:
     """L3S-GN1 conversion plan: (source, html, plaintext); truth derived
     from the annotated copy, joined to the original page bytes."""
+    # decode path shared with the other decode-only formats
+    # (_decoded_pages / _PAGE_SCHEMA / _TEXT_TRUTH_SCHEMA, defined below)
     pages = read_binary_dir(spark, original_dir).mapInPandas(
-        _l3s_pages, schema=T.StructType(
-            [
-                T.StructField("source", T.StringType(), False),
-                T.StructField("html", T.StringType(), True),
-            ]
-        )
+        _decoded_pages, schema=_PAGE_SCHEMA
     )
     truths = read_binary_dir(spark, annotated_dir).mapInPandas(
-        _l3s_truths, schema=_L3S_TRUTH_SCHEMA
+        _l3s_truths, schema=_TEXT_TRUTH_SCHEMA
     )
     return pages.join(F.broadcast(truths), "source").select(
         "source", "html", "plaintext"

@@ -128,7 +128,11 @@ def score_histogram(scores: DataFrame, score_col: str = "f1",
         F.floor(clamped * bins).cast("int"), F.lit(bins - 1)
     )
     return (
-        scores.select("model", b.alias("bin"))
+        # NULL scores are EXCLUDED, matching the null-ignoring aggregates
+        # in score_boxplot_stats — null-skipping least/greatest would
+        # otherwise count a NULL page as a perfect score in the top bin
+        scores.filter(F.col(score_col).isNotNull())
+        .select("model", b.alias("bin"))
         .groupBy("model", "bin")
         .agg(F.count("*").alias("n"))
         .select(
