@@ -52,3 +52,37 @@ def test_body_or_root_without_body():
     root = parse_html("<p>bare</p>")
     assert body_or_root(root).tag == "#document"
     assert root.text_content() == "bare"
+
+
+def test_rawtext_close_matches_stdlib_cdata_semantics():
+    """'</scripty>' must NOT close a script (stdlib treats it as data)
+    and '</ script>' MUST (whitespace-tolerant end tag) — a bare prefix
+    find leaked JS into page text / dropped document tails
+    (code-review r4 finding)."""
+    from web_content_extraction_benchmark_spark.dom import (
+        parse_html,
+        parse_html_stdlib,
+    )
+
+    cases = [
+        '<body><script>var s="</scripty>";</script>done</body>',
+        '<body><script>x</ script>after</body>',
+        '<body><style>p{}</ STYLE >tail</body>',
+        '<body><script>open ended',
+    ]
+
+    def text(root):
+        out = []
+
+        def walk(n):
+            for c in n.children:
+                if c.is_text:
+                    out.append(c.text)
+                elif c.tag not in ("script", "style"):
+                    walk(c)
+
+        walk(root)
+        return " ".join(out)
+
+    for html in cases:
+        assert text(parse_html(html)) == text(parse_html_stdlib(html)), html

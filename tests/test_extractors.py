@@ -148,3 +148,31 @@ def test_decode_gzip_bom_fallbacks():
     assert decode_html(None) == ""
     meta = '<html><head><meta charset="cp1252"></head><body>ü</body></html>'
     assert decode_html(meta.encode("cp1252")) == meta.replace("cp1252", "cp1252")
+
+
+def test_decode_html_corrupt_gzip_and_utf16_bom():
+    """Corrupt/truncated gzip must degrade to a per-document fallback,
+    never escape as EOFError/zlib.error and kill the task; UTF-16/32
+    BOMs must be CONSUMED like utf-8-sig, not emitted as U+FEFF tokens
+    (code-review r4 findings)."""
+    import codecs
+    import gzip
+
+    from web_content_extraction_benchmark_spark.encoding import decode_html
+
+    good = gzip.compress(b"<p>ok</p>")
+    assert decode_html(good) == "<p>ok</p>"
+    truncated = good[: len(good) - 4]
+    assert isinstance(decode_html(truncated), str)  # no exception
+    corrupt = good[:10] + b"\xff\xff\xff\xff" + good[14:]
+    assert isinstance(decode_html(corrupt), str)
+
+    for bom, enc in (
+        (codecs.BOM_UTF16_LE, "utf-16-le"),
+        (codecs.BOM_UTF16_BE, "utf-16-be"),
+        (codecs.BOM_UTF32_LE, "utf-32-le"),
+    ):
+        raw = bom + "<p>héllo</p>".encode(enc)
+        decoded = decode_html(raw)
+        assert decoded == "<p>héllo</p>", (enc, repr(decoded))
+        assert "﻿" not in decoded

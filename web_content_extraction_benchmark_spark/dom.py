@@ -185,6 +185,14 @@ _ATTR_RE = re.compile(
 # Raw-text elements: content is literal until the matching close tag and
 # char refs are NOT decoded (HTMLParser CDATA_CONTENT_ELEMENTS behavior).
 _RAWTEXT = ("script", "style")
+# Close-tag scan for rawtext content, matching stdlib html.parser's
+# CDATA-mode semantics: '</' + optional whitespace + the exact tag name
+# + optional whitespace + '>'.  A bare prefix find would close at
+# '</scripty>' (leaking JS into page text) and miss '</ script>'
+# (dropping the rest of the document).
+_RAWTEXT_CLOSE = {
+    t: re.compile(rf"</\s*{t}\s*>", re.IGNORECASE) for t in _RAWTEXT
+}
 
 
 def _parse_attrs(raw: str) -> dict:
@@ -206,7 +214,6 @@ def parse_html_fast(html: str) -> Node:
     open_stack = [root]
     pos = 0
     length = len(html)
-    lower = None  # lazily-lowered copy for rawtext close-tag search
 
     # finditer scans the token stream in one C-level pass (the regex is
     # total, so consecutive matches are gap-free); only a rawtext skip
@@ -261,20 +268,18 @@ def parse_html_fast(html: str) -> Node:
             if tag in VOID_ELEMENTS or self_closing:
                 continue
             if tag in _RAWTEXT:
-                # literal content until the matching close tag
-                if lower is None:
-                    lower = html.lower()
-                end = lower.find(f"</{tag}", pos)
-                if end == -1:
+                # literal content until the matching close tag (stdlib
+                # CDATA-mode equivalent regex, see _RAWTEXT_CLOSE)
+                m = _RAWTEXT_CLOSE[tag].search(html, pos)
+                if m is None:
                     # unterminated rawtext: stdlib drops buffered content
                     pos = length
                 else:
-                    if end > pos:
-                        text_child = Node(None, text=html[pos:end])
+                    if m.start() > pos:
+                        text_child = Node(None, text=html[pos:m.start()])
                         text_child.parent = node
                         node.children.append(text_child)
-                    close = html.find(">", end)
-                    pos = length if close == -1 else close + 1
+                    pos = m.end()
                 jumped = True
                 break
             open_stack.append(node)

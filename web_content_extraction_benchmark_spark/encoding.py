@@ -13,6 +13,7 @@ from __future__ import annotations
 import codecs
 import gzip
 import re
+import zlib
 
 PROBE_BYTES = 100 * 1024  # same probe budget as the reference (100 kB)
 
@@ -20,12 +21,16 @@ _META_CHARSET = re.compile(
     rb"""<meta[^>]+charset\s*=\s*["']?\s*([a-zA-Z0-9_\-]+)""", re.IGNORECASE
 )
 
+# BOM-CONSUMING codec names: 'utf-16'/'utf-32' read the BOM to pick
+# endianness and strip it, like 'utf-8-sig' — the explicit -le/-be
+# codecs would keep U+FEFF as the first character of every document
+# (it is not \\s, so it pollutes tokens, counts, and emitted bytes).
 _BOMS = (
     (codecs.BOM_UTF8, "utf-8-sig"),
-    (codecs.BOM_UTF32_LE, "utf-32-le"),
-    (codecs.BOM_UTF32_BE, "utf-32-be"),
-    (codecs.BOM_UTF16_LE, "utf-16-le"),
-    (codecs.BOM_UTF16_BE, "utf-16-be"),
+    (codecs.BOM_UTF32_LE, "utf-32"),
+    (codecs.BOM_UTF32_BE, "utf-32"),
+    (codecs.BOM_UTF16_LE, "utf-16"),
+    (codecs.BOM_UTF16_BE, "utf-16"),
 )
 
 _GZIP_MAGIC = b"\x1f\x8b"
@@ -36,7 +41,10 @@ def maybe_gunzip(raw: bytes) -> bytes:
     if raw[:2] == _GZIP_MAGIC:
         try:
             return gzip.decompress(raw)
-        except OSError:
+        except (OSError, EOFError, zlib.error):
+            # truncated members raise EOFError and corrupt deflate
+            # streams zlib.error — neither is an OSError, and an escape
+            # here would fail the whole Spark task for one bad document
             return raw
     return raw
 

@@ -79,7 +79,12 @@ def _best_span(values: np.ndarray) -> tuple[int, int]:
     best_val = -np.inf
     best_at = 0
     for k in range(m - 1, -1, -1):
-        if ends_vals[k] > best_val:
+        # >= so the SMALLEST tied j survives the backward scan — the
+        # reference's ascending-j strict-improvement loop (bte.py:40-53)
+        # keeps the first j reaching the max; a strict > here kept the
+        # largest tied j and emitted longer spans on ~21% of random
+        # streams (code-review r4 fuzz finding)
+        if ends_vals[k] >= best_val:
             best_val = ends_vals[k]
             best_at = k
         suf_arg[k] = best_at
