@@ -277,9 +277,12 @@ def q_agg_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     answers = extract_answers(pages, ["plain"])
     scores = score_answers(answers, truth_table(pages))
     # round per-row BEFORE aggregating — the oracle's dist is rounded per
-    # row too, so means/medians must aggregate identical inputs
+    # row too, so means/medians must aggregate identical inputs; means
+    # run in exact integer micro-units (order-independent, CLAUDE.md
+    # oracle-float rule)
     scores = scores.withColumn("dist", F.round("dist", 6))
-    agg = aggregate_scores(scores, score_cols=("dist",))
+    agg = aggregate_scores(scores, score_cols=("dist",),
+                           unit_scale=1_000_000)
     return agg.select(
         "model", "dataset",
         F.round("mean_dist", 6).alias("mean_dist"),
@@ -407,7 +410,16 @@ def q_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_rows"),
             F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            # cent-exact mean (prices have 2 decimals): a double sum's
+            # partition-order noise could flip the 6th decimal at a
+            # rounding boundary (CLAUDE.md oracle-float rule)
+            F.round(
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+                )
+                / (F.count("*") * F.lit(100.0)),
+                6,
+            ).alias("avg_price"),
             F.round(F.median("l_discount"), 6).alias("median_disc"),
         )
     )
@@ -716,8 +728,46 @@ def q_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scratch_dir(prefix: str) -> str:
+    """Query-scratch temp dir under one root, with age-based pruning of
+    previous rounds' leftovers (the returned DataFrames read these
+    paths LAZILY, so a query cannot delete its own scratch — but it can
+    sweep dirs older than an hour, bounding /tmp growth across repeated
+    check_oracles/driver rounds instead of leaking parquet copies
+    forever)."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    root = "/tmp/wceb_query_scratch"
+    os.makedirs(root, exist_ok=True)
+    cutoff = _time.time() - 3600
+    for name in os.listdir(root):
+        full = os.path.join(root, name)
+        try:
+            if os.path.getmtime(full) < cutoff:
+                shutil.rmtree(full, ignore_errors=True)
+        except OSError:
+            continue
+    return tempfile.mkdtemp(prefix=prefix, dir=root)
+
+
+def _source_fingerprint(sf_dir: str) -> str:
+    """mtime+size fingerprint of the corpus a derived cache was built
+    from — a bare basename key would silently reuse stale trees after
+    the test data is regenerated (or for a same-named dir elsewhere)."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    return f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
+
+
 def _raw_tree(sf_dir: str, kind: str) -> str:
-    """Synthesize (once, cached) an on-disk raw-format dataset tree."""
+    """Synthesize (once, cached) an on-disk raw-format dataset tree.
+    The cache marker records the SOURCE fingerprint; a changed corpus
+    triggers regeneration instead of silently serving stale files."""
     import os
 
     from web_content_extraction_benchmark_spark.sources import raw_datasets
@@ -735,10 +785,18 @@ def _raw_tree(sf_dir: str, kind: str) -> str:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/wceb_raw/{kind}_{tag}"
     marker = os.path.join(out, "_done")
-    if not os.path.exists(marker):
+    fingerprint = _source_fingerprint(sf_dir)
+    stale = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            stale = f.read() != fingerprint
+    if stale:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         synth(sf_dir, out)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     return out
 
 
@@ -760,7 +818,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "model",
         "plaintext",
     )
-    out = tempfile.mkdtemp(prefix="wceb_jsonl_")
+    out = _scratch_dir("wceb_jsonl_")
     write_jsonl(answers, out, sort_by="url", golden=True)
     back = read_jsonl(spark, out, ANSWER_JSONL_SCHEMA)
     return back.select("url", "plaintext")
@@ -964,7 +1022,7 @@ def q_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_stream_to_memory,
     )
 
-    src = tempfile.mkdtemp(prefix="wceb_stream_")
+    src = _scratch_dir("wceb_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "events.parquet"))
     run_stream_to_memory(spark, src, query_name="q_stream_hourly")
     out = spark.sql("SELECT * FROM q_stream_hourly")
@@ -987,7 +1045,7 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_dedup_stream_to_memory,
     )
 
-    src = tempfile.mkdtemp(prefix="wceb_dedup_stream_")
+    src = _scratch_dir("wceb_dedup_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "a.parquet"))
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "b.parquet"))
     run_dedup_stream_to_memory(spark, src, query_name="q_stream_dedup")
@@ -1006,7 +1064,7 @@ def q_stream_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_extract_stream_to_memory,
     )
 
-    src = tempfile.mkdtemp(prefix="wceb_pages_stream_")
+    src = _scratch_dir("wceb_pages_stream_")
     synthesize_pages(spark, sf_dir).repartition(2).write.mode(
         "overwrite"
     ).parquet(src)
@@ -1026,7 +1084,7 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         SnapshotTable,
     )
 
-    table = SnapshotTable(tempfile.mkdtemp(prefix="wceb_snap_"))
+    table = SnapshotTable(_scratch_dir("wceb_snap_"))
     docs = _docs(spark, sf_dir).select("doc_id", "source")
     table.append(docs.filter(F.col("doc_id") % 2 == 0))
     table.append(docs.filter(F.col("doc_id") % 2 == 1))
@@ -1120,7 +1178,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_session_flush_sentinels,
     )
 
-    src = tempfile.mkdtemp(prefix="wceb_sess_stream_")
+    src = _scratch_dir("wceb_sess_stream_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(src, "a.parquet"))
     write_session_flush_sentinels(
         spark, _events(spark, sf_dir), os.path.join(src, "b_sentinels")
@@ -1746,14 +1804,22 @@ def oracle_sql() -> dict[str, str]:
                             FROM documents))
             ),
             per_ds AS (
+                -- means via EXACT integer micro-unit sums (the
+                -- CLAUDE.md oracle-float rule): double-sum order can
+                -- flip the 6th decimal at a rounding boundary
                 SELECT 'plain' AS model, dataset,
-                       round(avg(dist), 6) AS mean_dist,
+                       round(CAST(sum(CAST(round(dist * 1000000, 0)
+                                 AS BIGINT)) AS DOUBLE)
+                             / (count(*) * 1000000.0), 6) AS mean_dist,
                        round(median(dist), 6) AS median_dist
                 FROM s GROUP BY dataset
             )
             SELECT * FROM per_ds
             UNION ALL
-            SELECT 'plain', '_micro', round(avg(dist), 6),
+            SELECT 'plain', '_micro',
+                   round(CAST(sum(CAST(round(dist * 1000000, 0)
+                             AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 1000000.0), 6),
                    round(median(dist), 6) FROM s
             UNION ALL
             SELECT 'plain', '_macro', round(avg(mean_dist), 6),
@@ -1821,7 +1887,10 @@ def oracle_sql() -> dict[str, str]:
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    round(sum(l_quantity), 4) AS sum_qty,
-                   round(avg(l_extendedprice), 6) AS avg_price,
+                   -- cent-exact mean, lockstep with the Spark side
+                   round(CAST(sum(CAST(round(l_extendedprice * 100, 0)
+                             AS BIGINT)) AS DOUBLE)
+                         / (count(*) * 100.0), 6) AS avg_price,
                    round(median(l_discount), 6) AS median_disc
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)

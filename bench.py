@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on
 local[$SPARK_GRAFT_CPUS].  Prints ONE JSON line:
 
-  {"metric": "docs_per_sec_main_content", "value": N, "unit": "docs/sec",
+  {"metric": "docs_per_sec_main_content", "value": N, "unit": "sec",
    "queries": {...per-query seconds...}, "sf": ..., ...}
+
+(The driver contract fixes "unit" at the literal "sec"; the VALUE is
+q1 throughput in docs/sec and the per-query entries are seconds.)
 
 The pages table is synthesized once per (sf, replicate) into a parquet
 cache (synthesis is input preparation, not the measured engine) and every
@@ -51,6 +54,15 @@ from web_content_extraction_benchmark_spark.sources.pages import (  # noqa: E402
 CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/wceb_bench")
 
 
+def _source_fingerprint(sf_dir: str) -> str:
+    """mtime+size fingerprint of the source corpus: a stale cache from
+    regenerated (or same-named) test data must rebuild, not silently
+    feed the headline number."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    st = os.stat(path)
+    return f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
+
+
 def _pages_parquet(spark, sf_dir: str, replicate: int,
                    cpus: int) -> tuple[str, bool]:
     """Returns (path, was_cold): synthesis is input preparation, not the
@@ -59,13 +71,17 @@ def _pages_parquet(spark, sf_dir: str, replicate: int,
     tag = f"{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}"
     path = os.path.join(CACHE_ROOT, tag, "pages")
     marker = os.path.join(CACHE_ROOT, tag, "_done")
-    was_cold = not os.path.exists(marker)
+    fingerprint = _source_fingerprint(sf_dir)
+    was_cold = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            was_cold = f.read() != fingerprint
     if was_cold:
         df = synthesize_pages(spark, sf_dir, replicate=replicate,
                               partitions=cpus * 2)
         df.write.mode("overwrite").parquet(path)
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     return path, was_cold
 
 
@@ -78,11 +94,18 @@ def _cleaneval_tree(sf_dir: str) -> tuple[str, bool]:
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/wceb_raw/cleaneval_{tag}_full"
     marker = os.path.join(out, "_done")
-    was_cold = not os.path.exists(marker)
+    fingerprint = _source_fingerprint(sf_dir)
+    was_cold = True
+    if os.path.exists(marker):
+        with open(marker) as f:
+            was_cold = f.read() != fingerprint
     if was_cold:
+        import shutil
+
+        shutil.rmtree(out, ignore_errors=True)
         synthesize_cleaneval_tree(sf_dir, out, mod=1)  # every non-empty doc
         with open(marker, "w") as f:
-            f.write("ok")
+            f.write(fingerprint)
     return out, was_cold
 
 
@@ -103,7 +126,10 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("SPARK_GRAFT_REPLICATE", "40"))
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    try:
+        sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0)
+    except ValueError:
+        sf = None  # reporting field only; non-sfN dir names are fine
     loadavg_at_start = _wait_for_quiet_host(
         max_wait_sec=int(os.environ.get("SPARK_GRAFT_WAIT_QUIET", "240")),
         load_threshold=float(os.environ.get("SPARK_GRAFT_QUIET_LOAD", "5")),

@@ -70,12 +70,15 @@ def main() -> int:
         srows = [tuple(r) for r in sdf.collect()]
         if name not in oracles:
             print(f"{name:28s} rows-only: {len(srows)} rows")
-            if len(srows) == 0 and name != "anti_join":
+            if len(srows) == 0:
                 failures.append((name, "zero rows"))
             continue
-        ocols_desc = con.execute(oracles[name]).description
-        ocols = [d[0] for d in ocols_desc]
-        orows = [tuple(r) for r in con.execute(oracles[name]).fetchall()]
+        # ONE execution per oracle: .description is populated on the same
+        # cursor as .fetchall() (a second execute doubled DuckDB time for
+        # the expensive recursive-CTE / cross-join mirrors)
+        cur = con.execute(oracles[name])
+        ocols = [d[0] for d in cur.description]
+        orows = [tuple(r) for r in cur.fetchall()]
         sc, sn = normalize(srows, scols)
         oc, on = normalize(orows, ocols)
         if sc != oc:

@@ -18,16 +18,10 @@ import time
 sys.path.insert(0, "/root/repo")
 
 
-def _work(args):
-    doc_id, source, text = args
+def _work(raw):
     from web_content_extraction_benchmark_spark.encoding import decode_html
     from web_content_extraction_benchmark_spark.extractors import safe_extract
-    from web_content_extraction_benchmark_spark.sources.pages import (
-        build_page_html,
-        encode_page_html,
-    )
 
-    raw = encode_page_html(doc_id, build_page_html(doc_id, source, text))
     return len(safe_extract("main_content", decode_html(raw)))
 
 
@@ -39,11 +33,25 @@ def main() -> None:
     import pandas as pd
 
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    # Pages are PRE-BUILT outside the timed window — the Spark bench
+    # reads a pre-materialized parquet pages table, so charging the
+    # pool for per-doc synthesis+encode would deflate the baseline and
+    # inflate the comparison in Spark's favor (code-review r4 finding).
+    # Shipping the raw bytes through the pool's IPC stays timed: it is
+    # the pool's analog of Spark's scan + Arrow transfer.
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        build_page_html,
+        encode_page_html,
+    )
+
     jobs = []
     for k in range(replicate):
         offset = k * 10_000_000
         jobs.extend(
-            (int(d) + offset, s, t)
+            encode_page_html(
+                int(d) + offset,
+                build_page_html(int(d) + offset, s, t),
+            )
             for d, s, t in zip(docs.doc_id, docs.source, docs.text)
         )
 

@@ -7,7 +7,7 @@ JIT/caches leak between measurements; within each JVM a warm-up pass runs
 first so Python-worker spawn cost is excluded from the measured window.
 
 Usage: python tools/scaling_bench.py [sf_dir] [replicate] [N]
-Writes/updates BENCH/BASELINE.md and prints one JSON line.
+Writes BENCH/scaling_latest.md (raw latest run; BENCH/BASELINE.md is hand-curated) and prints one JSON line.
 """
 
 from __future__ import annotations
@@ -96,8 +96,20 @@ def main() -> None:
         tag, "pages",
     )
     if not os.path.exists(os.path.join(os.path.dirname(pages_path), "_done")):
-        subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
-                       env=env, capture_output=True, text=True, timeout=1200)
+        # materialization failure must surface here, not as a confusing
+        # "no result from local[N]" later
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            env=dict(env, SPARK_GRAFT_WAIT_QUIET="0"),
+            capture_output=True, text=True, timeout=1800,
+        )
+        if proc.returncode != 0 or not os.path.exists(
+            os.path.join(os.path.dirname(pages_path), "_done")
+        ):
+            raise RuntimeError(
+                "pages-cache materialization via bench.py failed:\n"
+                + proc.stderr[-2000:]
+            )
 
     with open("/proc/loadavg") as f:
         load_before = f.read().split()[0]
@@ -121,7 +133,7 @@ def main() -> None:
     # raw latest-run report; the curated summary lives in BENCH/BASELINE.md
     with open(os.path.join(REPO, "BENCH", "scaling_latest.md"), "w") as f:
         f.write(
-            "# BENCH/BASELINE — measured throughput & scaling\n\n"
+            "# BENCH/scaling_latest — raw latest scaling run\n\n""(curated summary: BENCH/BASELINE.md)\n\n"
             "Flagship job: salted-url-hash repartition -> decode(binary html:"
             " gzip/BOM/charset) -> main-content extraction (density/"
             "link-density/tag-weight block classifier), Arrow-batched pandas"

@@ -482,12 +482,29 @@ def score_answers(answers: DataFrame, truth: DataFrame) -> DataFrame:
 
 
 def aggregate_scores(scores: DataFrame,
-                     score_cols: tuple[str, ...] = ("dist", "prec", "rec", "f1")
-                     ) -> DataFrame:
+                     score_cols: tuple[str, ...] = ("dist", "prec", "rec", "f1"),
+                     unit_scale: int | None = None) -> DataFrame:
     """Mean + median per (model, dataset) plus the reference's `_micro`
     (all pages pooled) and `_macro` (mean of per-dataset means / median of
-    per-dataset medians) pseudo-datasets (eval.py:255-274)."""
-    mean_aggs = [F.mean(c).alias(f"mean_{c}") for c in score_cols]
+    per-dataset medians) pseudo-datasets (eval.py:255-274).
+
+    ``unit_scale`` (e.g. 10**6 for 6-decimal-rounded inputs) switches the
+    page-level means to EXACT integer unit sums: a double sum's value
+    depends on partition order, so a mean landing near a rounding
+    boundary can flip its last decimal between runs and engines — the
+    CLAUDE.md oracle-float rule.  Medians are exact selections either
+    way.  Macro rollups then average the 6-rounded per-dataset means
+    (tiny, fixed cardinality)."""
+    if unit_scale:
+        mean_aggs = [
+            (
+                F.sum(F.round(F.col(c) * unit_scale, 0).cast("long"))
+                / (F.count("*") * F.lit(float(unit_scale)))
+            ).alias(f"mean_{c}")
+            for c in score_cols
+        ]
+    else:
+        mean_aggs = [F.mean(c).alias(f"mean_{c}") for c in score_cols]
     median_aggs = [F.median(c).alias(f"median_{c}") for c in score_cols]
 
     # per_ds is tiny (models x datasets) but its lineage is the whole
@@ -502,8 +519,13 @@ def aggregate_scores(scores: DataFrame,
         *[f"mean_{c}" for c in score_cols],
         *[f"median_{c}" for c in score_cols],
     )
+    macro_mean = (
+        (lambda c: F.mean(F.round(F.col(f"mean_{c}"), 6)))
+        if unit_scale
+        else (lambda c: F.mean(F.col(f"mean_{c}")))
+    )
     macro = per_ds.groupBy("model").agg(
-        *[F.mean(f"mean_{c}").alias(f"mean_{c}") for c in score_cols],
+        *[macro_mean(c).alias(f"mean_{c}") for c in score_cols],
         *[F.median(f"median_{c}").alias(f"median_{c}") for c in score_cols],
     ).select(
         "model", F.lit("_macro").alias("dataset"),
