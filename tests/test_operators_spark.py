@@ -621,3 +621,74 @@ def test_quality_score_zeroes_empty_and_null_text(spark):
     scores = {r.doc_id: r.quality for r in quality_score(df).collect()}
     assert scores[1] == 0.0 and scores[2] == 0.0 and scores[3] == 0.0
     assert scores[4] > 0.3
+
+
+def test_decontamination_matches_duckdb_and_plan(spark, docs):
+    """Benchmark decontamination: planted eval-set leaks are found
+    exactly (DuckDB shingle-intersection cross-check) and the exploded
+    corpus grams never enter an Exchange (benchmark side broadcasts)."""
+    import duckdb
+
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        contaminated_ids,
+        decontaminate,
+    )
+
+    corpus = docs.select("doc_id", "text")
+    # benchmark = 9-word snippets lifted from every 25th doc (planted
+    # leaks) plus one disjoint synthetic row
+    words = F.split(F.col("text"), " ")
+    bench = corpus.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(words, 3, 9)).alias("text")
+    ).unionByName(
+        spark.createDataFrame(
+            [("zzz qqq xxx yyy www vvv",)], "text string"
+        )
+    )
+    bad = {r.doc_id for r in contaminated_ids(corpus, bench).collect()}
+    con = duckdb.connect()
+    con.register("docs_v", corpus.toPandas())
+    con.register("bench_v", bench.toPandas())
+    want = {
+        row[0]
+        for row in con.sql("""
+            WITH dg AS (
+                SELECT doc_id, unnest(range(1,
+                    greatest(len(string_split(text, ' ')) - 1, 1))) AS i,
+                    string_split(text, ' ') AS w
+                FROM docs_v
+            ),
+            dgs AS (
+                SELECT doc_id, array_to_string(w[i:i+2], ' ') AS gram
+                FROM dg WHERE len(w) >= 3
+            ),
+            bg AS (
+                SELECT DISTINCT array_to_string(
+                    string_split(text, ' ')[i:i+2], ' ') AS gram
+                FROM (SELECT text, unnest(range(1, greatest(
+                    len(string_split(text, ' ')) - 1, 1))) AS i
+                      FROM bench_v)
+                WHERE len(string_split(text, ' ')) >= 3
+            )
+            SELECT DISTINCT doc_id FROM dgs JOIN bg USING (gram)
+        """).fetchall()
+    }
+    assert bad == want
+    # every planted leak found, clean docs retained
+    planted = {r.doc_id for r in corpus.filter("doc_id % 25 = 0")
+               .filter(F.size(F.split("text", " ")) >= 11).collect()}
+    assert planted <= bad
+    kept = decontaminate(corpus, bench)
+    assert kept.count() == corpus.count() - len(bad)
+    # plan: the exploded CORPUS grams reach the join via a broadcast of
+    # the (small) benchmark gram set — a sort-merge join would need TWO
+    # gram exchanges (one per side); exactly one is allowed (the
+    # benchmark side's distinct).  The id exchange is the final distinct.
+    plan = contaminated_ids(corpus, bench)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    gram_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning(gram" in ln
+    ]
+    assert len(gram_exchanges) <= 1, gram_exchanges

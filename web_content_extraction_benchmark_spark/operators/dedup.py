@@ -528,3 +528,49 @@ def drop_near_duplicates(docs: DataFrame, pairs: DataFrame,
         F.col("id").alias(id_col)
     )
     return docs.join(losers, id_col, "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination: drop training documents that leak n-grams
+# of an evaluation/benchmark set (the step between dedup and packing in
+# an LLM data pipeline).
+# ---------------------------------------------------------------------------
+
+
+def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
+                     k: int = SHINGLE_SIZE, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Ids of docs sharing at least one word k-gram with the benchmark.
+
+    Scale shape: the benchmark side is SMALL (eval sets are thousands of
+    rows) — its distinct grams broadcast, so the exploded corpus grams
+    stream through a broadcast hash join with NO exchange of the
+    exploded volume (plan-tested); only the matched ids (tiny) ever
+    shuffle for the distinct."""
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_col(F.col(text_col), k)).alias("gram"),
+    )
+    bench_grams = (
+        benchmark.select(
+            F.explode(shingle_col(F.col(text_col), k)).alias("gram")
+        )
+        .distinct()
+    )
+    return (
+        doc_grams.join(F.broadcast(bench_grams), "gram")
+        .select("id")
+        .distinct()
+        .select(F.col("id").alias(id_col))
+    )
+
+
+def decontaminate(docs: DataFrame, benchmark: DataFrame,
+                  k: int = SHINGLE_SIZE, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Training corpus minus benchmark-contaminated documents (left_anti
+    on the contaminated id set, which broadcasts at realistic leak
+    rates)."""
+    bad = contaminated_ids(docs, benchmark, k=k, text_col=text_col,
+                           id_col=id_col)
+    return docs.join(bad, [id_col], "left_anti")
