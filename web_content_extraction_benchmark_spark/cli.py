@@ -71,13 +71,15 @@ def _models(args: argparse.Namespace) -> list[str]:
 
     avail = list_extractors() + ["neural"]
     models = args.model or ["main_content"]
-    if "all" in models:
-        models = [m for m in avail if m != "neural"]
-    unknown = sorted(set(models) - set(avail))
+    unknown = sorted(set(models) - set(avail) - {"all"})
     if unknown:
         raise SystemExit(
             f"unknown model(s) {unknown}; available: {avail}"
         )
+    if "all" in models:
+        explicit = [m for m in models if m != "all"]
+        expansion = [m for m in avail if m != "neural"]
+        models = expansion + [m for m in explicit if m not in expansion]
     return models
 
 

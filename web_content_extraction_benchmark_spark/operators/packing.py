@@ -41,10 +41,18 @@ PACKED_SCHEMA = T.StructType(
 
 def pack_sequences(df: DataFrame, capacity: int,
                    count_col: str = "n_tokens", id_col: str = "doc_id",
-                   n_shards: int = 1, seed: int = 0) -> DataFrame:
-    """(doc_id, shard, chunk, chunk_fill, oversize) for every input row."""
+                   n_shards: int | None = None, seed: int = 0) -> DataFrame:
+    """(doc_id, shard, chunk, chunk_fill, oversize) for every input row.
+
+    ``n_shards=None`` (the default) derives the shard count from the
+    cluster's default parallelism, so the scale path is what you get
+    unless you ask otherwise — ``n_shards=1`` (the oracle/CTE-mirror
+    mode, fully deterministic global order) routes the whole corpus
+    through ONE sequential group and must be an explicit opt-in."""
     if capacity < 1:
         raise ValueError(f"capacity must be >= 1, got {capacity}")
+    if n_shards is None:
+        n_shards = max(1, df.sparkSession.sparkContext.defaultParallelism)
     if n_shards < 1:
         raise ValueError(f"n_shards must be >= 1, got {n_shards}")
 

@@ -496,10 +496,13 @@ def aggregate_scores(scores: DataFrame,
     way.  Macro rollups then average the 6-rounded per-dataset means
     (tiny, fixed cardinality)."""
     if unit_scale:
+        # denominator counts non-NULL scores (like F.mean) so a NULL
+        # row cannot silently deflate the mean; mirrored in the oracle
+        # SQL as count(col).
         mean_aggs = [
             (
                 F.sum(F.round(F.col(c) * unit_scale, 0).cast("long"))
-                / (F.count("*") * F.lit(float(unit_scale)))
+                / (F.count(F.col(c)) * F.lit(float(unit_scale)))
             ).alias(f"mean_{c}")
             for c in score_cols
         ]

@@ -14,6 +14,7 @@ with ElementTree).
 
 from __future__ import annotations
 
+import math
 import zipfile
 from xml.sax.saxutils import escape
 
@@ -102,6 +103,13 @@ def _cell_xml(row: int, col: int, value, bold: bool) -> str:
     if isinstance(value, bool):
         return f'<c r="{ref}"{style} t="b"><v>{int(value)}</v></c>'
     if isinstance(value, (int, float)):
+        if isinstance(value, float) and not math.isfinite(value):
+            # NaN/inf are not valid SpreadsheetML numbers; emit the repr
+            # as an inline string so the workbook stays well-formed.
+            return (
+                f'<c r="{ref}"{style} t="inlineStr"><is><t>'
+                f"{escape(repr(value))}</t></is></c>"
+            )
         return f'<c r="{ref}"{style}><v>{value!r}</v></c>'
     return (
         f'<c r="{ref}"{style} t="inlineStr"><is><t xml:space="preserve">'
