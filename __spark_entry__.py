@@ -376,15 +376,30 @@ def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semi.unionByName(anti)
 
 
-def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LLM corpus-prep tail, fully value-oracled end to end: per-lang
-    quota capping (30 smallest doc_ids per lang — the per-host anti-spam
-    cap shape), deterministic md5-hash sampling at 0.5 (membership is a
-    pure key property: identical in DuckDB, stable under retries), and
-    greedy 700-token sequence packing.  The packing runs single-shard
-    here so the DuckDB recursive-CTE mirror reproduces the EXACT chunk
-    assignment; the scale path shards by id hash (n_shards, pytest- and
-    bench-covered)."""
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL LLM-corpus pipeline as one chain, value-oracled end to
+    end: HTML extraction -> exact dedup -> MinHash-LSH near-dup drop ->
+    benchmark decontamination -> per-source quota -> deterministic
+    sample -> greedy sequence packing.  (Subsumes the former corpus_prep
+    row, which covered only the quota/sample/pack tail.)
+
+    Duplicates are PLANTED in a negative id namespace — an exact copy
+    -(4d+1) for d%7==0, a drop-last-2-words mutant -(4d+2) for d%10==0 —
+    so the planted rows WIN the min-id dedup contests and flow into the
+    final packed output: a fault in any stage (extraction bytes, dedup
+    winner choice, LSH banding, component resolution, decontamination
+    grams, quota ranking, sample membership, packing greedy state)
+    changes the surviving id set and flips the value hash.
+
+    The packing runs single-shard here so the DuckDB recursive-CTE
+    mirror reproduces the EXACT chunk assignment; the scale path shards
+    by id hash (n_shards default, pytest- and bench-covered)."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        decontaminate,
+        drop_exact_duplicates,
+        drop_near_duplicates,
+        minhash_lsh_pairs,
+    )
     from web_content_extraction_benchmark_spark.operators.packing import (
         pack_sequences,
     )
@@ -392,13 +407,54 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
         deterministic_sample,
         quota_per_key,
     )
-
-    docs = _docs(spark, sf_dir).filter(F.col("text").isNotNull()).select(
-        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        extract_answers,
     )
-    capped = quota_per_key(docs, 30, key_col="lang")
+
+    # 1. extract: pages -> main_content text; (source, doc_id) recovered
+    # from the url tail (https://host/{source}/{doc_id}) — no second
+    # synthesis pass, no join.
+    answers = extract_answers(
+        synthesize_pages(spark, sf_dir), ["main_content"]
+    )
+    parts = F.split(F.col("url"), "/")
+    extracted = answers.select(
+        F.element_at(parts, -1).cast("long").alias("doc_id"),
+        F.element_at(parts, -2).alias("source"),
+        F.col("plaintext").alias("text"),
+    )
+
+    # 2. plant duplicates (negative namespace: -(4d+1) exact, -(4d+2)
+    # mutant; disjoint mod-4 classes, can never collide with real ids).
+    words = F.split(F.col("text"), " ")
+    exact_copies = extracted.filter(F.col("doc_id") % 7 == 0).select(
+        (-(F.col("doc_id") * 4 + 1)).alias("doc_id"), "source", "text"
+    )
+    mutants = extracted.filter(
+        (F.col("doc_id") % 10 == 0) & (F.size(words) > 2)
+    ).select(
+        (-(F.col("doc_id") * 4 + 2)).alias("doc_id"),
+        "source",
+        F.concat_ws(" ", F.slice(words, 1, F.size(words) - 2)).alias("text"),
+    )
+    corpus = extracted.unionByName(exact_copies).unionByName(mutants)
+
+    # 3-4. exact dedup, then near-dup drop over LSH pairs
+    d1 = drop_exact_duplicates(corpus)
+    pairs = minhash_lsh_pairs(d1, jaccard_threshold=0.6)
+    d2 = drop_near_duplicates(d1, pairs)
+
+    # 5. decontaminate against a planted benchmark slice (%40 originals)
+    benchmark = extracted.filter(F.col("doc_id") % 40 == 0).select("text")
+    d3 = decontaminate(d2, benchmark)
+
+    # 6-8. quota per source, deterministic sample, pack
+    capped = quota_per_key(d3, 30, key_col="source")
     sampled = deterministic_sample(capped, 0.5, key_col="doc_id", seed=7)
-    packed = pack_sequences(sampled, 700, n_shards=1)
+    counted = sampled.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = pack_sequences(counted, 700, n_shards=1)
     return packed.select("doc_id", "chunk", "chunk_fill", "oversize")
 
 
@@ -1296,7 +1352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "complexity_band_counts": q_complexity_band_counts,
         "join_agg": q_join_agg,
         "semi_anti_join": q_semi_anti_join,
-        "corpus_prep": q_corpus_prep,
+        "corpus_pipeline": q_corpus_pipeline,
         "rollup_agg": q_rollup_agg,
         "topk_window": q_topk_window,
         "conditional_agg": q_conditional_agg,
@@ -1323,12 +1379,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def _corpus_prep_sql() -> str:
-    """Composed DuckDB mirror of q_corpus_prep: the quota row_number
-    subquery feeds the md5 sample predicate feeds the recursive-CTE
-    greedy packing — each piece is the operator's own SQL mirror
-    (operators/sampling.py, operators/packing.py), so the oracle tracks
-    the operators, not a hand-copied formula."""
+def _corpus_pipeline_sql() -> str:
+    """Composed DuckDB mirror of q_corpus_pipeline: gold extraction ->
+    min-id exact dedup -> banded-MinHash candidate pairs + exact-Jaccard
+    verify -> recursive-CTE transitive min-label components -> anti-drop
+    of non-canonical members -> benchmark 3-gram decontamination -> the
+    quota row_number subquery -> the md5 sample predicate -> the
+    recursive-CTE greedy packing.  The tail pieces are the operators'
+    own SQL mirrors (operators/sampling.py, operators/packing.py); the
+    dedup middle reuses the exact banded-minhash construction the
+    minhash_lsh_pairs oracle pins — LSH false negatives and all."""
     from web_content_extraction_benchmark_spark.operators.packing import (
         pack_sequences_sql,
     )
@@ -1337,19 +1397,122 @@ def _corpus_prep_sql() -> str:
         sample_predicate_sql,
     )
 
-    capped = quota_predicate_sql(
-        "(SELECT doc_id, lang, text FROM documents "
-        "WHERE text IS NOT NULL)",
-        30, "lang",
+    minhash_cols = ", ".join(
+        f"min(md5('{h}:' || sh)) AS mh{h}" for h in range(8)
     )
-    sub = (
-        f"(SELECT doc_id, len(string_split(text, ' ')) AS n_tokens "
-        f"FROM ({capped}) "
-        f"WHERE {sample_predicate_sql('doc_id', 0.5, 7)})"
+    n_words = "len(string_split(text, ' '))"
+    chain = f"""
+    (WITH RECURSIVE
+    extracted AS (
+        SELECT doc_id, source, {GOLD_SQL} AS text FROM documents
+    ),
+    corpus AS (
+        SELECT doc_id, source, text FROM extracted
+        UNION ALL
+        SELECT -(doc_id * 4 + 1), source, text FROM extracted
+        WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT -(doc_id * 4 + 2), source,
+               array_to_string(
+                   string_split(text, ' ')[1:{n_words} - 2], ' ')
+        FROM extracted
+        WHERE doc_id % 10 = 0 AND {n_words} > 2
+    ),
+    exact_winners AS (
+        SELECT text, min(doc_id) AS win FROM corpus GROUP BY text
+    ),
+    d1 AS (
+        SELECT c.doc_id, c.source, c.text
+        FROM corpus c JOIN exact_winners w
+          ON c.text = w.text AND c.doc_id = w.win
+    ),
+    words1 AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM d1
+    ),
+    sh1 AS (
+        SELECT DISTINCT doc_id,
+               word || ' ' || lead(word, 1) OVER win || ' ' ||
+               lead(word, 2) OVER win AS sh
+        FROM words1
+        WINDOW win AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY sh IS NOT NULL
+    ),
+    sig AS (SELECT doc_id, {minhash_cols} FROM sh1 GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    szs AS (SELECT doc_id, count(*) AS n FROM sh1 GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN sh1 sa ON sa.doc_id = c.id_a
+        JOIN sh1 sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    nd_pairs AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        JOIN szs za ON za.doc_id = c.id_a
+        JOIN szs zb ON zb.doc_id = c.id_b
+        LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+              (za.n + zb.n - coalesce(i.n_inter, 0)) >= 0.6
+    ),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM nd_pairs
+        UNION SELECT id_b, id_a FROM nd_pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    d2 AS (
+        SELECT * FROM d1
+        WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
+    ),
+    bwords AS (
+        SELECT doc_id,
+               unnest(string_split(text, ' ')) AS word,
+               generate_subscripts(string_split(text, ' '), 1) AS pos
+        FROM extracted WHERE doc_id % 40 = 0
+    ),
+    bsh AS (
+        SELECT DISTINCT
+               word || ' ' || lead(word, 1) OVER bwin || ' ' ||
+               lead(word, 2) OVER bwin AS sh
+        FROM bwords
+        WINDOW bwin AS (PARTITION BY doc_id ORDER BY pos)
+        QUALIFY sh IS NOT NULL
+    ),
+    contam AS (
+        SELECT DISTINCT s.doc_id FROM sh1 s JOIN bsh b ON s.sh = b.sh
+    ),
+    d3 AS (
+        SELECT * FROM d2
+        WHERE doc_id NOT IN (SELECT doc_id FROM contam)
     )
+    SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+    FROM ({quota_predicate_sql('(SELECT doc_id, source, text FROM d3)',
+                               30, 'source')})
+    WHERE {sample_predicate_sql('doc_id', 0.5, 7)})
+    """
     return (
         "SELECT doc_id, chunk, chunk_fill, oversize FROM ("
-        + pack_sequences_sql(sub, 700)
+        + pack_sequences_sql(chain, 700)
         + ")"
     )
 
@@ -1899,7 +2062,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE c_custkey NOT IN
                 (SELECT o_custkey FROM orders WHERE o_totalprice > 350000)
         """,
-        "corpus_prep": _corpus_prep_sql(),
+        "corpus_pipeline": _corpus_pipeline_sql(),
         "rollup_agg": """
             SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
                    round(sum(l_quantity), 4) AS sum_qty,
