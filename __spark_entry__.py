@@ -1280,19 +1280,17 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal decode: REAL stdlib BMP (24-bit header+pixel parse)
-    and WAV (RIFF walk + PCM16) kernels run inside mapInPandas over the
-    synthetic payload table; the DuckDB oracle mirrors the decoded
-    channel means / RMS / zero-crossing rate with closed-form integer
-    arithmetic (multimodal.synthetic_media_params is the shared source
-    of truth).  Video rows stay a documented fake -> NULL features."""
+    """Multimodal decode: REAL stdlib BMP (24-bit header+pixel parse),
+    WAV (RIFF walk + PCM16), and AVI (RIFF hdrl/movi walk + DIB frame
+    decode, r5) kernels run inside mapInPandas over the synthetic
+    payload table; the DuckDB oracle mirrors the decoded channel means
+    / RMS / zero-crossing rate / frame-motion deltas with closed-form
+    integer arithmetic (multimodal.synthetic_media_params is the shared
+    source of truth)."""
     media = synthesize_media(spark, n_rows=64)
     feats = extract_media_features(media)
-    real = F.col("kind").isin("image", "audio")
     cols = [
-        F.round(
-            F.when(real, F.element_at("features", k)), 6
-        ).alias(f"f{k}")
+        F.round(F.element_at("features", k), 6).alias(f"f{k}")
         for k in range(1, 7)
     ]
     return feats.select("media_id", "kind", "n_bytes", *cols)
@@ -2278,9 +2276,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "media_features": """
             -- Closed-form mirror of multimodal.synthetic_media_params:
-            -- stripe BMP channel means and square-wave WAV stats are
-            -- exact integer arithmetic (uint8/PCM16 sums stay integral
-            -- in float64), so the real decoders are value-checked.
+            -- stripe BMP channel means, square-wave WAV stats, and
+            -- drifting-stripe AVI frame/motion sums are exact integer
+            -- arithmetic (uint8/PCM16 sums stay integral in float64),
+            -- so the real decoders are value-checked.
             WITH p AS (
                 SELECT i,
                        CASE i % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
@@ -2293,42 +2292,94 @@ def oracle_sql() -> dict[str, str]:
                        8000 + 1000 * (i % 5) AS rate,
                        1 + i % 4 AS hp,
                        1000 + 37*i AS amp,
-                       2 * (1 + i % 4) * (20 + i % 10) AS n
+                       2 * (1 + i % 4) * (20 + i % 10) AS n,
+                       6 + i % 7 AS vw, 4 + i % 5 AS vh,
+                       2 + i % 4 AS nf
                 FROM generate_series(0, 63) t(i)
             ),
             d AS (
                 SELECT *,
                        CAST(floor((w + 1) / 2) AS BIGINT) AS ne,
-                       w - CAST(floor((w + 1) / 2) AS BIGINT) AS nodd
+                       w - CAST(floor((w + 1) / 2) AS BIGINT) AS nodd,
+                       CAST(floor((vw + 1) / 2) AS BIGINT) AS vne,
+                       vw - CAST(floor((vw + 1) / 2) AS BIGINT) AS vno,
+                       CAST(floor((3*vw + 3) / 4) AS BIGINT) * 4 AS vrow
                 FROM p
-            )
+            ),
+            vstats AS (
+                -- per-video-row frame sums: stripe frame f has
+                -- even-column color ((37i+11f)%256, (59i+13f)%256,
+                -- (83i+17f)%256) and odd-column ((101i+19f)%256,
+                -- (131i+23f)%256, (151i+29f)%256); vtotal pools all
+                -- frames, vpair* the consecutive-frame |delta| sums
+                -- (motion).  generate_series rejects correlated bounds,
+                -- so f spans the fixed max (nf <= 5) and CASE masks the
+                -- per-row frame count.
+                SELECT i,
+                       sum(CASE WHEN f < nf THEN vh * (
+                            vne*((37*i+11*f)%256 + (59*i+13*f)%256
+                                 + (83*i+17*f)%256)
+                          + vno*((101*i+19*f)%256 + (131*i+23*f)%256
+                                 + (151*i+29*f)%256)) ELSE 0 END)
+                           AS vtotal,
+                       sum(CASE WHEN f < nf - 1 THEN vh * (
+                            vne*(abs((37*i+11*(f+1))%256 - (37*i+11*f)%256)
+                               + abs((59*i+13*(f+1))%256 - (59*i+13*f)%256)
+                               + abs((83*i+17*(f+1))%256 - (83*i+17*f)%256))
+                          + vno*(abs((101*i+19*(f+1))%256 - (101*i+19*f)%256)
+                               + abs((131*i+23*(f+1))%256 - (131*i+23*f)%256)
+                               + abs((151*i+29*(f+1))%256 - (151*i+29*f)%256)))
+                           ELSE 0 END) AS vpairsum,
+                       max(CASE WHEN f < nf - 1 THEN vh * (
+                            vne*(abs((37*i+11*(f+1))%256 - (37*i+11*f)%256)
+                               + abs((59*i+13*(f+1))%256 - (59*i+13*f)%256)
+                               + abs((83*i+17*(f+1))%256 - (83*i+17*f)%256))
+                          + vno*(abs((101*i+19*(f+1))%256 - (101*i+19*f)%256)
+                               + abs((131*i+23*(f+1))%256 - (131*i+23*f)%256)
+                               + abs((151*i+29*(f+1))%256 - (151*i+29*f)%256)))
+                           END) AS vpairmax
+                FROM d CROSS JOIN generate_series(0, 4) g(f)
+                GROUP BY i
+            ),
+            v AS (SELECT d.*, vtotal, vpairsum, vpairmax
+                  FROM d JOIN vstats USING (i))
             SELECT CAST(i AS BIGINT) AS media_id, kind,
                    CAST(CASE kind
                         WHEN 'image' THEN 54 +
                              h * (CAST(floor((3*w + 3) / 4) AS BIGINT) * 4)
                         WHEN 'audio' THEN 44 + 2 * n
-                        ELSE 32 * (1 + i % 5) END AS BIGINT) AS n_bytes,
+                        ELSE 224 + nf * (8 + vrow * vh) END
+                        AS BIGINT) AS n_bytes,
                    round(CASE kind WHEN 'image' THEN CAST(w AS DOUBLE)
-                         WHEN 'audio' THEN CAST(rate AS DOUBLE) END, 6) AS f1,
+                         WHEN 'audio' THEN CAST(rate AS DOUBLE)
+                         ELSE CAST(vw AS DOUBLE) END, 6) AS f1,
                    round(CASE kind WHEN 'image' THEN CAST(h AS DOUBLE)
-                         WHEN 'audio' THEN CAST(n AS DOUBLE) END, 6) AS f2,
+                         WHEN 'audio' THEN CAST(n AS DOUBLE)
+                         ELSE CAST(vh AS DOUBLE) END, 6) AS f2,
                    round(CASE kind
                          WHEN 'image' THEN (ne*r1 + nodd*r2) / CAST(w AS DOUBLE)
-                         WHEN 'audio' THEN 0.0 END, 6) AS f3,
+                         WHEN 'audio' THEN 0.0
+                         ELSE CAST(nf AS DOUBLE) END, 6) AS f3,
                    round(CASE kind
                          WHEN 'image' THEN (ne*g1 + nodd*g2) / CAST(w AS DOUBLE)
-                         WHEN 'audio' THEN amp / 32768.0 END, 6) AS f4,
+                         WHEN 'audio' THEN amp / 32768.0
+                         ELSE CAST(vtotal AS DOUBLE)
+                              / (nf * (vh * vw * 3.0)) END, 6) AS f4,
                    round(CASE kind
                          WHEN 'image' THEN (ne*b1 + nodd*b2) / CAST(w AS DOUBLE)
                          WHEN 'audio' THEN (CAST(n AS DOUBLE) / hp - 1)
-                                           / (n - 1) END, 6) AS f5,
+                                           / (n - 1)
+                         ELSE CAST(vpairsum AS DOUBLE)
+                              / ((nf - 1) * (vh * vw * 3.0)) END, 6) AS f5,
                    round(CASE kind
                          WHEN 'image' THEN
                              ((ne*r1 + nodd*r2) / CAST(w AS DOUBLE)
                               + (ne*g1 + nodd*g2) / CAST(w AS DOUBLE)
                               + (ne*b1 + nodd*b2) / CAST(w AS DOUBLE)) / 3.0
-                         WHEN 'audio' THEN amp / 32768.0 END, 6) AS f6
-            FROM d
+                         WHEN 'audio' THEN amp / 32768.0
+                         ELSE CAST(vpairmax AS DOUBLE)
+                              / (vh * vw * 3.0) END, 6) AS f6
+            FROM v
         """,
         "language_id": f"""
             SELECT doc_id,

@@ -238,9 +238,11 @@ def test_multimodal_plumbing(spark):
     # deterministic across runs
     again = extract_media_features(synthesize_media(spark, n_rows=30)).collect()
     assert sorted(map(repr, feats)) == sorted(map(repr, again))
-    # only the video kind remains a stub
-    with pytest.raises(NotImplementedError):
+    # all three kinds decode for real; junk bytes fail loudly
+    with pytest.raises(ValueError):
         real_decode(b"x", "video")
+    with pytest.raises(ValueError):
+        real_decode(b"x", "bogus_kind")
 
 
 def test_real_bmp_wav_decode_roundtrip():
@@ -288,6 +290,76 @@ def test_real_bmp_wav_decode_roundtrip():
     wav[20] = 3  # format tag != PCM
     with pytest.raises(ValueError):
         decode_wav(bytes(wav))
+
+
+def test_real_avi_decode_roundtrip():
+    """The video decode kernel is REAL: RIFF hdrl/movi walk + DIB frame
+    decode recover exactly what the writer emitted; motion features
+    match hand-computed stripe deltas; corrupt payloads fail loudly."""
+    from web_content_extraction_benchmark_spark.operators.multimodal import (
+        avi_features,
+        decode_avi,
+        encode_avi,
+    )
+
+    colors = [((10, 20, 30), (200, 100, 50)), ((13, 24, 35), (205, 90, 61))]
+    payload = encode_avi(9, 5, colors, 12)
+    fps, frames = decode_avi(payload)
+    assert fps == 12.0 and frames.shape == (2, 5, 9, 3)
+    assert tuple(frames[0, 0, 0]) == (10, 20, 30)
+    assert tuple(frames[0, 2, 3]) == (200, 100, 50)
+    assert tuple(frames[1, 4, 8]) == (13, 24, 35)
+
+    f = avi_features(payload)
+    assert f[:3] == [9.0, 5.0, 2.0]
+    # mean over both frames: 5 even cols c1, 4 odd cols c2 per row
+    total = sum(
+        5 * (5 * sum(c1) + 4 * sum(c2)) for c1, c2 in colors
+    )
+    assert f[3] == total / (2 * 5 * 9 * 3)
+    # one frame pair: |delta| = (3+4+5) per even cell, (5+10+11) per odd
+    pair = 5 * (5 * (3 + 4 + 5) + 4 * (5 + 10 + 11))
+    assert f[4] == pair / (1 * 5 * 9 * 3) == f[5] * 1.0
+
+    # single-frame video -> zero motion
+    single = avi_features(encode_avi(4, 3, colors[:1], 10))
+    assert single[2] == 1.0 and single[4] == 0.0 and single[5] == 0.0
+
+    for bad in (b"", b"RIFFxxxxWAVE", b"RIFF\x00\x00\x00\x00AVI "):
+        with pytest.raises(ValueError):
+            decode_avi(bad)
+    # truncated frame data and non-24bpp streams are rejected
+    trunc = bytearray(payload)
+    with pytest.raises(ValueError):
+        decode_avi(bytes(trunc[:-20]))
+    bpp = payload.index(b"strf") + 8 + 14
+    bad_bpp = bytearray(payload)
+    bad_bpp[bpp] = 8
+    with pytest.raises(ValueError):
+        decode_avi(bytes(bad_bpp))
+
+
+def test_avi_top_down_negative_height():
+    """A negative strf height means top-down frame rows (same DIB rule
+    as BMP): the decoder must not flip them."""
+    import struct
+
+    from web_content_extraction_benchmark_spark.operators.multimodal import (
+        decode_avi,
+        encode_avi,
+    )
+
+    colors = [((1, 2, 3), (4, 5, 6))]
+    payload = bytearray(encode_avi(4, 2, colors, 10))
+    # rows are identical stripes here, so flipping alone can't differ;
+    # instead plant a distinct first-row pixel and negate the height
+    strf_h = payload.index(b"strf") + 8 + 8
+    payload[strf_h:strf_h + 4] = struct.pack("<i", -2)
+    movi = payload.index(b"00db") + 8
+    payload[movi:movi + 3] = bytes((9, 8, 7))  # BGR of FIRST stored row
+    fps, frames = decode_avi(bytes(payload))
+    # top-down: first stored row IS row 0 (bottom-up would put it last)
+    assert tuple(frames[0, 0, 0]) == (7, 8, 9)
 
 
 def test_simhash_blank_docs_excluded_from_blocking(spark, docs):

@@ -209,7 +209,7 @@ def main() -> None:
             ),
         ),
         (
-            "multimodal decode (real BMP/WAV kernels)",
+            "multimodal decode (real BMP/WAV/AVI kernels)",
             "ONE mapInPandas node, payload column isolated to the decode "
             "stage; no shuffle",
             __import__(

@@ -6,20 +6,23 @@ REAL stdlib-only decoders for the self-describing formats.
   channel statistics).
 - **audio/WAV**: RIFF/fmt/data chunk walk + PCM16 sample decode
   (``decode_wav`` — numpy mean/RMS/zero-crossing/peak).
-- **video**: remains an explicit stub (no container/codec library in
-  this sandbox): features fall back to a deterministic md5-seeded fake
-  and ``real_decode`` raises — the only remaining fake kernel.
+- **video/AVI**: RIFF AVI container walk (hdrl/strl headers + movi
+  frame list) with uncompressed bottom-up DIB frames (``decode_avi`` —
+  per-frame channel means + frame-delta motion statistics).  Compressed
+  codecs (h264 etc.) are out of scope — no codec library ships in this
+  sandbox; on a production cluster that branch is where pyav plugs into
+  the same mapInPandas kernel.
 
 The distributed machinery — schemas, Arrow batch shapes, partitioning,
 UDF signatures — is identical for all three kinds; the driver query's
-DuckDB oracle checks the decoded image/audio features against
-closed-form mirrors of the synthetic payloads (the payload generators
-write two-color stripe bitmaps and square waves whose channel means,
-RMS, and zero-crossing rate have exact integer-arithmetic formulas)."""
+DuckDB oracle checks the decoded features against closed-form mirrors
+of the synthetic payloads (the payload generators write two-color
+stripe bitmaps, square waves, and drifting-stripe AVI frames whose
+channel means, RMS, zero-crossing rate, and motion deltas have exact
+integer-arithmetic formulas)."""
 
 from __future__ import annotations
 
-import hashlib
 import struct
 from typing import Iterator
 
@@ -137,6 +140,95 @@ def decode_wav(payload: bytes) -> tuple[int, np.ndarray]:
     return int(sample_rate), samples
 
 
+def decode_avi(payload: bytes) -> tuple[float, np.ndarray]:
+    """Uncompressed-DIB AVI -> (fps, (n_frames, h, w, 3) uint8 RGB).
+
+    Walks the RIFF 'AVI ' chunk tree: LIST hdrl (avih main header, strl
+    stream header + BITMAPINFOHEADER format) and LIST movi ('00db'
+    uncompressed frames; bottom-up BGR rows padded to 4 bytes, same DIB
+    layout as BMP pixel data).  Raises ValueError for anything that is
+    not a 24-bit BI_RGB 'vids' stream."""
+    if (
+        len(payload) < 12
+        or payload[:4] != b"RIFF"
+        or payload[8:12] != b"AVI "
+    ):
+        raise ValueError("not an AVI payload")
+
+    def chunks(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            cid = buf[pos:pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            if pos + 8 + size > end:
+                raise ValueError("truncated AVI chunk")
+            yield cid, pos + 8, size
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    width = height = None
+    rate = scale = None
+    frames: list[bytes] = []
+    for cid, body, size in chunks(payload, 12, len(payload)):
+        if cid != b"LIST":
+            continue
+        list_type = payload[body:body + 4]
+        if list_type == b"hdrl":
+            for cid2, body2, size2 in chunks(payload, body + 4, body + size):
+                if cid2 == b"LIST" and payload[body2:body2 + 4] == b"strl":
+                    for cid3, body3, size3 in chunks(
+                        payload, body2 + 4, body2 + size2
+                    ):
+                        if cid3 == b"strh":
+                            if size3 < 32:
+                                raise ValueError("truncated AVI strh")
+                            if payload[body3:body3 + 4] != b"vids":
+                                raise ValueError(
+                                    "only a single 'vids' stream is supported"
+                                )
+                            scale, rate = struct.unpack_from(
+                                "<II", payload, body3 + 20
+                            )
+                        elif cid3 == b"strf":
+                            if size3 < 40:
+                                raise ValueError("truncated AVI strf")
+                            _, width, height, planes, bpp = struct.unpack_from(
+                                "<IiiHH", payload, body3
+                            )
+                            compression = struct.unpack_from(
+                                "<I", payload, body3 + 16
+                            )[0]
+                            if planes != 1 or bpp != 24 or compression != 0:
+                                raise ValueError(
+                                    "only 24-bit uncompressed DIB frames "
+                                    "are supported"
+                                )
+        elif list_type == b"movi":
+            for cid2, body2, size2 in chunks(payload, body + 4, body + size):
+                if cid2[2:4] in (b"db", b"dc"):
+                    frames.append(payload[body2:body2 + size2])
+    if width is None or rate is None:
+        raise ValueError("missing AVI strh/strf headers")
+    if width <= 0 or height == 0 or scale == 0:
+        raise ValueError("degenerate AVI dimensions")
+    bottom_up = height > 0
+    h = abs(int(height))
+    row_size = (3 * width + 3) // 4 * 4
+    decoded = []
+    for frame in frames:
+        if len(frame) < row_size * h:
+            raise ValueError("truncated AVI frame data")
+        px = (
+            np.frombuffer(frame, dtype=np.uint8, count=row_size * h)
+            .reshape(h, row_size)[:, : 3 * width]
+            .reshape(h, width, 3)
+        )
+        if bottom_up:
+            px = px[::-1]
+        decoded.append(px[:, :, ::-1])  # DIB stores BGR
+    if not decoded:
+        raise ValueError("AVI has no frames")
+    return float(rate) / float(scale), np.stack(decoded)
+
+
 def bmp_features(payload: bytes) -> list[float]:
     """[width, height, mean_r, mean_g, mean_b, mean_rgb].  Channel sums
     over uint8 pixels are exact integers in float64, so the means are
@@ -163,30 +255,44 @@ def wav_features(payload: bytes) -> list[float]:
     return [float(rate), float(n), mean, rms, zcr, float(np.abs(s).max())]
 
 
+def avi_features(payload: bytes) -> list[float]:
+    """[width, height, n_frames, mean_rgb, motion_mean, motion_max].
+
+    mean_rgb pools every frame/pixel/channel; motion is the mean
+    absolute pixel-channel delta between consecutive frames (mean over
+    pairs computed as ONE integer-sum division so the closed-form
+    DuckDB mirror reproduces it bit-for-bit; motion_max divides each
+    pair's integer sum once)."""
+    _, frames = decode_avi(payload)
+    n, h, w = frames.shape[0], frames.shape[1], frames.shape[2]
+    cells = float(h * w * 3)
+    total = int(frames.sum(dtype=np.int64))
+    mean_rgb = total / (n * cells)
+    if n < 2:
+        return [float(w), float(h), float(n), mean_rgb, 0.0, 0.0]
+    deltas = np.abs(
+        frames[1:].astype(np.int64) - frames[:-1].astype(np.int64)
+    )
+    pair_sums = deltas.reshape(n - 1, -1).sum(axis=1)
+    motion_mean = float(pair_sums.sum()) / ((n - 1) * cells)
+    motion_max = float(pair_sums.max()) / cells
+    return [float(w), float(h), float(n), mean_rgb, motion_mean, motion_max]
+
+
 def real_decode(payload: bytes, kind: str):
     """Decode a payload with the real kernel for its kind.
 
-    image (BMP) and audio (PCM16 WAV) are fully implemented stdlib-only;
-    video remains an explicit stub — container demux/codec libraries are
-    not installed in this environment, and on a production cluster this
-    branch is where pyav frame sampling plugs in."""
+    image (BMP), audio (PCM16 WAV), and video (uncompressed-DIB AVI)
+    are fully implemented stdlib-only; on a production cluster the
+    video branch is where a codec library (pyav) would slot in for
+    compressed streams."""
     if kind == "image":
         return decode_bmp(payload)
     if kind == "audio":
         return decode_wav(payload)
-    raise NotImplementedError(
-        f"no decoder for kind={kind!r}: video codec libraries are not "
-        "installed in this environment"
-    )
-
-
-def _fake_features(payload: bytes | None, dim: int = FEATURE_DIM) -> list[float]:
-    """Deterministic md5-seeded fake feature vector — the remaining
-    stand-in for the video decode+embed path only."""
-    digest = hashlib.md5(payload or b"").digest()
-    seed = int.from_bytes(digest[:4], "big")
-    rng = np.random.RandomState(seed)
-    return [float(x) for x in rng.rand(dim)]
+    if kind == "video":
+        return decode_avi(payload)
+    raise ValueError(f"unknown media kind {kind!r}")
 
 
 def media_feature_vector(payload: bytes | None, kind: str) -> list[float]:
@@ -196,7 +302,7 @@ def media_feature_vector(payload: bytes | None, kind: str) -> list[float]:
         return bmp_features(payload)
     if kind == "audio":
         return wav_features(payload)
-    return _fake_features(payload)
+    return avi_features(payload)
 
 
 def extract_media_features(media: DataFrame) -> DataFrame:
@@ -206,8 +312,8 @@ def extract_media_features(media: DataFrame) -> DataFrame:
     governed by the session's Arrow batch size
     (``spark.sql.execution.arrow.maxRecordsPerBatch`` /
     ``SPARK_GRAFT_ARROW_BATCH``) — size it to ~256 MB / p99_payload for
-    MB-scale media.  Image/audio decode is real; video features fall
-    back to the documented fake."""
+    MB-scale media.  All three kinds decode for real (BMP / PCM16 WAV /
+    uncompressed-DIB AVI)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             yield pd.DataFrame(
@@ -276,6 +382,49 @@ def encode_wav(sample_rate: int, n_samples: int, amplitude: int,
     )
 
 
+def encode_avi(width: int, height: int, frame_colors: list[tuple],
+               fps: int) -> bytes:
+    """Uncompressed-DIB AVI: one '00db' frame per (c1, c2) pair in
+    ``frame_colors``, each a vertical-stripe DIB (even columns c1, odd
+    columns c2, RGB tuples) — the video analog of ``encode_bmp``'s
+    stripe bitmaps, with per-frame color drift supplying closed-form
+    motion statistics."""
+    row_size = (3 * width + 3) // 4 * 4
+    frames = []
+    for c1, c2 in frame_colors:
+        row = bytearray()
+        for x in range(width):
+            r, g, b = c1 if x % 2 == 0 else c2
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (row_size - len(row))
+        frames.append(bytes(row) * height)
+    frame_size = row_size * height
+    n = len(frames)
+
+    avih = struct.pack(
+        "<4sI14I", b"avih", 56,
+        1_000_000 // fps, frame_size * fps, 0, 0, n, 0, 1, frame_size,
+        width, height, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIII4H", b"strh", 56, b"vids", b"DIB ",
+        0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0,
+        0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<4sIIiiHHIIiiII", b"strf", 40, 40, width, height, 1, 24, 0,
+        frame_size, 2835, 2835, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + b"hdrl" + avih + strl
+    movi_body = b"".join(
+        struct.pack("<4sI", b"00db", frame_size) + f for f in frames
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
 def synthetic_media_params(i: int) -> dict:
     """Per-row payload parameters — the single source of truth for both
     the Python writers and the DuckDB closed-form oracle in
@@ -297,11 +446,27 @@ def synthetic_media_params(i: int) -> dict:
             "n_periods": 20 + i % 10,
             "amplitude": 1000 + 37 * i,
         }
-    return {"kind": kind, "repeat": 1 + i % 5}
+    return {
+        "kind": kind,
+        "width": 6 + i % 7,
+        "height": 4 + i % 5,
+        "n_frames": 2 + i % 4,
+        "fps": 10 + i % 6,
+        # frame f stripe colors (per-frame drift => closed-form motion)
+        "frame_colors": [
+            (
+                ((37 * i + 11 * f) % 256, (59 * i + 13 * f) % 256,
+                 (83 * i + 17 * f) % 256),
+                ((101 * i + 19 * f) % 256, (131 * i + 23 * f) % 256,
+                 (151 * i + 29 * f) % 256),
+            )
+            for f in range(2 + i % 4)
+        ],
+    }
 
 
 def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
-    """Deterministic media table: REAL BMP/WAV payloads + fake video."""
+    """Deterministic media table: REAL BMP/WAV/AVI payloads."""
     rows = []
     for i in range(n_rows):
         p = synthetic_media_params(i)
@@ -320,9 +485,13 @@ def synthesize_media(spark, n_rows: int = 64) -> DataFrame:
                     "duration_ms": int(1000 * n / p["sample_rate"]),
                     "codec": "pcm16"}
         else:
-            payload = hashlib.sha256(str(i).encode()).digest() * p["repeat"]
-            meta = {"width": None, "height": None, "sample_rate": None,
-                    "duration_ms": 1000 * (i % 30), "codec": "h264"}
+            payload = encode_avi(
+                p["width"], p["height"], p["frame_colors"], p["fps"]
+            )
+            meta = {"width": p["width"], "height": p["height"],
+                    "sample_rate": None,
+                    "duration_ms": int(1000 * p["n_frames"] / p["fps"]),
+                    "codec": "dib"}
         rows.append((i, f"https://media.example/{kind}/{i}", kind, payload,
                      meta))
     return spark.createDataFrame(rows, schema=MEDIA_SCHEMA)
