@@ -1,9 +1,11 @@
-"""E15 trained neural block classifier (extractors/neural.py): the
-frozen weights are LEARNED (tools/train_neural.py, seeded numpy Adam),
-must reproduce exactly from the pinned seed, must beat the density rule
-on the held-out split, and must agree with gold on every template block
-(that agreement is what keeps the driver row's GOLD_SQL oracle valid).
-The Spark path must broadcast weights + vectorize."""
+"""E15 trained neural leaf-sequence classifier (extractors/neural.py):
+the frozen weights AND vocabularies are LEARNED (tools/train_neural.py,
+seeded numpy Adam over word-bag + tag-path-bag leaf features with
+neighbor context — the BoilerNet modeling shape), must reproduce
+exactly from the pinned seed, must beat the density rule on the
+held-out split, and must agree with gold on every template leaf (that
+agreement is what keeps the driver row's GOLD_SQL oracle valid).  The
+Spark path must broadcast weights + vectorize."""
 
 import os
 
@@ -22,8 +24,7 @@ from web_content_extraction_benchmark_spark.extractors.density import (
 )
 from web_content_extraction_benchmark_spark.extractors.neural import (
     FROZEN_WEIGHTS,
-    BlockMLP,
-    block_features,
+    LeafSequenceMLP,
     extract_neural_stub,
     neural_extract_answers,
 )
@@ -42,31 +43,41 @@ def _train_docs() -> pd.DataFrame:
 
 
 def test_trained_model_equals_gold_per_block(sf_dir):
-    """The trained MLP's keep/drop decision == density.classify (== gold
+    """The leaf model's block-vote keep/drop == density.classify (== gold
     label) on every block of the synthetic corpus — the invariant that
     keeps the neural_extract GOLD_SQL oracle hash-green."""
     import pyarrow.parquet as pq
 
-    model = BlockMLP(FROZEN_WEIGHTS)
+    model = LeafSequenceMLP(FROZEN_WEIGHTS)
     n_blocks = 0
     for row in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist():
         html = build_page_html(row["doc_id"], row["source"], row["text"])
         blocks = segment_blocks(body_or_root(parse_html(html)))
         if not blocks:
             continue
-        feats = np.array([block_features(b) for b in blocks])
-        keep = model.predict(feats)
-        for block, k in zip(blocks, keep):
-            assert bool(k) == classify(block), (row["doc_id"], block.tag)
+        feats, owners = model.page_features(blocks)
+        keep_leaf = model.predict(feats)
+        votes = np.zeros(len(blocks)), np.zeros(len(blocks))
+        for bi, k in zip(owners, keep_leaf):
+            votes[0][bi] += bool(k)
+            votes[1][bi] += 1
+        for bi, block in enumerate(blocks):
+            block_keep = votes[1][bi] > 0 and votes[0][bi] * 2 > votes[1][bi]
+            assert bool(block_keep) == classify(block), (
+                row["doc_id"], block.tag,
+            )
         n_blocks += len(blocks)
     assert n_blocks > 500
 
 
 def test_training_reproduces_frozen_weights():
     """Frozen-model invariant: the pinned seed + pinned dataset rebuild
-    EXACTLY the weights shipped in neural.py (so the training script is
-    the real provenance of the constants, not decoration)."""
-    X, y, ids = nt.build_dataset(_train_docs())
+    EXACTLY the weights AND vocabularies shipped in neural.py (so the
+    training script is the real provenance of the constants, not
+    decoration)."""
+    X, y, ids, _rule, word_vocab, tag_vocab = nt.build_dataset(_train_docs())
+    assert word_vocab == FROZEN_WEIGHTS["word_vocab"]
+    assert tag_vocab == FROZEN_WEIGHTS["tag_vocab"]
     held = nt.heldout_mask(ids)
     trained = nt.train_mlp(X[~held], y[~held])
     for key in ("W1", "b1", "W2", "b2"):
@@ -74,15 +85,17 @@ def test_training_reproduces_frozen_weights():
 
 
 def test_frozen_model_beats_density_rule_on_heldout():
-    """On doc_id % 7 == 5 (never trained on) the learned model out-scores
-    the hand-tuned density rule: the rule's fixed 0.55 link cap drops
-    positively-marked link-rich content that the gold concept keeps."""
-    X, y, ids = nt.build_dataset(_train_docs())
+    """On doc_id % 7 == 5 (never trained on, excluded from the
+    vocabulary) the learned model out-scores the hand-tuned density
+    rule: the rule's fixed 0.55 link cap drops positively-marked
+    link-rich content that the gold concept keeps — the model separates
+    those leaves by word identity + tag path."""
+    X, y, ids, rule, _wv, _tv = nt.build_dataset(_train_docs())
     held = nt.heldout_mask(ids)
     assert held.sum() > 100
     logits = nt.predict_logits(FROZEN_WEIGHTS, X[held])
     model_acc = nt.accuracy((logits > 0).astype(float), y[held])
-    density_acc = nt.accuracy(nt.density_predictions(X[held]), y[held])
+    density_acc = nt.accuracy(rule[held], y[held])
     assert model_acc > density_acc
     assert model_acc >= 0.99
     assert density_acc < 0.99
@@ -90,47 +103,84 @@ def test_frozen_model_beats_density_rule_on_heldout():
 
 def test_model_is_not_a_rule_rederivation():
     """The trained model genuinely diverges from the density rule where
-    the gold concept does: a positively-marked block at link density 0.65
-    is kept by the model (gold) and dropped by the rule."""
-    f = np.array([nt.feature_row(False, 1, 0.65, 20, False)])
-    assert BlockMLP(FROZEN_WEIGHTS).predict(f)[0]
-    assert nt.density_predictions(f)[0] == 0.0
-    assert nt.target_concept(False, 1, 0.65, 20, False)
+    the gold concept does: an article paragraph at link density ~0.65
+    whose anchors carry CONTENT words is kept by the model (gold) and
+    dropped by the rule."""
+    words = "join hash row batch scan column filter merge sort group".split()
+    html = (
+        '<html><body><div class="article-body"><p>'
+        + " ".join(words[:3])
+        + f' <a href="/r">{" ".join(words[3:6])}</a>'
+        + f' <a href="/r">{" ".join(words[6:9])}</a> {words[9]}'
+        + "</p></div></body></html>"
+    )
+    blocks = segment_blocks(body_or_root(parse_html(html)))
+    assert len(blocks) == 1
+    assert 0.55 < blocks[0].link_density <= 0.70  # the disagreement band
+    assert nt.target_concept(
+        blocks[0].hard_negative, blocks[0].class_signal,
+        blocks[0].link_density, blocks[0].words, False,
+    )
+    assert not classify(blocks[0])                    # rule drops
+    assert extract_main_content(html) == ""           # rule output empty
+    got = extract_neural_stub(html)                   # model keeps (gold)
+    assert got == " ".join(words)
 
 
-def test_template_block_margins_are_stable(sf_dir):
-    """Oracle safety: decisions on template blocks sit far from the
+def test_template_leaf_margins_are_stable(sf_dir):
+    """Oracle safety: decisions on template leaves sit far from the
     logit-0 boundary, so FP summation noise can never flip a keep/drop
     and break byte identity with GOLD_SQL."""
     import pyarrow.parquet as pq
 
-    feats = []
+    model = LeafSequenceMLP(FROZEN_WEIGHTS)
+    worst = np.inf
     for row in pq.read_table(f"{sf_dir}/documents.parquet").to_pylist():
         html = build_page_html(row["doc_id"], row["source"], row["text"])
-        for b in segment_blocks(body_or_root(parse_html(html))):
-            feats.append(block_features(b))
-    logits = nt.predict_logits(FROZEN_WEIGHTS, np.asarray(feats))
-    assert np.abs(logits).min() > 1.0
+        blocks = segment_blocks(body_or_root(parse_html(html)))
+        if not blocks:
+            continue
+        feats, owners = model.page_features(blocks)
+        if owners:
+            worst = min(worst, float(np.abs(model.logits(feats)).min()))
+    assert worst > 1.0
 
 
 def test_adversarial_blocks_agree():
-    """Hand-built pages hitting every branch where the model and the
-    density rule agree: hard-negative tags, negative/positive class
-    signals, link-heavy neutral blocks, 1-word blocks, headings."""
+    """Hand-built pages hitting branches where the model and the
+    density rule agree: hard-negative tags, boilerplate link farms,
+    1-word blocks, headings, plain content."""
     cases = [
-        '<html><body><nav>skip me now</nav><p>real content here</p></body></html>',
-        '<html><body><div class="sidebar">drop this</div><p>keep this text</p></body></html>',
-        '<html><body><div class="article">one</div><p>x</p></body></html>',
-        '<html><body><h1>t</h1><p><a href="/">l1</a> <a href="/">l2</a> <a href="/">l3</a></p></body></html>',
-        '<html><body><p><a href="/x">mostly link text here</a> y</p><p>plain words follow now</p></body></html>',
+        '<html><body><nav><a href="/">Home</a> <a href="/">About</a></nav>'
+        "<p>join hash row batch scan</p></body></html>",
+        '<html><body><div class="box"><p><a href="/b">Buy now</a> '
+        '<a href="/b">Hot deals</a> <a href="/b">Login</a></p></div>'
+        "<p>filter merge sort group value</p></body></html>",
+        "<html><body><h1>join hash</h1><p>row batch scan column filter"
+        "</p></body></html>",
+        "<html><body><p>join</p><p>hash row batch scan merge</p>"
+        "</body></html>",
+        '<html><body><footer><a href="/">Terms</a> <a href="/">Privacy</a>'
+        "</footer><p>stream query window table data</p></body></html>",
     ]
     for html in cases:
         assert extract_neural_stub(html) == extract_main_content(html), html
 
 
+def test_vocabularies_are_trained_not_hand_listed():
+    """The frozen vocabularies come from corpus frequency: the document
+    corpus's content words AND the template boilerplate words both rank
+    into the top-K, and the tag vocabulary covers the template tag
+    paths."""
+    wv = FROZEN_WEIGHTS["word_vocab"]
+    assert {"join", "hash", "row"} <= set(wv)        # corpus content words
+    assert {"login", "copyright", "home"} <= set(wv)  # template boilerplate
+    assert {"nav", "footer", "p", "a", "h1"} <= set(FROZEN_WEIGHTS["tag_vocab"])
+
+
 def test_spark_neural_equals_density_extractor(spark, sf_dir):
     """Distributed output byte-identical to the density extractor's main
-    text (they agree on the whole template feature region), through the
+    text (they agree on the whole template region), through the
     broadcast-weights vectorized kernel."""
     from web_content_extraction_benchmark_spark.plans.pipeline import (
         extract_answers,

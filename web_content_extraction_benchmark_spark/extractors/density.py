@@ -54,6 +54,11 @@ class Block:
     link_words: int
     class_signal: int        # +1 keep-bias, -1 drop-bias, 0 neutral
     hard_negative: bool
+    # non-whitespace text leaves of the block, in document order:
+    # (text, tag path root->parent as a tuple).  Consumed by the E15
+    # leaf-sequence classifier (extractors/neural.py); ignored by the
+    # density rule itself.
+    leaves: tuple = ()
 
     @property
     def link_density(self) -> float:
@@ -83,16 +88,29 @@ def _has_hard_negative(node: Node) -> bool:
     return False
 
 
+def _leaf_tag_path(node: Node) -> tuple:
+    """Element tags on the root -> parent chain of a text node whose
+    immediate parent is ``node`` (the BoilerNet ``tag_list`` shape)."""
+    path: list[str] = []
+    cur: Node | None = node
+    while cur is not None:
+        if cur.tag and cur.tag != "#document":
+            path.append(cur.tag)
+        cur = cur.parent
+    return tuple(reversed(path))
+
+
 def segment_blocks(body: Node) -> list[Block]:
     """Flatten the body subtree into text blocks split at block elements."""
     blocks: list[Block] = []
     # Current accumulation: (owner element, [text parts], [link parts])
     parts: list[str] = []
     link_parts: list[str] = []
+    leaf_parts: list[tuple] = []
     owner: Node | None = None
 
     def flush() -> None:
-        nonlocal parts, link_parts, owner
+        nonlocal parts, link_parts, leaf_parts, owner
         if owner is not None and parts:
             raw = "".join(parts)
             words = len(ws_tokens(raw))
@@ -106,10 +124,12 @@ def segment_blocks(body: Node) -> list[Block]:
                         link_words=link_words,
                         class_signal=_class_signal(owner),
                         hard_negative=_has_hard_negative(owner),
+                        leaves=tuple(leaf_parts),
                     )
                 )
         parts = []
         link_parts = []
+        leaf_parts = []
         owner = None
 
     def walk(node: Node, block_owner: Node, in_link: bool) -> None:
@@ -122,6 +142,10 @@ def segment_blocks(body: Node) -> list[Block]:
                     parts.append(child.text)
                     if in_link:
                         link_parts.append(child.text)
+                    if ws_tokens(child.text):
+                        leaf_parts.append(
+                            (child.text, _leaf_tag_path(node))
+                        )
                 continue
             if child.tag in NON_TEXT_ELEMENTS:
                 continue
