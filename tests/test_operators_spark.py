@@ -420,6 +420,29 @@ def test_ivf_broadcast_codebook_recall(spark, sf_dir):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_ivf_prebuilt_inverted_lists_identical(spark, sf_dir):
+    """The production probe path (codebook + materialized inverted
+    lists via ivf_index) returns EXACTLY what the per-call assignment
+    path returns — the index build only moves the corpus cell
+    assignment out of the batch window, never changes semantics."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        ivf_cosine_topk,
+        ivf_index,
+        ivf_train,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+    queries = emb.filter(F.col("vec_id") % 50 == 0)
+    centroids = ivf_train(emb, n_cells=16)
+    lists = ivf_index(emb, centroids).cache()
+    inline = ivf_cosine_topk(emb, queries, k=5, centroids=centroids,
+                             n_probe=4).collect()
+    prebuilt = ivf_cosine_topk(emb, queries, k=5, centroids=centroids,
+                               n_probe=4, indexed_corpus=lists).collect()
+    assert sorted(map(tuple, inline)) == sorted(map(tuple, prebuilt))
+    assert len(inline) > 0
+
+
 def test_connected_components_transitive(spark):
     """Pair resolution must close transitively: chain edges A-B, B-C
     (no A-C) collapse into one component labeled by the min id; long

@@ -444,7 +444,8 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
 
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
-                         max_iterations: int = 30) -> DataFrame:
+                         max_iterations: int = 30,
+                         on_round=None) -> DataFrame:
     """(id, component) for every node in ``pairs``; component = min
     member id — the canonical representative.  Ids may be any orderable
     type (long doc ids, url strings, ...).
@@ -467,7 +468,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ~15 rounds even on toy edges).  On a real cluster with executor
     churn, swap in reliable ``checkpoint()`` against the job's
     checkpoint dir — same plan shape, fault-tolerant storage.
+
+    ``on_round(stats_dict)``, if given, is called after every round with
+    ``{"round", "changed", "wall_sec"}`` — the hook the scale-stress
+    harness uses to sample per-round shuffle volume from the Spark
+    status API without the operator knowing about it.
     """
+    import time as _time
+
     sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
     edges = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -478,7 +486,8 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         .localCheckpoint()
     )
 
-    for _ in range(max_iterations):
+    for round_no in range(1, max_iterations + 1):
+        round_started = _time.perf_counter()
         propagated = edges.join(labels, edges.a == labels.id).select(
             F.col("b").alias("id"), "component"
         )
@@ -508,6 +517,14 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .count()
         )
         labels = new_labels
+        if on_round is not None:
+            on_round(
+                {
+                    "round": round_no,
+                    "changed": changed,
+                    "wall_sec": _time.perf_counter() - round_started,
+                }
+            )
         if changed == 0:
             edges.unpersist()
             return labels
@@ -546,7 +563,16 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
     rows) — its distinct grams broadcast, so the exploded corpus grams
     stream through a broadcast hash join with NO exchange of the
     exploded volume (plan-tested); only the matched ids (tiny) ever
-    shuffle for the distinct."""
+    shuffle for the distinct.
+
+    Size bound: the broadcast carries the DISTINCT gram strings —
+    ~10^5 grams (a large eval suite) is a few MB, benched as
+    q14_decontam_100kgrams; it stays practical to ~10^7 grams
+    (hundreds of MB of driver+executor copies).  Above that, swap the
+    broadcast for (a) a partitioned repartition-join of grams on gram
+    hash, or (b) a Bloom filter built over benchmark grams
+    (F.bloom_filter_agg) applied map-side with the exact join only on
+    filter survivors — same semantics, no single-node materialization."""
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_col(F.col(text_col), k)).alias("gram"),

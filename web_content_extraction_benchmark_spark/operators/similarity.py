@@ -291,6 +291,7 @@ def ivf_cosine_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list | None = None,
+    indexed_corpus: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN: coarse k-means cells over the corpus, queries probe
     their ``n_probe`` nearest cells, exact cosine re-rank on the cell-join
@@ -299,8 +300,10 @@ def ivf_cosine_topk(
     trades off via (n_cells, n_probe).
 
     Pass a prebuilt ``centroids`` codebook (see ``ivf_train``) to skip
-    the k-means training — the production shape, where the index is
-    built once and probed by every subsequent query batch."""
+    the k-means training, and a prebuilt ``indexed_corpus`` (see
+    ``ivf_index``) to skip the per-batch corpus cell assignment too —
+    the full production shape, where the index (codebook + inverted
+    lists) is built once and probed by every subsequent query batch."""
     if centroids is None:
         centroids = _kmeans_centroids(corpus, vec_col, n_cells, seed,
                                       sample_fraction)
@@ -311,8 +314,12 @@ def ivf_cosine_topk(
     # corpus vectors live in exactly their own cell; queries multi-probe;
     # norms materialized per row before the cell join (one dot product
     # per candidate pair in the re-rank)
-    cb = with_cells(corpus, "neighbor_id", 1).withColumn(
-        "neighbor_id_n", norm(F.col("neighbor_id_v"))
+    cb = (
+        indexed_corpus
+        if indexed_corpus is not None
+        else with_cells(corpus, "neighbor_id", 1).withColumn(
+            "neighbor_id_n", norm(F.col("neighbor_id_v"))
+        )
     )
     qb = with_cells(queries, "query_id", n_probe).withColumn(
         "query_id_n", norm(F.col("query_id_v"))
@@ -382,3 +389,18 @@ def ivf_train(corpus: DataFrame, n_cells: int = 16, seed: int = 42,
     subsequent lookup."""
     return _kmeans_centroids(corpus, vec_col, n_cells, seed,
                              sample_fraction)
+
+
+def ivf_index(corpus: DataFrame, centroids, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Materialize the INVERTED-LIST side of the IVF index: every corpus
+    vector with its cell id and norm, ready for the probe join.  A real
+    IVF index stores this at build time — charging the O(corpus x
+    n_cells) cell assignment to every query batch (the pre-r5 shape)
+    makes the probe path unable to beat brute force whenever the batch
+    has fewer queries than the codebook has cells.  Persist/write the
+    returned frame once; pass it to ``ivf_cosine_topk(...,
+    indexed_corpus=...)`` for every batch."""
+    return _cell_assignments(
+        corpus, "neighbor_id", id_col, vec_col, centroids, 1
+    ).withColumn("neighbor_id_n", norm(F.col("neighbor_id_v")))
