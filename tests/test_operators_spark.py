@@ -420,6 +420,61 @@ def test_ivf_broadcast_codebook_recall(spark, sf_dir):
     assert len(exact & approx) / len(exact) >= 0.6
 
 
+def test_oph_minhash_recall_and_determinism(spark, docs):
+    """One-permutation-hashing LSH (hash_fn='oph'): O(shingles) per doc
+    instead of O(shingles x 128).  Emitted pairs must still be exact-
+    Jaccard-verified (subset of true pairs), recall the planted mutant
+    pairs well, and be deterministic across partitionings."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        PROD_BANDS,
+        PROD_NUM_HASHES,
+        minhash_lsh_pairs,
+    )
+
+    a = minhash_lsh_pairs(
+        docs, num_hashes=PROD_NUM_HASHES, bands=PROD_BANDS,
+        jaccard_threshold=0.6, hash_fn="oph",
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in a}
+    # exact truth: the md5 8/4 fixture path verifies by exact Jaccard
+    # too, and at 0.6 on this corpus its candidates are effectively
+    # exhaustive (planted mutants share most shingles)
+    want = {
+        (r.id_a, r.id_b)
+        for r in minhash_lsh_pairs(docs, jaccard_threshold=0.6).collect()
+    }
+    assert want, "fixture should plant pairs"
+    recall = len(got & want) / len(want)
+    assert recall >= 0.9, (recall, len(got), len(want))
+    # emitted jaccards are exact (>= threshold by construction)
+    assert all(r.jaccard >= 0.6 for r in a)
+    # repartition determinism
+    b = minhash_lsh_pairs(
+        docs.repartition(13), num_hashes=PROD_NUM_HASHES,
+        bands=PROD_BANDS, jaccard_threshold=0.6, hash_fn="oph",
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in b} == got
+
+
+def test_oph_short_docs_densify(spark):
+    """Docs with fewer shingles than signature bins must densify into
+    full signatures (no EMPTY leakage) and identical texts must still
+    collide on every band."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d e"), (3, "x y z w q")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(
+        df, num_hashes=128, bands=16, jaccard_threshold=0.9,
+        hash_fn="oph",
+    ).collect()
+    assert {(r.id_a, r.id_b) for r in pairs} == {(1, 2)}
+
+
 def test_ivf_prebuilt_inverted_lists_identical(spark, sf_dir):
     """The production probe path (codebook + materialized inverted
     lists via ivf_index) returns EXACTLY what the per-call assignment

@@ -11,10 +11,12 @@ it.  Chains of length L converge only through pointer jumping, so the
 round count also validates the O(log diameter) claim at volume.
 
 Usage:
-    python tools/neardup_stress.py [sf_dir] [replicate] [chain_mod] [chain_len]
+    python tools/neardup_stress.py [sf_dir] [replicate] [chain_mod]
+                                   [chain_len] [hash_fn]
 
-Defaults: /root/testdata/sf0.1, replicate 200, chain_mod 4, chain_len 4
--> ~1.75M docs, ~0.75M planted pairs.  Prints one JSON line.
+Defaults: /root/testdata/sf0.1, replicate 200, chain_mod 4, chain_len 4,
+hash_fn xxhash64 (or "oph" for one-permutation hashing).  Prints one
+JSON line.
 """
 
 from __future__ import annotations
@@ -108,6 +110,7 @@ def main() -> None:
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 200
     chain_mod = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     chain_len = int(sys.argv[4]) if len(sys.argv) > 4 else 4
+    hash_fn = sys.argv[5] if len(sys.argv) > 5 else "xxhash64"
 
     from web_content_extraction_benchmark_spark.operators.dedup import (
         PROD_BANDS,
@@ -133,7 +136,7 @@ def main() -> None:
         num_hashes=PROD_NUM_HASHES,
         bands=PROD_BANDS,
         jaccard_threshold=0.85,
-        hash_fn="xxhash64",
+        hash_fn=hash_fn,
     ).persist()
     n_pairs = pairs.count()
     lsh_sec = time.perf_counter() - t0
@@ -175,6 +178,7 @@ def main() -> None:
                 "rounds": rounds,
                 "chain_len": chain_len,
                 "replicate": replicate,
+                "hash_fn": hash_fn,
                 "cpus": cpus,
                 "loadavg_at_start": loadavg,
             }

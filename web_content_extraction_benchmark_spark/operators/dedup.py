@@ -33,8 +33,11 @@ from __future__ import annotations
 
 import math
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 DEFAULT_NUM_HASHES = 8
 DEFAULT_BANDS = 4  # 4 bands x 2 rows — oracle-fixture scale
@@ -137,6 +140,68 @@ def minhash_signature_fast(base_hashes: Column,
     ]
 
 
+def make_oph_signature_udf(num_hashes: int):
+    """One-permutation-hashing signature (Li/Owen/Zhang-style OPH with
+    rotation densification): each shingle's single 64-bit hash is routed
+    to bin ``hash mod k`` and each bin keeps its minimum — the whole
+    k-wide signature costs O(shingles) per doc instead of the remix
+    path's O(shingles x k).  Empty bins (docs with fewer distinct
+    shingles than bins, or unlucky routing) borrow the nearest filled
+    bin to their left, circularly — a deterministic densification, so
+    equal shingle sets always produce equal signatures and LSH banding
+    stays sound.  Like the xxhash64 remix path, this estimator is
+    engine-specific but semantics-neutral: candidates are verified by
+    EXACT Jaccard, so the estimator only moves recall, never
+    correctness of emitted pairs.
+
+    Returns an Arrow-batched pandas UDF: array<long> base hashes ->
+    array<long> signature of length ``num_hashes``.  Fully vectorized
+    across the batch (one np.minimum.at over a flattened (rows x bins)
+    lattice + one maximum.accumulate circular forward-fill)."""
+    from pyspark.sql.functions import pandas_udf
+
+    k = num_hashes
+    EMPTY = np.iinfo(np.int64).max
+
+    @pandas_udf(T.ArrayType(T.LongType()))
+    def oph(base: pd.Series) -> pd.Series:
+        n = len(base)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        lengths = np.fromiter((len(a) for a in base), dtype=np.int64,
+                              count=n)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in base]
+        ) if lengths.sum() else np.empty(0, dtype=np.int64)
+        rows = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        sig = np.full(n * k, EMPTY, dtype=np.int64)
+        # bin routing on the UNSIGNED view (pmod of a negative int64
+        # hash differs between engines; unsigned is unambiguous)
+        bins = (flat.astype(np.uint64) % np.uint64(k)).astype(np.int64)
+        np.minimum.at(sig, rows * k + bins, flat)
+        sig = sig.reshape(n, k)
+        if (sig == EMPTY).any():
+            # circular forward-fill from the left: tile to (n, 2k),
+            # carry the last filled index forward, then read back the
+            # second half
+            tiled = np.tile(sig, (1, 2))
+            filled = tiled != EMPTY
+            idx = np.where(filled, np.arange(2 * k), -1)
+            np.maximum.accumulate(idx, axis=1, out=idx)
+            take = idx[:, k:]
+            # rows with NO shingles keep EMPTY (callers filter them)
+            ok = take >= 0
+            out = np.where(
+                ok,
+                np.take_along_axis(tiled, np.maximum(take, 0), axis=1),
+                EMPTY,
+            )
+            sig = out
+        return pd.Series(list(sig))
+
+    return oph
+
+
 def _lsh_candidate_pairs(
     df: DataFrame,
     text_col: str,
@@ -159,6 +224,36 @@ def _lsh_candidate_pairs(
         F.col(id_col).alias("id"),
         shingle_col(F.col(text_col)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
+    if hash_fn == "oph":
+        # one-permutation hashing: the whole signature in O(shingles)
+        # per doc (vs O(shingles x num_hashes) for the remix paths) —
+        # the production width at corpus scale
+        oph = make_oph_signature_udf(num_hashes)
+        sig_arr = shingled.select(
+            "id",
+            F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
+        ).select("id", oph("_hs").alias("_sig"))
+        band_keys = [
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+            ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        banded = sig_arr.select(
+            "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+        )
+        left = banded.select(F.col("id").alias("id_a"), "band", "key")
+        right = banded.select(F.col("id").alias("id_b"), "band", "key")
+        return (
+            left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .dropDuplicates(["id_a", "id_b"])
+        )
     if hash_fn == "xxhash64":
         sig = shingled.select(
             "id",
@@ -224,7 +319,14 @@ def minhash_lsh_pairs(
     self-join on (band, key) -> distinct id pairs -> re-join shingles by
     id -> exact-Jaccard filter.  Only ids and 32-byte band keys shuffle
     in candidate generation; shingle arrays move once, keyed by id, for
-    the candidates actually verified."""
+    the candidates actually verified.
+
+    ``hash_fn``: "md5" (engine-independent, the oracle fixture),
+    "xxhash64" (1 string hash + num_hashes remixes per shingle), or
+    "oph" (one-permutation hashing: the whole signature in O(shingles)
+    per doc — the corpus-scale default; see make_oph_signature_udf).
+    All three verify candidates by exact Jaccard, so the choice moves
+    candidate recall only, never the correctness of emitted pairs."""
     candidates = _lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, hash_fn
     )
