@@ -459,7 +459,7 @@ def main() -> None:
             F.xxhash64("url").alias("doc_id"), F.col("gold").alias("text")
         )
         bench_words = F.split(F.col("text"), " ")
-        salted = unique_docs.limit(1000).select(
+        salted = unique_docs.limit(2000).select(
             F.concat_ws(
                 " ",
                 F.transform(
