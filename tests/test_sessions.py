@@ -67,6 +67,42 @@ def test_stream_sessions_subset_of_batch(spark, sf_dir, tmp_path):
     assert len(streamed) > 0
 
 
+def test_state_store_flush_equals_batch_truth(spark, sf_dir, tmp_path):
+    """The r5 state-store flush: sentinels are derived from the running
+    query's OWN committed state (Spark state data source) — only
+    still-open users, no second event scan — and the resulting
+    append-mode output equals the batch truth EXACTLY."""
+    from web_content_extraction_benchmark_spark.streaming.sessions import (
+        run_session_stream_with_state_flush,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+
+    run_session_stream_with_state_flush(
+        spark, str(src), query_name="sessions_state_flush",
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    streamed = _closed_key(
+        spark.sql("SELECT * FROM sessions_state_flush").collect()
+    )
+    batch = _closed_key(
+        batch_sessionize(
+            spark.read.parquet(f"{sf_dir}/events.parquet")
+        ).collect()
+    )
+    assert streamed == batch
+    assert len(batch) > 0
+    # the sentinel file covers exactly the users still open after the
+    # real events (bounded by active users, not corpus users)
+    sent = spark.read.parquet(str(src / "zz_sentinels.parquet"))
+    assert sent.count() <= spark.read.parquet(
+        f"{sf_dir}/events.parquet"
+    ).select("user_id").distinct().count()
+    assert sent.filter("event_type != '__flush__'").count() == 0
+
+
 class _FakeState:
     def __init__(self):
         self._v = None

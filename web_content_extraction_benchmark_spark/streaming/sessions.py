@@ -184,6 +184,107 @@ def run_session_stream_to_memory(
     query.stop()
 
 
+def write_session_flush_sentinels_from_state(
+    spark: SparkSession, checkpoint_dir: str, out_path: str,
+    days_ahead: int = 2,
+) -> int:
+    """End-of-backfill flush sentinels derived from the streaming STATE
+    STORE itself (Spark state data source over the query's checkpoint)
+    instead of a second scan of the event corpus.
+
+    Only users whose sessions are STILL OPEN live in state — everyone
+    else already emitted via timeout — so the sentinel set is bounded by
+    the active users of the last watermark window, not the corpus's
+    total user count: no events re-scan, no 10^9-user persist (the
+    documented cost of the events-scan variant).  The global max event
+    time falls out of the same read: the user holding the stream's
+    final event is necessarily still open (its timeout, last + gap,
+    exceeds the watermark, max_ts - watermark_delay, whenever the gap
+    exceeds the negative slack), so ``max(groupState.last)`` equals the
+    corpus max.  Returns the number of sentinel rows written."""
+    state = (
+        spark.read.format("statestore")
+        .option("path", checkpoint_dir)
+        .load()
+        .select(
+            F.col("key.user_id").alias("user_id"),
+            F.col("value.groupState.last").alias("__last_us"),
+        )
+        .persist()
+    )
+    try:
+        n_open = state.count()
+        if n_open == 0:
+            from .events import EVENTS_SCHEMA
+
+            spark.createDataFrame([], EVENTS_SCHEMA).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(out_path)
+            return 0
+        max_us = state.agg(F.max("__last_us")).collect()[0][0]
+        flush_ts = pd.Timestamp(max_us, unit="us")
+        sentinels = state.select(
+            F.lit(0).cast("long").alias("event_id"),
+            "user_id",
+            F.lit(flush_ts).cast("timestamp_ntz").alias("ts"),
+            F.lit("__flush__").alias("event_type"),
+            F.lit(0.0).alias("value"),
+            F.lit(None).cast("string").alias("props"),
+        ).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {days_ahead} DAYS")
+        )
+        sentinels.coalesce(1).write.mode("overwrite").parquet(out_path)
+        return n_open
+    finally:
+        state.unpersist()
+
+
+def run_session_stream_with_state_flush(
+    spark: SparkSession, source_dir: str, query_name: str = "sessions",
+    watermark: str = "1 hour", checkpoint_dir: str | None = None,
+) -> None:
+    """Drive the sessionizer to completion with the state-store flush:
+    ONE streaming query consumes the real events, then (while it idles)
+    sentinels derived from its own committed state are dropped into the
+    source dir and consumed by the same query — closing every open
+    session so the append-mode memory sink equals the batch truth."""
+    import os
+    import tempfile
+
+    if checkpoint_dir is None:
+        checkpoint_dir = tempfile.mkdtemp(prefix="wceb_sess_ckpt_")
+    out = stream_sessionize(spark, source_dir, watermark=watermark)
+    query = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .start()
+    )
+    query.processAllAvailable()
+    staging = os.path.join(source_dir, "__sentinel_staging")
+    n = write_session_flush_sentinels_from_state(
+        spark, checkpoint_dir, staging
+    )
+    if n:
+        # the file stream source does NOT discover files nested in
+        # subdirectories of its path — surface the part-file at the top
+        # level (same trick as the driver's q_sessionize)
+        import shutil
+
+        for name in os.listdir(staging):
+            if name.endswith(".parquet"):
+                shutil.move(
+                    os.path.join(staging, name),
+                    os.path.join(source_dir, "zz_sentinels.parquet"),
+                )
+        query.processAllAvailable()
+    import shutil
+
+    shutil.rmtree(staging, ignore_errors=True)
+    query.stop()
+
+
 def write_session_flush_sentinels(spark: SparkSession, events: DataFrame,
                                   out_path: str,
                                   days_ahead: int = 2) -> None:
