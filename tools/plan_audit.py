@@ -36,6 +36,8 @@ def main() -> None:
     from web_content_extraction_benchmark_spark.operators.similarity import (
         embedding_near_duplicates,
         ivf_cosine_topk,
+        ivf_index,
+        ivf_train,
         lsh_cosine_topk,
     )
     from web_content_extraction_benchmark_spark.operators.textstats import (
@@ -60,6 +62,8 @@ def main() -> None:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     queries = emb.filter(F.col("vec_id") % 100 == 0)
+    ivf_centroids = ivf_train(emb, n_cells=8)
+    ivf_lists = ivf_index(emb, ivf_centroids)
 
     sections: list[tuple[str, str, object]] = [
         (
@@ -87,6 +91,14 @@ def main() -> None:
             "shingles re-join by id on candidates; ReusedExchange for the "
             "second side; no cartesian",
             minhash_lsh_pairs(docs),
+        ),
+        (
+            "minhash LSH candidates, OPH signatures (r5)",
+            "one ArrowEvalPython node computes the whole 128-wide "
+            "signature in O(shingles)/doc; band keys from array slices; "
+            "band self-join still carries only (band, key, id)",
+            _lsh_candidate_pairs(docs, "text", "doc_id", 128, 16,
+                                 hash_fn="oph"),
         ),
         (
             "ngram jaccard pairs",
@@ -121,6 +133,16 @@ def main() -> None:
             "row) + higher-order argmin: plan size O(1) in n_cells — no "
             "literal explosion, no shuffle, no window in assignment",
             ivf_cosine_topk(emb, queries, k=5, n_cells=96, n_probe=24),
+        ),
+        (
+            "ANN IVF probe over prebuilt inverted lists (r5)",
+            "corpus side is the MATERIALIZED index (cell id + norm per "
+            "vector, built once): the probe plan assigns cells to the "
+            "QUERY batch only, equi-joins on cell, exact re-rank — no "
+            "corpus-side assignment arithmetic in the batch window",
+            ivf_cosine_topk(emb, queries, k=5, n_probe=2,
+                            centroids=ivf_centroids,
+                            indexed_corpus=ivf_lists),
         ),
         (
             "embedding near-duplicate pairs",
