@@ -437,7 +437,17 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.concat_ws(" ", F.slice(words, 1, F.size(words) - 2)).alias("text"),
     )
-    corpus = extracted.unionByName(exact_copies).unionByName(mutants)
+    # MATERIALIZE the planted corpus once: the chain below scans it many
+    # times (LSH signature + verify passes, exact-dedup losers,
+    # decontamination grams, benchmark slice, quota/sample/pack) and a
+    # lazy plan would re-run the Python extraction kernel for each scan
+    # (measured: the bulk of this row's 2m18s at sf0.01 pre-fix)
+    scratch = _scratch_dir("wceb_pipeline_corpus_")
+    extracted.unionByName(exact_copies).unionByName(mutants).write.mode(
+        "overwrite"
+    ).parquet(scratch)
+    corpus = spark.read.parquet(scratch)
+    extracted = corpus.filter(F.col("doc_id") >= 0)
 
     # 3-4. exact dedup, then near-dup drop over LSH pairs
     d1 = drop_exact_duplicates(corpus)
@@ -804,6 +814,10 @@ def _scratch_dir(prefix: str) -> str:
     root = "/tmp/wceb_query_scratch"
     os.makedirs(root, exist_ok=True)
     cutoff = _time.time() - 3600
+    # a live owner protects its dirs only up to a generous age cap: a
+    # RECYCLED pid (or a zombie, where kill(pid, 0) still succeeds)
+    # must not strand sf-scale parquet in /tmp until reboot
+    pid_cutoff = _time.time() - 24 * 3600
     for name in os.listdir(root):
         full = os.path.join(root, name)
         m = re.search(r"\.pid(\d+)_", name)
@@ -812,11 +826,13 @@ def _scratch_dir(prefix: str) -> str:
                 pid = int(m.group(1))
                 try:
                     os.kill(pid, 0)  # raises if the owner is gone
-                    continue
+                    if os.path.getmtime(full) >= pid_cutoff:
+                        continue
                 except ProcessLookupError:
                     pass
                 except PermissionError:  # alive, other user
-                    continue
+                    if os.path.getmtime(full) >= pid_cutoff:
+                        continue
             elif os.path.getmtime(full) >= cutoff:
                 continue
             shutil.rmtree(full, ignore_errors=True)

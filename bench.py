@@ -425,7 +425,11 @@ def main() -> None:
             F.col("plaintext").alias("text"),
         ).filter(F.length("text") > 0)
         d1 = drop_exact_duplicates(docs).persist()
-        pairs = minhash_lsh_pairs(d1, jaccard_threshold=0.8)
+        # production LSH shape: 128/16 one-permutation signatures
+        pairs = minhash_lsh_pairs(
+            d1, num_hashes=128, bands=16, jaccard_threshold=0.8,
+            hash_fn="oph",
+        )
         d2 = drop_near_duplicates(d1, pairs)
         bench_set = docs.filter(F.col("doc_id") % 101 == 0).select("text")
         d3 = decontaminate(d2, bench_set)

@@ -96,7 +96,11 @@ def test_state_store_flush_equals_batch_truth(spark, sf_dir, tmp_path):
     assert len(batch) > 0
     # the sentinel file covers exactly the users still open after the
     # real events (bounded by active users, not corpus users)
-    sent = spark.read.parquet(str(src / "zz_sentinels.parquet"))
+    sentinel_files = [
+        p for p in src.iterdir() if p.name.startswith("zz_sentinels")
+    ]
+    assert len(sentinel_files) == 1
+    sent = spark.read.parquet(str(sentinel_files[0]))
     assert sent.count() <= spark.read.parquet(
         f"{sf_dir}/events.parquet"
     ).select("user_id").distinct().count()

@@ -28,6 +28,17 @@ sys.path.insert(0, "/root/repo")
 from pyspark.sql import functions as F  # noqa: E402
 
 
+def _parse_api_ts(ts: str) -> float:
+    """'2026-08-17T03:21:05.576GMT' -> epoch ms (0 if unparseable)."""
+    from datetime import datetime, timezone
+
+    try:
+        dt = datetime.strptime(ts.replace("GMT", ""), "%Y-%m-%dT%H:%M:%S.%f")
+        return dt.replace(tzinfo=timezone.utc).timestamp() * 1000
+    except ValueError:
+        return 0.0
+
+
 def _stage_summaries(spark, since_ms: int) -> list[dict]:
     try:
         ui = spark.sparkContext.uiWebUrl
@@ -42,6 +53,11 @@ def _stage_summaries(spark, since_ms: int) -> list[dict]:
         for s in stages:
             sub = s.get("submissionTime", "")
             if s.get("firstTaskLaunchedTime") is None:
+                continue
+            # only stages submitted INSIDE the timed window: without
+            # this, the 'heaviest stage' pick can bind to an untimed
+            # corpus-build/warm-up stage and report its skew instead
+            if _parse_api_ts(sub) < since_ms:
                 continue
             sid, att = s["stageId"], s["attemptId"]
             try:

@@ -55,8 +55,20 @@ import numpy as np
 import pandas as pd
 
 from ..dom import body_or_root, parse_html
-from ..textutils import ws_tokens
 from .density import HEADING_TAGS, classify, segment_blocks
+
+# The featurizer is SHARED with the deployment module — byte identity
+# of training vs inference features is what keeps the frozen weights
+# agreeing with gold, so there is exactly one copy (neural.py does not
+# import this module; no cycle).
+from .neural import (  # noqa: F401  (caps re-exported for tools/tests)
+    TAG_CAP,
+    UNK_CAP,
+    WORD_CAP,
+    leaf_base_features,
+    leaf_tokens,
+    page_feature_matrix,
+)
 
 TRAIN_SEED = 20260817
 HIDDEN_UNITS = 12
@@ -66,13 +78,6 @@ ADV_DOC_ID_BASE = 1_000_000_000
 
 WORD_VOCAB_SIZE = 56
 TAG_VOCAB_SIZE = 16
-
-# Per-slot count caps (bounded inputs keep the first-layer geometry
-# sane; UNK gets more head-room because content leaves pile counts on
-# it when the vocabulary is small).
-WORD_CAP = 4.0
-UNK_CAP = 8.0
-TAG_CAP = 4.0
 
 # Gold link caps.  The density rule uses 0.55 everywhere; the gold
 # concept keeps positively-marked blocks up to 0.75.  Adversarial
@@ -110,10 +115,6 @@ class LeafRecord:
     block_idx: int       # index of the owning block within the page
     label: int           # gold keep/drop (the block's label)
     rule_keep: int       # density-rule decision for the block
-
-
-def leaf_tokens(text: str) -> tuple:
-    return tuple(w.lower() for w in ws_tokens(text))
 
 
 def page_leaf_records(blocks, page_key: int,
@@ -316,37 +317,6 @@ def build_vocabularies(pages: list[list[LeafRecord]],
 
 def base_dim(word_vocab: list[str], tag_vocab: list[str]) -> int:
     return len(word_vocab) + 1 + len(tag_vocab) + 1
-
-
-def leaf_base_features(tokens: tuple, tag_path: tuple,
-                       word_idx: dict, tag_idx: dict,
-                       n_words: int, n_tags: int) -> np.ndarray:
-    """One leaf's bag vector: capped word counts (+UNK), capped tag-path
-    counts (+UNK)."""
-    v = np.zeros(n_words + 1 + n_tags + 1, dtype=np.float64)
-    for w in tokens:
-        j = word_idx.get(w, n_words)
-        v[j] += 1.0
-    for t in tag_path:
-        j = tag_idx.get(t, n_tags)
-        v[n_words + 1 + j] += 1.0
-    # caps + scaling
-    v[:n_words] = np.minimum(v[:n_words], WORD_CAP) / WORD_CAP
-    v[n_words] = min(v[n_words], UNK_CAP) / UNK_CAP
-    v[n_words + 1:] = np.minimum(v[n_words + 1:], TAG_CAP) / TAG_CAP
-    return v
-
-
-def page_feature_matrix(base: np.ndarray) -> np.ndarray:
-    """(n_leaves, d) -> (n_leaves, 3d): own bag + previous-leaf bag +
-    next-leaf bag (zeros at page edges) — the sequence-context concat."""
-    n, d = base.shape
-    prev = np.zeros_like(base)
-    nxt = np.zeros_like(base)
-    if n > 1:
-        prev[1:] = base[:-1]
-        nxt[:-1] = base[1:]
-    return np.hstack([base, prev, nxt])
 
 
 def featurize_pages(pages: list[list[LeafRecord]], word_vocab: list[str],

@@ -249,10 +249,21 @@ def run_session_stream_with_state_flush(
     source dir and consumed by the same query — closing every open
     session so the append-mode memory sink equals the batch truth."""
     import os
+    import shutil
     import tempfile
+    import uuid
 
-    if checkpoint_dir is None:
+    fresh_checkpoint = checkpoint_dir is None
+    if fresh_checkpoint:
         checkpoint_dir = tempfile.mkdtemp(prefix="wceb_sess_ckpt_")
+        # a FRESH checkpoint would ingest stale sentinel files from a
+        # previous run as real events — sweep this utility's namespace
+        # first.  (With a RESUMED checkpoint they stay: the seen-files
+        # log already holds them, and deleting committed inputs breaks
+        # source replay.)
+        for name in os.listdir(source_dir):
+            if name.startswith("zz_sentinels"):
+                os.remove(os.path.join(source_dir, name))
     out = stream_sessionize(spark, source_dir, watermark=watermark)
     query = (
         out.writeStream.format("memory")
@@ -269,18 +280,19 @@ def run_session_stream_with_state_flush(
     if n:
         # the file stream source does NOT discover files nested in
         # subdirectories of its path — surface the part-file at the top
-        # level (same trick as the driver's q_sessionize)
-        import shutil
-
+        # level (same trick as the driver's q_sessionize).  The name is
+        # UNIQUE per run: a fixed name would already sit in a resumed
+        # checkpoint's seen-files log and the fresh sentinels would be
+        # silently ignored.
         for name in os.listdir(staging):
             if name.endswith(".parquet"):
                 shutil.move(
                     os.path.join(staging, name),
-                    os.path.join(source_dir, "zz_sentinels.parquet"),
+                    os.path.join(
+                        source_dir, f"zz_sentinels_{uuid.uuid4().hex}.parquet"
+                    ),
                 )
         query.processAllAvailable()
-    import shutil
-
     shutil.rmtree(staging, ignore_errors=True)
     query.stop()
 
