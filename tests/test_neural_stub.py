@@ -178,6 +178,42 @@ def test_vocabularies_are_trained_not_hand_listed():
     assert {"nav", "footer", "p", "a", "h1"} <= set(FROZEN_WEIGHTS["tag_vocab"])
 
 
+def test_batch_inference_equals_per_page(sf_dir):
+    """The batch-vectorized kernel path (one matmul per Arrow batch)
+    must be BIT-identical to the per-page path on every page —
+    including empty pages, single-leaf pages, and page boundaries
+    (neighbor context must not leak across pages)."""
+    import pyarrow.parquet as pq
+
+    from web_content_extraction_benchmark_spark.extractors.neural import (
+        LeafSequenceMLP,
+        classify_page_batch,
+        neural_extract_from_tree,
+    )
+
+    model = LeafSequenceMLP(FROZEN_WEIGHTS)
+    rows = pq.read_table(f"{sf_dir}/documents.parquet").to_pylist()[:200]
+    htmls = [
+        ""
+        if r["doc_id"] % 101 == 0
+        else build_page_html(r["doc_id"], r["source"], r["text"])
+        for r in rows
+    ]
+    # include degenerate pages: empty, single short leaf, leaves-only
+    htmls += ["", "<html><body><p>one</p></body></html>",
+              "<html><body><h1>t t</h1></body></html>"]
+    pages_blocks = [
+        segment_blocks(body_or_root(parse_html(h))) if h else None
+        for h in htmls
+    ]
+    batch = classify_page_batch(model, pages_blocks)
+    per_page = [
+        neural_extract_from_tree(parse_html(h), model) if h else ""
+        for h in htmls
+    ]
+    assert batch == per_page
+
+
 def test_spark_neural_equals_density_extractor(spark, sf_dir):
     """Distributed output byte-identical to the density extractor's main
     text (they agree on the whole template region), through the
