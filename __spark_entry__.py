@@ -1417,10 +1417,10 @@ def _corpus_pipeline_sql() -> str:
     n_words = "len(string_split(text, ' '))"
     chain = f"""
     (WITH RECURSIVE
-    extracted AS (
+    extracted AS MATERIALIZED (
         SELECT doc_id, source, {GOLD_SQL} AS text FROM documents
     ),
-    corpus AS (
+    corpus AS MATERIALIZED (
         SELECT doc_id, source, text FROM extracted
         UNION ALL
         SELECT -(doc_id * 4 + 1), source, text FROM extracted
@@ -1435,7 +1435,7 @@ def _corpus_pipeline_sql() -> str:
     exact_winners AS (
         SELECT text, min(doc_id) AS win FROM corpus GROUP BY text
     ),
-    d1 AS (
+    d1 AS MATERIALIZED (
         SELECT c.doc_id, c.source, c.text
         FROM corpus c JOIN exact_winners w
           ON c.text = w.text AND c.doc_id = w.win
@@ -1446,7 +1446,7 @@ def _corpus_pipeline_sql() -> str:
                generate_subscripts(string_split(text, ' '), 1) AS pos
         FROM d1
     ),
-    sh1 AS (
+    sh1 AS MATERIALIZED (
         SELECT DISTINCT doc_id,
                word || ' ' || lead(word, 1) OVER win || ' ' ||
                lead(word, 2) OVER win AS sh
@@ -1494,7 +1494,7 @@ def _corpus_pipeline_sql() -> str:
         SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a
     ),
     comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
-    d2 AS (
+    d2 AS MATERIALIZED (
         SELECT * FROM d1
         WHERE doc_id NOT IN (SELECT id FROM comp WHERE id != component)
     ),
@@ -1515,7 +1515,7 @@ def _corpus_pipeline_sql() -> str:
     contam AS (
         SELECT DISTINCT s.doc_id FROM sh1 s JOIN bsh b ON s.sh = b.sh
     ),
-    d3 AS (
+    d3 AS MATERIALIZED (
         SELECT * FROM d2
         WHERE doc_id NOT IN (SELECT doc_id FROM contam)
     )
