@@ -801,10 +801,13 @@ def _scratch_dir(prefix: str) -> str:
     sweep dirs whose OWNING PROCESS is gone, bounding /tmp growth across
     repeated check_oracles/driver rounds instead of leaking parquet
     copies forever).  The owner pid is embedded in the dir name; a dir
-    whose owner is still alive is never swept, however old — a >1h
-    oracle round in a concurrent session must not lose a scratch path
-    mid-query.  Ownerless dirs (legacy naming) fall back to an age
-    cutoff."""
+    whose owner is still alive is protected for 24 HOURS (a >1h oracle
+    round in a concurrent session must not lose a scratch path
+    mid-query, but a recycled/zombie pid must not strand parquet until
+    reboot; the documented tradeoff is that a DataFrame lazily reading
+    a >24h-old scratch from a still-alive session can lose it — re-run
+    the query fn for a fresh dir).  Ownerless dirs (legacy naming)
+    fall back to a 1h age cutoff."""
     import os
     import re
     import shutil

@@ -253,9 +253,15 @@ def run_session_stream_with_state_flush(
     import tempfile
     import uuid
 
-    fresh_checkpoint = checkpoint_dir is None
-    if fresh_checkpoint:
+    if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="wceb_sess_ckpt_")
+    # fresh = the checkpoint has no committed offsets yet — an explicit
+    # but empty/nonexistent dir counts (keying on `is None` alone would
+    # let a caller-provided fresh dir ingest stale sentinels as events)
+    fresh_checkpoint = not os.path.isdir(
+        os.path.join(checkpoint_dir, "offsets")
+    )
+    if fresh_checkpoint:
         # a FRESH checkpoint would ingest stale sentinel files from a
         # previous run as real events — sweep this utility's namespace
         # first.  (With a RESUMED checkpoint they stay: the seen-files
