@@ -255,6 +255,19 @@ def main() -> None:
                           num_hashes=PROD_NUM_HASHES, bands=PROD_BANDS,
                           jaccard_threshold=0.8, hash_fn="xxhash64").count()
 
+    # q4c: same production width through one-permutation hashing — the
+    # O(shingles)/doc signature path (vs q4b's O(shingles x 128) remix);
+    # same banding, same exact-Jaccard verify.
+    def q4c():
+        from web_content_extraction_benchmark_spark.operators.dedup import (
+            PROD_BANDS,
+            PROD_NUM_HASHES,
+        )
+
+        minhash_lsh_pairs(unique_docs, id_col="doc_id",
+                          num_hashes=PROD_NUM_HASHES, bands=PROD_BANDS,
+                          jaccard_threshold=0.8, hash_fn="oph").count()
+
     # q5: brute-force cosine top-k over embeddings
     def q5():
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -343,6 +356,7 @@ def main() -> None:
     unique_docs.count()
     timed("q4_minhash_lsh", q4)
     timed("q4b_minhash_prod128", q4b)
+    timed("q4c_minhash_oph128", q4c)
     timed("q5_ann_bruteforce", q5)
     timed("q5b_ann_ivf128", q5b)
     timed("q6_textstats", q6)
