@@ -737,9 +737,31 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting plus the PII-redaction arm (r5): every 10th doc
+    gets a deterministic doc_id-parameterized e-mail + IP + card number
+    spliced in, and the returned ``redacted`` column byte-compares the
+    full scrubbed text against the DuckDB mirror (operators/redaction's
+    Java/RE2 common-subset patterns)."""
+    from web_content_extraction_benchmark_spark.operators.redaction import (
+        redact_pii_col,
+    )
+
     docs = _docs(spark, sf_dir).select("doc_id", "text")
-    return token_counts(docs, "text").select(
-        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_text_chars"
+    spliced = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" ops-"), F.col("doc_id").cast("string"),
+            F.lit("@crawl.example 10.2."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 4012-8888-8888-1881"),
+        ),
+    ).otherwise(F.col("text"))
+    return token_counts(
+        docs.withColumn("_spliced", spliced), "text"
+    ).select(
+        "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_text_chars",
+        redact_pii_col(F.col("_spliced")).alias("redacted"),
     )
 
 
@@ -1394,6 +1416,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_features": q_html_features,
         "kmeans_clusters": q_kmeans_clusters,
     }
+
+
+def _redact_pii_sql_expr() -> str:
+    from web_content_extraction_benchmark_spark.operators.redaction import (
+        redact_pii_sql,
+    )
+
+    return redact_pii_sql("_spliced")
 
 
 def _corpus_pipeline_sql() -> str:
@@ -2419,13 +2449,22 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "quality_score": quality_sql,
-        "token_counts": """
+        "token_counts": f"""
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
-                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{1,4}'))
+                   CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}'))
                        AS INT) AS n_bpe_tokens,
-                   CAST(length(text) AS INT) AS n_text_chars
-            FROM documents
+                   CAST(length(text) AS INT) AS n_text_chars,
+                   {_redact_pii_sql_expr()} AS redacted
+            FROM (
+                SELECT doc_id, text,
+                       CASE WHEN doc_id % 10 = 0 THEN
+                           text || ' ops-' || CAST(doc_id AS VARCHAR)
+                                || '@crawl.example 10.2.'
+                                || CAST(doc_id % 256 AS VARCHAR)
+                                || '.7 4012-8888-8888-1881'
+                       ELSE text END AS _spliced
+                FROM documents)
         """,
         "repetition_stats": """
             WITH corpus AS (
