@@ -1016,9 +1016,32 @@ def q_neural_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: sha256 content-hash page ids over the raw html bytes (gzip rows
-    excluded — compressed bytes are not SQL-reproducible)."""
+    excluded — compressed bytes are not SQL-reproducible), plus the URL
+    canonicalization arm (r5): every 10th url is messied (upper-case
+    scheme/host, default port, doc_id-parameterized tracking + real
+    query params, fragment) and the returned ``canonical_url`` column
+    byte-compares the normalization against the DuckDB mirror."""
+    from web_content_extraction_benchmark_spark.operators.urls import (
+        canonical_url_col,
+    )
+
     pages = synthesize_pages(spark, sf_dir).filter(F.col("doc_id") % 103 != 0)
-    return pages.select("url", F.sha2(F.col("html"), 256).alias("page_id"))
+    host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
+    tail = F.regexp_extract("url", r"^https://[^/]+/(.*)$", 1)
+    messy = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.lit("HTTPS://"), F.upper(host), F.lit(":443/"), tail,
+            F.lit("?utm_source=x&b="),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("&a=1#s"),
+        ),
+    ).otherwise(F.col("url"))
+    return pages.select(
+        "url",
+        F.sha2(F.col("html"), 256).alias("page_id"),
+        canonical_url_col(messy).alias("canonical_url"),
+    )
 
 
 def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1416,6 +1439,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "html_features": q_html_features,
         "kmeans_clusters": q_kmeans_clusters,
     }
+
+
+def _page_ids_sql() -> str:
+    """page_ids mirror: sha256 over the reconstructed html plus the URL
+    canonicalization arm (the messy-url construction mirrored, then the
+    operator's own SQL twin normalizes it)."""
+    from web_content_extraction_benchmark_spark.operators.urls import (
+        canonical_url_sql,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        HOST_SQL,
+        html_sql,
+    )
+
+    messy = f"""
+        CASE WHEN doc_id % 10 = 0 THEN
+            'HTTPS://' || upper({HOST_SQL}) || ':443/' || source || '/'
+            || CAST(doc_id AS VARCHAR) || '?utm_source=x&b='
+            || CAST(doc_id % 7 AS VARCHAR) || '&a=1#s'
+        ELSE {URL_SQL} END
+    """
+    return (
+        f"SELECT {URL_SQL} AS url, sha256({html_sql()}) AS page_id, "
+        f"{canonical_url_sql(f'({messy})')} AS canonical_url "
+        "FROM documents WHERE doc_id % 103 != 0"
+    )
 
 
 def _redact_pii_sql_expr() -> str:
@@ -1902,10 +1951,7 @@ def oracle_sql() -> dict[str, str]:
                    'Article ' || source || ' ' || chr(10) || text, NULL
             FROM fx
         """,
-        "page_ids": (
-            f"SELECT {URL_SQL} AS url, sha256({html_sql()}) AS page_id "
-            "FROM documents WHERE doc_id % 103 != 0"
-        ),
+        "page_ids": _page_ids_sql(),
         "html_features": html_features_sql,
         "lr_classify": lr_sql,
         "kmeans_clusters": km_sql,

@@ -1,0 +1,73 @@
+"""URL canonicalization (operators/urls.py): cross-engine byte
+equality on messy inputs, rule semantics (case, ports, tracking
+params, sort, fragment), idempotence, passthrough of non-URLs, and the
+JVM-side no-shuffle plan contract."""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from web_content_extraction_benchmark_spark.operators.urls import (
+    canonical_url_sql,
+    canonicalize_urls,
+)
+
+CASES = [
+    ("HTTPS://Host7.Example:443/a/b?utm_source=x&b=2&a=1#frag",
+     "https://host7.example/a/b?a=1&b=2"),
+    ("http://site.example:80/", "http://site.example/"),
+    ("http://site.example:8080/x?z=1&y=2",
+     "http://site.example:8080/x?y=2&z=1"),
+    ("https://h.example", "https://h.example/"),
+    ("not a url at all", "not a url at all"),
+    ("ftp://Files.Example:21/pub", "ftp://files.example:21/pub"),
+    ("https://h.example/p?fbclid=abc&gclid=x&utm_medium=m",
+     "https://h.example/p"),
+    ("https://h.example/p?a=1&a=0", "https://h.example/p?a=0&a=1"),
+    ("", ""),
+]
+
+
+def test_rules_and_duckdb_lockstep(spark):
+    rows = [(i, url) for i, (url, _) in enumerate(CASES)] + [(99, None)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.url for r in canonicalize_urls(df).collect()}
+    for i, (_, want) in enumerate(CASES):
+        assert got[i] == want, (CASES[i][0], got[i])
+    assert got[99] is None
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", rows)
+    want_sql = dict(
+        con.execute(f"SELECT id, {canonical_url_sql('url')} FROM t").fetchall()
+    )
+    assert got == want_sql
+
+
+def test_idempotent_and_dedup_ready(spark):
+    variants = [
+        (1, "HTTPS://H.Example/p?b=2&a=1#x"),
+        (2, "https://h.example:443/p?a=1&b=2"),
+        (3, "https://h.example/p?utm_campaign=c&a=1&b=2"),
+    ]
+    df = canonicalize_urls(
+        spark.createDataFrame(variants, "id long, url string")
+    )
+    urls = {r.url for r in df.collect()}
+    assert urls == {"https://h.example/p?a=1&b=2"}  # all collapse to one
+    twice = canonicalize_urls(df).collect()
+    assert {r.url for r in twice} == urls
+
+
+def test_plan_is_jvm_side(spark, sf_dir):
+    pages_urls = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.concat(F.lit("https://H.Example/"), F.col("doc_id").cast("string"))
+        .alias("url")
+    )
+    plan = (
+        canonicalize_urls(pages_urls)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
