@@ -62,6 +62,10 @@ def test_redaction_matches_duckdb_corpus_wide(corpus, sf_dir):
     assert "<EMAIL>" in got[10_000_000]
     assert "<IP>" in got[10_000_001] and "<CC>" in got[10_000_001]
     assert "<PHONE>" in got[10_000_002] and "<CC>" in got[10_000_002]
+    # the +country prefix is consumed by the match — no stray '+'
+    # before the placeholder (review finding r5)
+    assert "+<PHONE>" not in got[10_000_002]
+    assert "cell <PHONE>" in got[10_000_002]
 
 
 def test_redaction_idempotent_and_ordered(spark):

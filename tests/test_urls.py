@@ -24,6 +24,14 @@ CASES = [
     ("https://h.example/p?fbclid=abc&gclid=x&utm_medium=m",
      "https://h.example/p"),
     ("https://h.example/p?a=1&a=0", "https://h.example/p?a=0&a=1"),
+    # SPA-style fragment containing '?': fragment content must NOT be
+    # resurrected as query params (review finding r5)
+    ("https://site.example/#/route?x=1", "https://site.example/"),
+    ("https://site.example/p?a=1#/route?x=2",
+     "https://site.example/p?a=1"),
+    # bare (value-stripped) tracking params collapse like valued ones
+    ("https://h.example/p?fbclid", "https://h.example/p"),
+    ("https://h.example/p?gclid&a=1", "https://h.example/p?a=1"),
     ("", ""),
 ]
 

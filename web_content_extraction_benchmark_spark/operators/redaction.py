@@ -35,8 +35,11 @@ PII_RULES: tuple[tuple[str, str], ...] = (
     (r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CC>"),
     (r"\b\d{13,19}\b", "<CC>"),
     # separator-style phone: 3-3/4-4 groups with - or . separators,
-    # optional +country prefix
-    (r"\b\+?\d{1,3}[-.]\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    # optional +country prefix.  NB: the '+' must sit INSIDE the
+    # alternation — '\b\+?' can never consume a '+' after whitespace
+    # (no word boundary between ' ' and '+'), which left a stray '+'
+    # in the redacted text
+    (r"(?:\+|\b)\d{1,3}[-.]\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
     (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
 )
 

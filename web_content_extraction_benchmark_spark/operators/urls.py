@@ -27,12 +27,19 @@ from pyspark.sql import functions as F
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+# query is extracted from the PRE-FRAGMENT substring (see _FRAG_RE):
+# an unanchored \? over the whole url would resurrect a '?' inside an
+# SPA-style fragment ('#/route?x=1') as query params
+_FRAG_RE = r"#.*$"
 _QUERY_RE = r"\?([^#]*)"
 
-TRACKING_PREFIXES = ("utm_", "fbclid=", "gclid=")
+# prefix match, '=' NOT included: bare '?fbclid' (value stripped by a
+# redirector) must collapse the same as '?fbclid=abc'
+TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
 
 
 def canonical_url_col(url: Column) -> Column:
+    pre = F.regexp_replace(url, _FRAG_RE, "")
     scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
     host_raw = F.lower(F.regexp_extract(url, _HOST_RE, 1))
     host = (
@@ -44,7 +51,7 @@ def canonical_url_col(url: Column) -> Column:
     path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
     params = F.array_sort(
         F.filter(
-            F.split(F.regexp_extract(url, _QUERY_RE, 1), "&"),
+            F.split(F.regexp_extract(pre, _QUERY_RE, 1), "&"),
             lambda p: (p != "")
             & ~p.startswith(TRACKING_PREFIXES[0])
             & ~p.startswith(TRACKING_PREFIXES[1])
@@ -62,14 +69,58 @@ def canonical_url_col(url: Column) -> Column:
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",
                       out_col: str | None = None) -> DataFrame:
-    return df.withColumn(out_col or url_col,
-                         canonical_url_col(F.col(url_col)))
+    """Corpus-scale entry point: the component regexp_extracts are
+    MATERIALIZED in their own projection first — the combined column
+    expression references scheme 4x and host 3x, and CollapseProject
+    would otherwise inline (re-evaluate) each regex per reference
+    (the CLAUDE.md fan-out gotcha)."""
+    u = F.col(url_col)
+    pre = F.regexp_replace(u, _FRAG_RE, "")
+    staged = df.select(
+        "*",
+        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)).alias("__scheme"),
+        F.lower(F.regexp_extract(u, _HOST_RE, 1)).alias("__host_raw"),
+        F.regexp_extract(u, _PATH_RE, 1).alias("__path_raw"),
+        F.regexp_extract(pre, _QUERY_RE, 1).alias("__query_raw"),
+    )
+    scheme = F.col("__scheme")
+    host = (
+        F.when(scheme == "http",
+               F.regexp_replace("__host_raw", ":80$", ""))
+        .when(scheme == "https",
+              F.regexp_replace("__host_raw", ":443$", ""))
+        .otherwise(F.col("__host_raw"))
+    )
+    path = F.when(F.col("__path_raw") == "", F.lit("/")).otherwise(
+        F.col("__path_raw")
+    )
+    params = F.array_sort(
+        F.filter(
+            F.split("__query_raw", "&"),
+            lambda p: (p != "")
+            & ~p.startswith(TRACKING_PREFIXES[0])
+            & ~p.startswith(TRACKING_PREFIXES[1])
+            & ~p.startswith(TRACKING_PREFIXES[2]),
+        )
+    )
+    query = F.concat_ws("&", params)
+    rebuilt = F.concat(
+        scheme, F.lit("://"), host, path,
+        F.when(query == "", F.lit("")).otherwise(
+            F.concat(F.lit("?"), query)
+        ),
+    )
+    canon = F.when(scheme == "", u).otherwise(rebuilt)
+    return staged.withColumn(out_col or url_col, canon).drop(
+        "__scheme", "__host_raw", "__path_raw", "__query_raw"
+    )
 
 
 def canonical_url_sql(url_expr: str) -> str:
-    """DuckDB mirror — same regexes, same rule order, byte-identical
-    output."""
+    """DuckDB mirror — the SAME interpolated regex constants, same rule
+    order, byte-identical output."""
     u = url_expr
+    pre = f"regexp_replace({u}, '{_FRAG_RE}', '')"
     scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
     host_raw = f"lower(regexp_extract({u}, '{_HOST_RE}', 1))"
     host = (
@@ -86,7 +137,7 @@ def canonical_url_sql(url_expr: str) -> str:
     )
     params = (
         f"list_sort(list_filter(string_split("
-        f"regexp_extract({u}, '\\?([^#]*)', 1), '&'), "
+        f"regexp_extract({pre}, '{_QUERY_RE}', 1), '&'), "
         f"p -> p != '' AND {filters}))"
     )
     # NB: DuckDB array_to_string([]) is NULL (Spark concat_ws is '') —
