@@ -738,10 +738,13 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting plus the PII-redaction arm (r5): every 10th doc
-    gets a deterministic doc_id-parameterized e-mail + IP + card number
+    gets a deterministic doc_id-parameterized e-mail + IPv4 + card
+    number + (r6) compressed IPv6 + space-separated international phone
     spliced in, and the returned ``redacted`` column byte-compares the
     full scrubbed text against the DuckDB mirror (operators/redaction's
-    Java/RE2 common-subset patterns)."""
+    Java/RE2 common-subset patterns).  The IPv6 group and phone tail are
+    decimal renderings of doc_id (decimal digits are valid hex, so both
+    engines build the literal identically)."""
     from web_content_extraction_benchmark_spark.operators.redaction import (
         redact_pii_col,
     )
@@ -754,7 +757,10 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(" ops-"), F.col("doc_id").cast("string"),
             F.lit("@crawl.example 10.2."),
             (F.col("doc_id") % 256).cast("string"),
-            F.lit(".7 4012-8888-8888-1881"),
+            F.lit(".7 4012-8888-8888-1881 2001:db8::"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" +1 415 555 "),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ),
     ).otherwise(F.col("text"))
     return token_counts(
@@ -826,10 +832,11 @@ def _scratch_dir(prefix: str) -> str:
     whose owner is still alive is protected for 24 HOURS (a >1h oracle
     round in a concurrent session must not lose a scratch path
     mid-query, but a recycled/zombie pid must not strand parquet until
-    reboot; the documented tradeoff is that a DataFrame lazily reading
-    a >24h-old scratch from a still-alive session can lose it — re-run
-    the query fn for a fresh dir).  Ownerless dirs (legacy naming)
-    fall back to a 1h age cutoff."""
+    reboot).  OUR OWN dirs get their mtime touched on every call, so an
+    active session keeps its scratch alive indefinitely while idle
+    leftovers still age out (ADVICE r5 — previously a >24h session
+    could lose a lazily-read scratch to its own sweep).  Ownerless dirs
+    (legacy naming) fall back to a 1h age cutoff."""
     import os
     import re
     import shutil
@@ -838,6 +845,15 @@ def _scratch_dir(prefix: str) -> str:
 
     root = "/tmp/wceb_query_scratch"
     os.makedirs(root, exist_ok=True)
+    # keepalive: refresh the mtime of every dir THIS process owns, so
+    # the 24h cap below only ever bites sessions idle that long
+    own_tag = f".pid{os.getpid()}_"
+    for name in os.listdir(root):
+        if own_tag in name:
+            try:
+                os.utime(os.path.join(root, name))
+            except OSError:
+                pass
     cutoff = _time.time() - 3600
     # a live owner protects its dirs only up to a generous age cap: a
     # RECYCLED pid (or a zombie, where kill(pid, 0) still succeeds)
@@ -1019,8 +1035,11 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded — compressed bytes are not SQL-reproducible), plus the URL
     canonicalization arm (r5): every 10th url is messied (upper-case
     scheme/host, default port, doc_id-parameterized tracking + real
-    query params, fragment) and the returned ``canonical_url`` column
-    byte-compares the normalization against the DuckDB mirror."""
+    query params, fragment; r6 adds percent-encoded escapes needing
+    hex-uppercase + unreserved-decode, and — every 20th — a
+    case-sensitive userinfo that must survive host lowercasing) and the
+    returned ``canonical_url`` column byte-compares the normalization
+    against the DuckDB mirror."""
     from web_content_extraction_benchmark_spark.operators.urls import (
         canonical_url_col,
     )
@@ -1028,13 +1047,18 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     pages = synthesize_pages(spark, sf_dir).filter(F.col("doc_id") % 103 != 0)
     host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
     tail = F.regexp_extract("url", r"^https://[^/]+/(.*)$", 1)
+    b = (F.col("doc_id") % 7).cast("string")
     messy = F.when(
+        F.col("doc_id") % 20 == 0,
+        F.concat(
+            F.lit("HTTPS://U%3aP@"), F.upper(host), F.lit(":443/%7e"),
+            tail, F.lit("?utm_source=x&b="), b, F.lit("&a=%31#s"),
+        ),
+    ).when(
         F.col("doc_id") % 10 == 0,
         F.concat(
             F.lit("HTTPS://"), F.upper(host), F.lit(":443/"), tail,
-            F.lit("?utm_source=x&b="),
-            (F.col("doc_id") % 7).cast("string"),
-            F.lit("&a=1#s"),
+            F.lit("?utm_source=x&b="), b, F.lit("&a=1&c=%4a#s"),
         ),
     ).otherwise(F.col("url"))
     return pages.select(
@@ -1454,10 +1478,15 @@ def _page_ids_sql() -> str:
     )
 
     messy = f"""
-        CASE WHEN doc_id % 10 = 0 THEN
+        CASE WHEN doc_id % 20 = 0 THEN
+            'HTTPS://U%3aP@' || upper({HOST_SQL}) || ':443/%7e'
+            || source || '/'
+            || CAST(doc_id AS VARCHAR) || '?utm_source=x&b='
+            || CAST(doc_id % 7 AS VARCHAR) || '&a=%31#s'
+        WHEN doc_id % 10 = 0 THEN
             'HTTPS://' || upper({HOST_SQL}) || ':443/' || source || '/'
             || CAST(doc_id AS VARCHAR) || '?utm_source=x&b='
-            || CAST(doc_id % 7 AS VARCHAR) || '&a=1#s'
+            || CAST(doc_id % 7 AS VARCHAR) || '&a=1&c=%4a#s'
         ELSE {URL_SQL} END
     """
     return (
@@ -2508,7 +2537,10 @@ def oracle_sql() -> dict[str, str]:
                            text || ' ops-' || CAST(doc_id AS VARCHAR)
                                 || '@crawl.example 10.2.'
                                 || CAST(doc_id % 256 AS VARCHAR)
-                                || '.7 4012-8888-8888-1881'
+                                || '.7 4012-8888-8888-1881 2001:db8::'
+                                || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                                || ' +1 415 555 '
+                                || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
                        ELSE text END AS _spliced
                 FROM documents)
         """,

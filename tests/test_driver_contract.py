@@ -49,3 +49,31 @@ def test_deployment_zip_is_fresh():
             f"stale wceb_spark.zip: outdated {rel} "
             "(run python tools/make_pyfiles.py)"
         )
+
+
+def test_scratch_dir_keepalive_touches_own_dirs():
+    """_scratch_dir refreshes the mtime of every dir owned by THIS pid
+    on each call (ADVICE r5): a session active past the 24h age cap
+    keeps its lazily-read scratch alive, while leftovers from dead pids
+    still age out."""
+    import os
+    import shutil
+    import time
+
+    import __spark_entry__ as entry
+
+    first = entry._scratch_dir("wceb_keepalive_test_")
+    try:
+        old = time.time() - 30 * 3600  # past the 24h pid-protected cap
+        os.utime(first, (old, old))
+        second = entry._scratch_dir("wceb_keepalive_test_")
+        try:
+            # the sweep in the second call must NOT have deleted the
+            # first dir (alive owner + keepalive touch), and its mtime
+            # must be fresh again
+            assert os.path.isdir(first)
+            assert time.time() - os.path.getmtime(first) < 3600
+        finally:
+            shutil.rmtree(second, ignore_errors=True)
+    finally:
+        shutil.rmtree(first, ignore_errors=True)

@@ -19,6 +19,17 @@ PLANTED = [
     "fax 030-555-0101 cell +49-151-555-0102 pin 4532015112830366",
     "a@b.io 1.2.3.4 0000 0000 0000 0000",
     "",
+    # r6: IPv6 (full + ::-compressed) and space-separated intl phone
+    "node fe80:1:2:3:4:5:6:7 and 2001:db8::8a2e:370:7334 up",
+    "call +44 20 7946 0958 now",
+]
+
+# deliberately NOT redacted — the operator's pinned exclusion list
+# (see the module docstring's contract)
+NOT_PII = [
+    "build 1.2.3.999 shipped as 999.999.999.999",
+    "loopback ::1 and fe80:: are link-local",
+    "row 415 555 2671 total",
 ]
 
 
@@ -66,6 +77,23 @@ def test_redaction_matches_duckdb_corpus_wide(corpus, sf_dir):
     # before the placeholder (review finding r5)
     assert "+<PHONE>" not in got[10_000_002]
     assert "cell <PHONE>" in got[10_000_002]
+    # bounded octets: 1.2.3.4 still redacts
+    assert "<IP>" in got[10_000_003]
+    # r6 rules: full + compressed IPv6, space-separated intl phone
+    assert got[10_000_005] == "node <IP6> and <IP6> up"
+    assert got[10_000_006] == "call <PHONE> now"
+
+
+def test_redaction_pinned_exclusions(spark):
+    """The contract's NOT-redacted list stays byte-untouched — these are
+    deliberate exclusions (version strings, ::-leading IPv6, bare
+    space-separated number triplets), not missed PII."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(NOT_PII)], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.text for r in redact_pii(df).collect()}
+    for i, t in enumerate(NOT_PII):
+        assert got[i] == t, (got[i], t)
 
 
 def test_redaction_idempotent_and_ordered(spark):

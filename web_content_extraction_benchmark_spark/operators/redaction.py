@@ -1,5 +1,5 @@
 """PII redaction for training-data curation: replace e-mail addresses,
-IPv4 addresses, card-number-length digit runs, and separator-style
+IPv4/IPv6 addresses, card-number-length digit runs, and separator-style
 phone numbers with typed placeholder tokens — the privacy-scrubbing
 step between extraction and packing in an LLM data pipeline.
 
@@ -14,8 +14,31 @@ pytest cross-checks full-corpus equality and idempotence).
 
 Rule order matters and is part of the contract: the longest / most
 specific shapes run first (e-mail before anything digit-based would
-split it; card runs before phone so a 16-digit run is one ``<CC>``,
-not a phone prefix plus digits).
+split it; IPv6 before IPv4 so a mapped tail is never half-eaten; card
+runs before phone so a 16-digit run is one ``<CC>``, not a phone
+prefix plus digits).
+
+WHAT IS REDACTED — the inclusion list, exactly:
+- e-mail addresses (local@dotted-domain);
+- IPv4 dotted quads with every octet in 0-255;
+- IPv6 in full 8-group form, or ``::``-compressed with at least one
+  hex group on each side of the ``::``;
+- 13-19 digit runs and 4-4-4-4 grouped card numbers;
+- phone numbers with ``-``/``.`` separators (3-3/4-4, optional
+  +country), and space-separated international numbers that START
+  WITH ``+`` (``+CC NNN NNN NNNN`` shapes).
+
+WHAT IS DELIBERATELY NOT REDACTED — pinned by negative tests
+(tests/test_redaction.py), not an oversight:
+- dotted quads with any octet > 255 (``1.2.3.999`` — version/build
+  strings, not routable addresses);
+- ``::``-leading or ``::``-trailing IPv6 (``::1``, ``fe80::``) — a
+  ``\\b`` boundary cannot anchor after ``:``, and bare ``::1`` collides
+  with too much non-PII text;
+- space-separated phone numbers WITHOUT a leading ``+``
+  (``415 555 2671``) — indistinguishable from numeric table columns;
+- national formats with no separators beyond the 13-19-digit card rule
+  (a bare 10-digit run is NOT redacted as a phone).
 """
 
 from __future__ import annotations
@@ -23,13 +46,27 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+# one IPv4 octet, 0-255 only: 250-255 | 200-249 | 0-199 (the last arm
+# also covers 1-2 digit octets).  Alternation ORDER matters and both
+# Java and RE2 (DuckDB) use leftmost-FIRST semantics, so the longest
+# specific arms come first.
+_OCTET = r"(?:25[0-5]|2[0-4]\d|1?\d?\d)"
+# one IPv6 hex group
+_HEX4 = r"[0-9A-Fa-f]{1,4}"
+
 # (pattern, replacement) — applied IN ORDER.  Patterns restricted to the
 # Java/RE2 common subset (see module docstring).
 PII_RULES: tuple[tuple[str, str], ...] = (
     # e-mail: local part @ dotted domain
     (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "<EMAIL>"),
-    # IPv4 dotted quad
-    (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # IPv6 full form (8 groups), then ::-compressed with >=1 group on
+    # each side of the ::.  Before IPv4 so a v4-mapped tail can't be
+    # half-eaten by the dotted-quad rule.
+    (rf"\b(?:{_HEX4}:){{7}}{_HEX4}\b", "<IP6>"),
+    (rf"\b(?:{_HEX4}:){{1,6}}:{_HEX4}(?::{_HEX4}){{0,5}}\b", "<IP6>"),
+    # IPv4 dotted quad, octets bounded to 0-255 (a quad with a
+    # 256+ group is a version string, not an address — pinned by test)
+    (rf"\b(?:{_OCTET}\.){{3}}{_OCTET}\b", "<IP>"),
     # payment-card-length digit run (13-19 digits, optionally grouped
     # as 4-4-4-4 with spaces or dashes)
     (r"\b\d{4}[ -]\d{4}[ -]\d{4}[ -]\d{4}\b", "<CC>"),
@@ -41,6 +78,10 @@ PII_RULES: tuple[tuple[str, str], ...] = (
     # in the redacted text
     (r"(?:\+|\b)\d{1,3}[-.]\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
     (r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    # space-separated international phone — the leading '+' is REQUIRED
+    # (a bare space-separated triplet is a numeric table column as often
+    # as a phone; exclusion pinned by test)
+    (r"\+\d{1,3} \d{2,4} \d{3,4} \d{4}\b", "<PHONE>"),
 )
 
 

@@ -1,11 +1,18 @@
 """URL canonicalization for crawl dedup: the same page arrives under
 scheme/host case variants, default ports, tracking parameters,
-shuffled query order, and fragments — canonicalize BEFORE exact/near
-dedup or per-host quotas, or every variant counts as a distinct
-document (and a host quota under-counts its hot host).
+shuffled query order, percent-encoding variants, and fragments —
+canonicalize BEFORE exact/near dedup or per-host quotas, or every
+variant counts as a distinct document (and a host quota under-counts
+its hot host).
 
 Rules (the conservative, reversibility-safe core):
-- scheme and host lowercased;
+- percent-encoding normalized per RFC 3986 §6.2.2: hex digits of every
+  escape uppercased (``%2f`` -> ``%2F``), and escapes of UNRESERVED
+  characters decoded (``%41`` -> ``A``, ``%7E`` -> ``~``); reserved
+  characters stay encoded, so component boundaries never move;
+- scheme lowercased; host lowercased — but ONLY the host: userinfo
+  (``User:Pass@``) is case-sensitive credential material and passes
+  through untouched;
 - default port stripped (:80 for http, :443 for https);
 - empty path -> '/';
 - query parameters: tracking params dropped (utm_*, fbclid, gclid),
@@ -13,11 +20,14 @@ Rules (the conservative, reversibility-safe core):
 - fragment dropped.
 
 Scale shape: pure string/array column expressions — JVM-side,
-whole-stage-codegen, per-row, no shuffle.  Every construct sits in the
-Java-regex/RE2 common subset and has a DuckDB twin
+whole-stage-codegen, per-row, no shuffle.  The percent normalization
+is ONE split on '%' + one higher-order transform (each segment's
+leading two chars are the escape's hex digits), not a 78-pass
+regex chain.  Every construct sits in the Java-regex/RE2 common
+subset (or exact engine-agnostic arithmetic) and has a DuckDB twin
 (``canonical_url_sql``), so an independent engine reproduces the
-output byte-for-byte; non-URL strings (no ``scheme://``) pass through
-unchanged."""
+output byte-for-byte; non-URL strings (no ``scheme://`` after
+normalization) pass through byte-unchanged."""
 
 from __future__ import annotations
 
@@ -32,22 +42,106 @@ _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
 # SPA-style fragment ('#/route?x=1') as query params
 _FRAG_RE = r"#.*$"
 _QUERY_RE = r"\?([^#]*)"
+# authority split: userinfo is everything up to the LAST '@' (RFC 3986
+# §3.2 — the host starts after the final '@'); both captures are
+# greedy-anchored so Java and RE2 agree
+_USERINFO_RE = r"^(.*@)"
+_HOSTPORT_RE = r"([^@]*)$"
 
 # prefix match, '=' NOT included: bare '?fbclid' (value stripped by a
 # redirector) must collapse the same as '?fbclid=abc'
 TRACKING_PREFIXES = ("utm_", "fbclid", "gclid")
 
+# RFC 3986 §2.3 unreserved byte values: ALPHA / DIGIT / - . _ ~
+_UNRESERVED_SQL = (
+    "({c} BETWEEN 48 AND 57) OR ({c} BETWEEN 65 AND 90) "
+    "OR ({c} BETWEEN 97 AND 122) OR {c} IN (45, 46, 95, 126)"
+)
+_IS_ESC_RE = r"^[0-9A-Fa-f]{2}"
+
+
+def _unreserved(code: Column) -> Column:
+    return (
+        code.between(48, 57)
+        | code.between(65, 90)
+        | code.between(97, 122)
+        | code.isin(45, 46, 95, 126)
+    )
+
+
+def percent_normalize_col(url: Column) -> Column:
+    """RFC 3986 §6.2.2 percent-encoding normalization as one Catalyst
+    expression: split on '%' — every segment after the first begins at
+    an escape site — then per segment either decode (unreserved),
+    uppercase the hex pair (reserved/other), or re-emit '%' verbatim
+    (invalid escape: fewer than two hex digits follow).
+
+    Idempotent: decoding leaves no '%HH' of an unreserved char behind,
+    and uppercased hex re-uppercases to itself (pinned by pytest)."""
+
+    def seg(e: Column, i: Column) -> Column:
+        hx = F.upper(F.substring(e, 1, 2))
+        # conv only evaluates under the is-escape branch (CaseWhen is
+        # lazy), so ANSI mode never sees a non-hex input
+        code = F.conv(hx, 16, 10).cast("int")
+        rest = F.substring(e, 3, 2_000_000_000)
+        out = F.when(
+            ~e.rlike(_IS_ESC_RE), F.concat(F.lit("%"), e)
+        ).otherwise(
+            F.when(_unreserved(code), F.concat(F.char(code), rest))
+            .otherwise(F.concat(F.lit("%"), hx, rest))
+        )
+        # the first segment precedes any '%' — emit verbatim.  NB the
+        # two-param transform lambda receives (element, INDEX).
+        return F.when(i == 0, e).otherwise(out)
+
+    return F.concat_ws("", F.transform(F.split(url, "%"), seg))
+
+
+def percent_normalize_sql(url_expr: str) -> str:
+    """DuckDB mirror of ``percent_normalize_col`` — same split/segment
+    semantics; hex value via strpos arithmetic (no conv in DuckDB)."""
+    u = url_expr
+    parts = f"string_split({u}, '%')"
+    dig = "strpos('0123456789ABCDEF', substr(upper(e), {pos}, 1))"
+    code = (
+        f"CAST(({dig.format(pos=1)} - 1) * 16 "
+        f"+ {dig.format(pos=2)} - 1 AS INTEGER)"
+    )
+    unres = _UNRESERVED_SQL.format(c=code)
+    seg = (
+        f"CASE WHEN NOT regexp_matches(e, '{_IS_ESC_RE}') THEN '%' || e "
+        f"WHEN {unres} THEN chr({code}) || substr(e, 3) "
+        f"ELSE '%' || upper(substr(e, 1, 2)) || substr(e, 3) END"
+    )
+    # NB: DuckDB array_to_string([]) is NULL (Spark concat_ws is '') —
+    # coalesce keeps the engines in lockstep on '%'-free urls
+    tail = (
+        f"coalesce(array_to_string(list_transform(({parts})[2:], "
+        f"e -> {seg}), ''), '')"
+    )
+    return f"(({parts})[1] || {tail})"
+
+
+def _host_canon(scheme: Column, hostport: Column) -> Column:
+    """lowercase + default-port strip over the host:port part ONLY
+    (userinfo already split off)."""
+    low = F.lower(hostport)
+    return (
+        F.when(scheme == "http", F.regexp_replace(low, ":80$", ""))
+        .when(scheme == "https", F.regexp_replace(low, ":443$", ""))
+        .otherwise(low)
+    )
+
 
 def canonical_url_col(url: Column) -> Column:
-    pre = F.regexp_replace(url, _FRAG_RE, "")
-    scheme = F.lower(F.regexp_extract(url, _SCHEME_RE, 1))
-    host_raw = F.lower(F.regexp_extract(url, _HOST_RE, 1))
-    host = (
-        F.when(scheme == "http", F.regexp_replace(host_raw, ":80$", ""))
-        .when(scheme == "https", F.regexp_replace(host_raw, ":443$", ""))
-        .otherwise(host_raw)
-    )
-    path_raw = F.regexp_extract(url, _PATH_RE, 1)
+    norm = percent_normalize_col(url)
+    pre = F.regexp_replace(norm, _FRAG_RE, "")
+    scheme = F.lower(F.regexp_extract(norm, _SCHEME_RE, 1))
+    auth = F.regexp_extract(norm, _HOST_RE, 1)
+    userinfo = F.regexp_extract(auth, _USERINFO_RE, 1)
+    host = _host_canon(scheme, F.regexp_extract(auth, _HOSTPORT_RE, 1))
+    path_raw = F.regexp_extract(norm, _PATH_RE, 1)
     path = F.when(path_raw == "", F.lit("/")).otherwise(path_raw)
     params = F.array_sort(
         F.filter(
@@ -60,37 +154,40 @@ def canonical_url_col(url: Column) -> Column:
     )
     query = F.concat_ws("&", params)
     rebuilt = F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), userinfo, host, path,
         F.when(query == "", F.lit("")).otherwise(F.concat(F.lit("?"), query)),
     )
-    # non-URLs (no scheme) pass through untouched
+    # non-URLs (no scheme after normalization) pass through untouched
     return F.when(scheme == "", url).otherwise(rebuilt)
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",
                       out_col: str | None = None) -> DataFrame:
-    """Corpus-scale entry point: the component regexp_extracts are
-    MATERIALIZED in their own projection first — the combined column
-    expression references scheme 4x and host 3x, and CollapseProject
-    would otherwise inline (re-evaluate) each regex per reference
+    """Corpus-scale entry point: the percent-normalized url, the
+    component regexp_extracts, and the authority split are each
+    MATERIALIZED in their own projection — the normalization transform
+    is referenced by 4 regexes and the combined expression references
+    scheme 4x / hostport 3x, and CollapseProject would otherwise
+    inline (re-evaluate) each non-cheap expression per reference
     (the CLAUDE.md fan-out gotcha)."""
     u = F.col(url_col)
-    pre = F.regexp_replace(u, _FRAG_RE, "")
-    staged = df.select(
+    s1 = df.select("*", percent_normalize_col(u).alias("__norm"))
+    n = F.col("__norm")
+    pre = F.regexp_replace(n, _FRAG_RE, "")
+    s2 = s1.select(
         "*",
-        F.lower(F.regexp_extract(u, _SCHEME_RE, 1)).alias("__scheme"),
-        F.lower(F.regexp_extract(u, _HOST_RE, 1)).alias("__host_raw"),
-        F.regexp_extract(u, _PATH_RE, 1).alias("__path_raw"),
+        F.lower(F.regexp_extract(n, _SCHEME_RE, 1)).alias("__scheme"),
+        F.regexp_extract(n, _HOST_RE, 1).alias("__auth"),
+        F.regexp_extract(n, _PATH_RE, 1).alias("__path_raw"),
         F.regexp_extract(pre, _QUERY_RE, 1).alias("__query_raw"),
     )
-    scheme = F.col("__scheme")
-    host = (
-        F.when(scheme == "http",
-               F.regexp_replace("__host_raw", ":80$", ""))
-        .when(scheme == "https",
-              F.regexp_replace("__host_raw", ":443$", ""))
-        .otherwise(F.col("__host_raw"))
+    s3 = s2.select(
+        "*",
+        F.regexp_extract("__auth", _USERINFO_RE, 1).alias("__userinfo"),
+        F.regexp_extract("__auth", _HOSTPORT_RE, 1).alias("__hostport"),
     )
+    scheme = F.col("__scheme")
+    host = _host_canon(scheme, F.col("__hostport"))
     path = F.when(F.col("__path_raw") == "", F.lit("/")).otherwise(
         F.col("__path_raw")
     )
@@ -105,14 +202,15 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     )
     query = F.concat_ws("&", params)
     rebuilt = F.concat(
-        scheme, F.lit("://"), host, path,
+        scheme, F.lit("://"), F.col("__userinfo"), host, path,
         F.when(query == "", F.lit("")).otherwise(
             F.concat(F.lit("?"), query)
         ),
     )
     canon = F.when(scheme == "", u).otherwise(rebuilt)
-    return staged.withColumn(out_col or url_col, canon).drop(
-        "__scheme", "__host_raw", "__path_raw", "__query_raw"
+    return s3.withColumn(out_col or url_col, canon).drop(
+        "__norm", "__scheme", "__auth", "__path_raw", "__query_raw",
+        "__userinfo", "__hostport",
     )
 
 
@@ -120,17 +218,20 @@ def canonical_url_sql(url_expr: str) -> str:
     """DuckDB mirror — the SAME interpolated regex constants, same rule
     order, byte-identical output."""
     u = url_expr
-    pre = f"regexp_replace({u}, '{_FRAG_RE}', '')"
-    scheme = f"lower(regexp_extract({u}, '{_SCHEME_RE}', 1))"
-    host_raw = f"lower(regexp_extract({u}, '{_HOST_RE}', 1))"
+    n = percent_normalize_sql(u)
+    pre = f"regexp_replace({n}, '{_FRAG_RE}', '')"
+    scheme = f"lower(regexp_extract({n}, '{_SCHEME_RE}', 1))"
+    auth = f"regexp_extract({n}, '{_HOST_RE}', 1)"
+    userinfo = f"regexp_extract({auth}, '{_USERINFO_RE}', 1)"
+    hostport = f"lower(regexp_extract({auth}, '{_HOSTPORT_RE}', 1))"
     host = (
         f"CASE WHEN {scheme} = 'http' "
-        f"THEN regexp_replace({host_raw}, ':80$', '') "
+        f"THEN regexp_replace({hostport}, ':80$', '') "
         f"WHEN {scheme} = 'https' "
-        f"THEN regexp_replace({host_raw}, ':443$', '') "
-        f"ELSE {host_raw} END"
+        f"THEN regexp_replace({hostport}, ':443$', '') "
+        f"ELSE {hostport} END"
     )
-    path_raw = f"regexp_extract({u}, '{_PATH_RE}', 1)"
+    path_raw = f"regexp_extract({n}, '{_PATH_RE}', 1)"
     path = f"CASE WHEN {path_raw} = '' THEN '/' ELSE {path_raw} END"
     filters = " AND ".join(
         f"NOT starts_with(p, '{pfx}')" for pfx in TRACKING_PREFIXES
@@ -144,7 +245,7 @@ def canonical_url_sql(url_expr: str) -> str:
     # coalesce keeps the engines in lockstep
     query = f"coalesce(array_to_string({params}, '&'), '')"
     rebuilt = (
-        f"({scheme} || '://' || ({host}) || ({path}) || "
+        f"({scheme} || '://' || ({userinfo}) || ({host}) || ({path}) || "
         f"CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END)"
     )
     return f"CASE WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END"
