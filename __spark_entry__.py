@@ -622,23 +622,48 @@ def _chain_corpus(docs: DataFrame) -> DataFrame:
 
 
 def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup PAIR RESOLUTION: ngram-Jaccard pairs (threshold 0.85)
-    over a planted A-B-C chain corpus -> connected components ->
-    (doc_id, component=min member).  A and C share a cluster despite no
-    direct edge — the transitive step a deduplicated corpus needs; the
-    DuckDB mirror recomputes the same pairs and closes them with a
-    recursive CTE."""
+    """Near-dup PAIR RESOLUTION, two arms over the same planted A-B-C
+    chain corpus:
+
+    - ``ngram085``: ngram-Jaccard pairs (threshold 0.85) -> connected
+      components -> (doc_id, component=min member).  A and C share a
+      cluster despite no direct edge — the transitive step a
+      deduplicated corpus needs; the DuckDB mirror recomputes the same
+      pairs and closes them with a recursive CTE.
+    - ``incr_lsh06`` (r6): the corpus split into TWO BATCHES (bases,
+      then mutants) fed through a persisted ``NearDupIndex`` (md5
+      minhash 8/4, threshold 0.6) — batch 2 signs only itself and
+      candidate-joins the committed band store.  The DuckDB mirror is
+      the FROM-SCRATCH banded run over the union, so the hash match
+      proves incremental == from-scratch labels exactly."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        connected_components,
+    )
+    from web_content_extraction_benchmark_spark.operators.incremental_dedup import (
+        NearDupIndex,
+    )
+
     docs = _docs(spark, sf_dir).select("doc_id", "text").filter(
         F.col("doc_id") % 25 == 0
     )
     corpus = _chain_corpus(docs)
     pairs = ngram_jaccard_pairs(corpus, threshold=0.85)
-    from web_content_extraction_benchmark_spark.operators.dedup import (
-        connected_components,
+    comp = connected_components(pairs)
+    arm1 = comp.select(
+        F.lit("ngram085").alias("mode"),
+        F.col("id").alias("doc_id"), "component",
     )
 
-    comp = connected_components(pairs)
-    return comp.select(F.col("id").alias("doc_id"), "component")
+    idx = NearDupIndex(
+        _scratch_dir("wceb_neardup_idx_"), jaccard_threshold=0.6
+    )
+    idx.add_batch(corpus.filter(F.col("doc_id") >= 0)).unpersist()
+    idx.add_batch(corpus.filter(F.col("doc_id") < 0)).unpersist()
+    arm2 = idx.labels(spark).select(
+        F.lit("incr_lsh06").alias("mode"),
+        F.col("id").alias("doc_id"), "component",
+    )
+    return arm1.unionByName(arm2)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1742,7 +1767,7 @@ def oracle_sql() -> dict[str, str]:
         _SHINGLES_SQL.format(mutants=_chain_sql).replace(
             "WITH corpus", "WITH RECURSIVE corpus", 1
         )
-        + """,
+        + f""",
     sizes AS (SELECT doc_id, count(*) AS n FROM shingles GROUP BY doc_id),
     inter AS (
         SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
@@ -1767,9 +1792,54 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, id FROM nodes
         UNION
         SELECT e.b, reach.r FROM edges e JOIN reach ON reach.id = e.a
+    ),
+    -- incremental arm mirror: the FROM-SCRATCH banded md5-minhash run
+    -- over the union corpus (8 hashes / 4 bands, threshold 0.6); the
+    -- Spark side's two-batch NearDupIndex must equal this exactly
+    sig AS (SELECT doc_id, {minhash_cols} FROM shingles GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, 0 AS band, mh0 || '|' || mh1 AS key FROM sig
+        UNION ALL SELECT doc_id, 1, mh2 || '|' || mh3 FROM sig
+        UNION ALL SELECT doc_id, 2, mh4 || '|' || mh5 FROM sig
+        UNION ALL SELECT doc_id, 3, mh6 || '|' || mh7 FROM sig
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key
+        WHERE a.doc_id < b.doc_id
+    ),
+    inter2 AS (
+        SELECT c.id_a, c.id_b, count(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.sh = sa.sh
+        GROUP BY c.id_a, c.id_b
+    ),
+    pairs2 AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c
+        LEFT JOIN inter2 i ON i.id_a = c.id_a AND i.id_b = c.id_b
+        JOIN sizes za ON za.doc_id = c.id_a
+        JOIN sizes zb ON zb.doc_id = c.id_b
+        WHERE CAST(coalesce(i.n_inter, 0) AS DOUBLE) /
+              (za.n + zb.n - coalesce(i.n_inter, 0)) >= 0.6
+    ),
+    edges2 AS (
+        SELECT id_a AS a, id_b AS b FROM pairs2
+        UNION SELECT id_b, id_a FROM pairs2
+    ),
+    nodes2 AS (SELECT DISTINCT a AS id FROM edges2),
+    reach2(id, r) AS (
+        SELECT id, id FROM nodes2
+        UNION
+        SELECT e.b, reach2.r FROM edges2 e JOIN reach2 ON reach2.id = e.a
     )
-    SELECT id AS doc_id, CAST(min(r) AS BIGINT) AS component
+    SELECT 'ngram085' AS mode, id AS doc_id,
+           CAST(min(r) AS BIGINT) AS component
     FROM reach GROUP BY id
+    UNION ALL
+    SELECT 'incr_lsh06', id, CAST(min(r) AS BIGINT)
+    FROM reach2 GROUP BY id
     """
     )
 

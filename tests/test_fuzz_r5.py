@@ -179,3 +179,49 @@ def test_batch_inference_bit_identical_on_random_pages(layouts):
         for h in htmls
     ]
     assert batch == per_page
+
+
+def test_oph_sql_band_keys_bit_identical_to_arrow(spark, sf_dir):
+    """The pure-Catalyst OPH twin (r6, hash_fn="oph_sql") must produce
+    the SAME (id, band, key) rows as the Arrow kernel — including
+    densification on short docs whose shingle count is far below the
+    bin count (every bin empty-heavy), at both fixture and production
+    widths."""
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        lsh_band_keys,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") % 7 == 0)
+    )
+    # add SHORT docs (3-6 words -> 1-4 shingles << 128 bins): the
+    # circular forward-fill path dominates their signatures
+    short = docs.limit(20).select(
+        (F.col("doc_id") + 5_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 5)).alias("text"),
+    )
+    corpus = docs.unionByName(short)
+    for num_hashes, bands in ((8, 4), (128, 16)):
+        a = lsh_band_keys(corpus, num_hashes=num_hashes, bands=bands,
+                          hash_fn="oph")
+        b = lsh_band_keys(corpus, num_hashes=num_hashes, bands=bands,
+                          hash_fn="oph_sql")
+        assert a.exceptAll(b).count() == 0
+        assert b.exceptAll(a).count() == 0
+        assert a.count() == b.count() > 0
+
+
+def test_oph_sql_rejects_non_power_of_two():
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        oph_signature_catalyst,
+    )
+
+    with _pytest.raises(ValueError, match="power-of-two"):
+        oph_signature_catalyst(F.col("x"), 12)

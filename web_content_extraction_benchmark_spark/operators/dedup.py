@@ -202,37 +202,100 @@ def make_oph_signature_udf(num_hashes: int):
     return oph
 
 
-def _lsh_candidate_pairs(
+def oph_signature_catalyst(hashes: Column, num_hashes: int) -> Column:
+    """Pure-Catalyst one-permutation signature — the JVM-side twin of
+    ``make_oph_signature_udf`` (bit-identical output for power-of-two
+    ``num_hashes``, modulo the astronomically unlikely hash ==
+    Long.MAX_VALUE): bin routing is ``hash & (k-1)`` (== unsigned
+    ``mod k`` for power-of-two k, sidestepping the signed-pmod
+    ambiguity), per-bin minimum via one filter+array_min pass per bin,
+    then the same circular-left forward-fill densification (tile to 2k,
+    carry last filled value, read back the second half).
+
+    Cost shape: O(shingles x k) comparisons per doc — MORE ops than the
+    Arrow kernel's O(shingles) lattice, but each op is a codegen'd
+    bitmask/compare instead of a Python-side Arrow batch round-trip;
+    tools/oph_ab.py measures which wins (no shuffle either way).
+    ``hash_fn="oph_sql"`` in the LSH entry points selects this path."""
+    k = num_hashes
+    if k & (k - 1):
+        raise ValueError(
+            f"oph_sql needs power-of-two num_hashes (got {k}): bin "
+            "routing uses hash & (k-1) to match the kernel's unsigned mod"
+        )
+    bins = F.sequence(F.lit(0), F.lit(k - 1))
+    sig0 = F.transform(
+        bins,
+        lambda i: F.array_min(
+            F.filter(
+                hashes,
+                lambda h: h.bitwiseAND(F.lit(k - 1)) == i.cast("long"),
+            )
+        ),
+    )
+    tiled = F.concat(sig0, sig0)
+    ff = F.aggregate(
+        tiled,
+        F.struct(
+            F.slice(tiled, 1, 0).alias("out"),
+            F.lit(None).cast("long").alias("last"),
+        ),
+        lambda acc, x: F.struct(
+            F.concat(
+                acc["out"], F.array(F.coalesce(x, acc["last"]))
+            ).alias("out"),
+            F.coalesce(x, acc["last"]).alias("last"),
+        ),
+        lambda acc: F.slice(acc["out"], k + 1, k),
+    )
+    return ff
+
+
+def lsh_band_keys(
     df: DataFrame,
-    text_col: str,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = DEFAULT_NUM_HASHES,
+    bands: int = DEFAULT_BANDS,
     hash_fn: str = "md5",
 ) -> DataFrame:
-    """Distinct (id_a, id_b) sharing >= 1 band key.  The band self-join
-    carries ONLY (band, key, id): shingle arrays and text never cross this
-    exchange (the verify stage re-joins them by id on candidates only)."""
+    """(id, band, key) — one row per (document, band): the banded LSH
+    key space that candidate generation joins on.  Exposed on its own so
+    the persisted-store incremental path (operators/incremental_dedup)
+    can sign a NEW batch only and join it against previously committed
+    band keys.
+
+    Two-step selects throughout: an expression referenced by all
+    num_hashes min-hash columns must be materialized in its own
+    projection, or CollapseProject inlines num_hashes copies of it.
+    Shingle-less docs (shorter than the shingle size) are excluded:
+    their signatures would be all-null and collide with each other on
+    every band key (and Jaccard is undefined for empty sets)."""
     rows_per_band = num_hashes // bands
-    # Two-step selects throughout: an expression referenced by all
-    # num_hashes min-hash columns must be materialized in its own
-    # projection, or CollapseProject inlines num_hashes copies of it.
-    # Shingle-less docs (shorter than the shingle size) are excluded:
-    # their signatures would be all-null and collide with each other on
-    # every band key (and Jaccard is undefined for empty sets).
     shingled = df.select(
         F.col(id_col).alias("id"),
         shingle_col(F.col(text_col)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
-    if hash_fn == "oph":
+    if hash_fn in ("oph", "oph_sql"):
         # one-permutation hashing: the whole signature in O(shingles)
         # per doc (vs O(shingles x num_hashes) for the remix paths) —
-        # the production width at corpus scale
-        oph = make_oph_signature_udf(num_hashes)
-        sig_arr = shingled.select(
+        # the production width at corpus scale.  "oph" = Arrow kernel;
+        # "oph_sql" = the bit-identical pure-Catalyst twin (A/B'd by
+        # tools/oph_ab.py)
+        hashed = shingled.select(
             "id",
             F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
-        ).select("id", oph("_hs").alias("_sig"))
+        )
+        if hash_fn == "oph":
+            oph = make_oph_signature_udf(num_hashes)
+            sig_arr = hashed.select("id", oph("_hs").alias("_sig"))
+        else:
+            sig_arr = hashed.select(
+                "id",
+                oph_signature_catalyst(
+                    F.col("_hs"), num_hashes
+                ).alias("_sig"),
+            )
         band_keys = [
             F.concat_ws(
                 "|",
@@ -243,16 +306,8 @@ def _lsh_candidate_pairs(
             ).alias(f"band{b}")
             for b in range(bands)
         ]
-        banded = sig_arr.select(
+        return sig_arr.select(
             "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
-        )
-        left = banded.select(F.col("id").alias("id_a"), "band", "key")
-        right = banded.select(F.col("id").alias("id_b"), "band", "key")
-        return (
-            left.join(right, ["band", "key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-            .dropDuplicates(["id_a", "id_b"])
         )
     if hash_fn == "xxhash64":
         sig = shingled.select(
@@ -269,9 +324,23 @@ def _lsh_candidate_pairs(
         ).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
     )
+
+
+def _lsh_candidate_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Distinct (id_a, id_b) sharing >= 1 band key.  The band self-join
+    carries ONLY (band, key, id): shingle arrays and text never cross this
+    exchange (the verify stage re-joins them by id on candidates only)."""
+    banded = lsh_band_keys(df, text_col, id_col, num_hashes, bands, hash_fn)
     left = banded.select(F.col("id").alias("id_a"), "band", "key")
     right = banded.select(F.col("id").alias("id_b"), "band", "key")
     return (
@@ -322,11 +391,13 @@ def minhash_lsh_pairs(
     the candidates actually verified.
 
     ``hash_fn``: "md5" (engine-independent, the oracle fixture),
-    "xxhash64" (1 string hash + num_hashes remixes per shingle), or
+    "xxhash64" (1 string hash + num_hashes remixes per shingle),
     "oph" (one-permutation hashing: the whole signature in O(shingles)
-    per doc — the corpus-scale default; see make_oph_signature_udf).
-    All three verify candidates by exact Jaccard, so the choice moves
-    candidate recall only, never the correctness of emitted pairs."""
+    per doc — the corpus-scale default; see make_oph_signature_udf), or
+    "oph_sql" (the bit-identical pure-Catalyst OPH twin — no Python
+    stage at all; A/B'd in tools/oph_ab.py).  All variants verify
+    candidates by exact Jaccard, so the choice moves candidate recall
+    only, never the correctness of emitted pairs."""
     candidates = _lsh_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, hash_fn
     )
@@ -579,9 +650,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     import time as _time
 
     sym = pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+    # localCheckpoint — not persist — on the edge set: persist caches
+    # the DATA but leaves the full upstream lineage in the analyzed
+    # plan, and every round's new query re-analyzes that tree (with a
+    # deep input — candidate join over a band store over a verify over
+    # ... — measured 20-40 s of driver-side re-planning PER ROUND at a
+    # ~100k-edge graph whose actual jobs take <1 s).  Checkpointing
+    # truncates the plan to a LogicalRDD, same as the per-round labels.
     edges = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).distinct().persist()
+    ).distinct().localCheckpoint()
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("component"))
@@ -628,9 +706,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 }
             )
         if changed == 0:
-            edges.unpersist()
             return labels
-    edges.unpersist()
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "
         "rounds — raise max_iterations (pointer jumping needs "

@@ -1,0 +1,309 @@
+"""Incremental near-duplicate dedup against a PERSISTED signature store.
+
+``minhash_lsh_pairs`` signatures the whole corpus every run — at the
+measured ~368 s / 1M docs (OPH kernel) a 100 TB corpus can never be
+re-run, only appended to.  This module is the append path: an on-disk
+index (Iceberg-style snapshot tables, ``sources/snapshots.py``) holds
+the committed band keys, the committed documents, and the resolved
+component labels; each new batch
+
+1. signatures ONLY the batch (the O(batch x shingles) cost center
+   never touches committed docs — the Spark translation of the
+   reference's resume semantics, extract.py:93-104: never recompute
+   committed work);
+2. candidate-joins new-vs-new AND new-vs-stored on (band, key).  The
+   stored side streams through a BroadcastHashJoin against the NEW
+   batch's distinct band keys (small by construction), so the store is
+   scanned but never shuffled — only matching stored rows (tiny) reach
+   the pair join;
+3. verifies candidates by EXACT Jaccard, re-shingling only the stored
+   docs that actually appear in a candidate pair (a semi join by id
+   against the committed docs table — with parquet min/max stats this
+   prunes to the row groups holding those ids, not a corpus re-read);
+4. resolves components INCREMENTALLY: only components TOUCHED by a new
+   pair re-resolve (the prior label rows of touched components are the
+   prior connectivity — a star graph per component — so transitive
+   merges ACROSS batches collapse correctly), and every untouched
+   component's labels carry over verbatim.  This step scales with the
+   affected dup subgraph, not the whole dup graph and certainly not
+   the corpus;
+5. commits atomically: docs + bands appended, labels replaced, each
+   through the snapshot log (a crash before commit leaves the index at
+   the previous snapshot — orphan parquet is invisible).
+
+Equivalence guarantee (pytest + driver-row oracled): because the
+signature functions are deterministic, the union of per-batch
+candidate sets equals the from-scratch candidate set — every unordered
+pair {x, y} is examined when the LATER of the two batches is added —
+and verification is exact Jaccard either way, so N incremental batches
+produce byte-identical labels to one from-scratch run over the union.
+
+Scale notes for the 100 TB deployment:
+- batch cost = sign(batch) + scan(store bands) + resolve(dup graph).
+  The scan is sequential columnar I/O of (id, band, key) — ~1-2% of
+  corpus bytes; to prune it too, bucket the bands table by ``key``
+  (sources/bucketed.py shows the no-Exchange co-located join) so a
+  batch only opens matching buckets.
+- the broadcast of the batch's distinct band keys is bounded by
+  ~bands x |batch| x ~40 B; for a 10M-doc daily batch at 16 bands
+  that is a few GB — above broadcast limits, flip the join direction
+  (shuffle both sides on (band, key)) which is still O(batch) + one
+  store shuffle, or split the batch.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.snapshots import SnapshotTable
+from .dedup import (
+    DEFAULT_BANDS,
+    DEFAULT_NUM_HASHES,
+    _verify_jaccard,
+    connected_components,
+    lsh_band_keys,
+    shingle_col,
+)
+
+
+class NearDupIndex:
+    """Persisted MinHash-LSH near-dup index: ``add_batch`` signs a new
+    batch, finds its near-dup pairs against everything committed so
+    far, folds them into the global component labels, and commits.
+
+    Ids must be unique across batches (re-adding a committed id is a
+    caller error; the verify stage defensively prefers the new batch's
+    text for such ids, but the docs table will hold both rows)."""
+
+    def __init__(self, path: str, *,
+                 num_hashes: int = DEFAULT_NUM_HASHES,
+                 bands: int = DEFAULT_BANDS,
+                 jaccard_threshold: float = 0.6,
+                 hash_fn: str = "md5",
+                 text_col: str = "text",
+                 id_col: str = "doc_id"):
+        if num_hashes % bands != 0:
+            raise ValueError(
+                f"num_hashes ({num_hashes}) must divide into bands ({bands})"
+            )
+        self.path = path
+        self.num_hashes = num_hashes
+        self.bands = bands
+        self.jaccard_threshold = jaccard_threshold
+        self.hash_fn = hash_fn
+        self.text_col = text_col
+        self.id_col = id_col
+        self.docs_table = SnapshotTable(os.path.join(path, "docs"))
+        self.bands_table = SnapshotTable(os.path.join(path, "bands"))
+        self.labels_table = SnapshotTable(os.path.join(path, "labels"))
+
+    # -- consistency ---------------------------------------------------
+    def assert_consistent(self) -> int:
+        """Each ``add_batch`` commits once to each table in a fixed
+        order (docs -> bands -> labels), so a healthy index has all
+        three at the SAME snapshot version; a crash between commits
+        leaves a detectable skew.  Returns the common version, or
+        raises with the recovery instruction (the per-table snapshot
+        logs keep every prior version, so rolling back = reading each
+        table at the min common version via time travel and re-running
+        the interrupted batch)."""
+        versions = {
+            "docs": self.docs_table._latest_version(),
+            "bands": self.bands_table._latest_version(),
+            "labels": self.labels_table._latest_version(),
+        }
+        if len(set(versions.values())) != 1:
+            raise RuntimeError(
+                f"index commit skew {versions}: a batch crashed between "
+                f"table commits — read all tables at version "
+                f"{min(versions.values())} (time travel) and re-run the "
+                "interrupted batch"
+            )
+        return versions["docs"]
+
+    # -- read side -----------------------------------------------------
+    def labels(self, spark: SparkSession) -> DataFrame:
+        """(id, component) for every doc that ever appeared in a
+        verified near-dup pair; component = min member id.  Docs never
+        paired carry no row (they are their own singleton component)."""
+        committed = self.labels_table.read(spark)
+        if committed is not None:
+            return committed.select("id", "component")
+        return spark.createDataFrame(
+            [], "id long, component long"
+        )
+
+    def committed_docs(self, spark: SparkSession) -> DataFrame | None:
+        return self.docs_table.read(spark)
+
+    def unique_docs(self, spark: SparkSession) -> DataFrame:
+        """The deduplicated view of everything committed: one canonical
+        doc (min id) per near-dup cluster."""
+        docs = self.docs_table.read(spark)
+        if docs is None:
+            raise ValueError("empty index — add a batch first")
+        losers = self.labels(spark).filter(
+            F.col("id") != F.col("component")
+        ).select(F.col("id").alias(self.id_col))
+        return docs.join(losers, [self.id_col], "left_anti")
+
+    # -- write side ----------------------------------------------------
+    def add_batch(self, batch: DataFrame,
+                  timings: dict | None = None) -> DataFrame:
+        """Sign ONLY ``batch``, pair it against (batch ∪ store), merge
+        components, commit.  Returns the newly verified pairs
+        (id_a, id_b, jaccard) — every pair involves >= 1 batch doc.
+
+        Pass a dict as ``timings`` to get per-phase wall seconds
+        (sign / candidates+verify / resolve / commit) — phase
+        boundaries are then forced with an extra count per phase, so
+        leave it None in production (the phases otherwise fuse into
+        Spark's own job boundaries)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
+        spark = batch.sparkSession
+        b = batch.select(
+            F.col(self.id_col), F.col(self.text_col)
+        ).persist()
+        new_bands = lsh_band_keys(
+            b, self.text_col, self.id_col,
+            self.num_hashes, self.bands, self.hash_fn,
+        ).persist()
+        if timings is not None:
+            new_bands.count()
+            timings["sign_sec"] = round(_time.perf_counter() - t0, 2)
+            t0 = _time.perf_counter()
+
+        # -- candidates: new-vs-new ∪ new-vs-stored ---------------------
+        left = new_bands.select(F.col("id").alias("id_a"), "band", "key")
+        right = new_bands.select(F.col("id").alias("id_b"), "band", "key")
+        cands = (
+            left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        stored_bands = self.bands_table.read(spark)
+        if stored_bands is not None:
+            # the store streams through a broadcast join against the
+            # batch's (small) distinct key set: no store-side shuffle
+            new_keys = new_bands.select("band", "key").distinct()
+            stored_hits = stored_bands.join(
+                F.broadcast(new_keys), ["band", "key"]
+            )
+            cross = (
+                new_bands.select(
+                    F.col("id").alias("_new"), "band", "key"
+                )
+                .join(
+                    stored_hits.select(
+                        F.col("id").alias("_old"), "band", "key"
+                    ),
+                    ["band", "key"],
+                )
+                .filter(F.col("_new") != F.col("_old"))
+                .select(
+                    F.least("_new", "_old").alias("id_a"),
+                    F.greatest("_new", "_old").alias("id_b"),
+                )
+            )
+            cands = cands.unionByName(cross)
+        # persisted: the verify stage reads cands TWICE when a store
+        # exists (as the pair list AND inside cand_ids for the old-doc
+        # semi join) — unpersisted, the store scan would run twice
+        cands = cands.dropDuplicates(["id_a", "id_b"]).persist()
+
+        # -- exact-Jaccard verify --------------------------------------
+        sh = b.select(
+            F.col(self.id_col).alias("id"),
+            shingle_col(F.col(self.text_col)).alias("sh"),
+        )
+        stored_docs = self.docs_table.read(spark)
+        if stored_docs is not None:
+            cand_ids = (
+                cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            old_needed = stored_docs.join(
+                cand_ids,
+                stored_docs[self.id_col] == cand_ids["id"],
+                "left_semi",
+            ).join(  # defensive: batch text wins for re-added ids
+                b.select(self.id_col), [self.id_col], "left_anti"
+            )
+            sh = sh.unionByName(
+                old_needed.select(
+                    F.col(self.id_col).alias("id"),
+                    shingle_col(F.col(self.text_col)).alias("sh"),
+                )
+            )
+        pairs = _verify_jaccard(
+            cands, sh, self.jaccard_threshold
+        ).persist()
+        if timings is not None:
+            pairs.count()
+            timings["candidates_verify_sec"] = round(
+                _time.perf_counter() - t0, 2
+            )
+            t0 = _time.perf_counter()
+
+        # -- resolve: only components TOUCHED by a new pair ------------
+        prior = self.labels_table.read(spark)
+        if prior is None:
+            new_labels = connected_components(pairs.select("id_a", "id_b"))
+        else:
+            prior = prior.persist()
+            pair_nodes = (
+                pairs.select(F.col("id_a").alias("id"))
+                .unionByName(pairs.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            # prior is re-read by the semi/anti joins below and touched
+            # feeds two joins — persist both or each consumer rescans
+            touched = (
+                prior.join(pair_nodes, "id", "left_semi")
+                .select("component")
+                .distinct()
+            ).persist()
+            # every member of a touched component re-resolves (its
+            # star edges re-enter the graph); everyone else's label
+            # carries over verbatim — no cross edges can exist between
+            # the two sets (an untouched node is in no new pair)
+            affected = prior.join(touched, "component", "left_semi")
+            edges = pairs.select("id_a", "id_b").unionByName(
+                affected.select(
+                    F.col("id").alias("id_a"),
+                    F.col("component").alias("id_b"),
+                )
+            )
+            resolved = connected_components(edges)
+            # NB: a list-key join moves the key column FIRST — re-select
+            # the canonical (id, component) order before the union/commit
+            untouched = prior.join(
+                touched, "component", "left_anti"
+            ).select("id", "component")
+            new_labels = untouched.unionByName(resolved)
+        if timings is not None:
+            new_labels = new_labels.persist()
+            new_labels.count()
+            timings["resolve_sec"] = round(_time.perf_counter() - t0, 2)
+            t0 = _time.perf_counter()
+
+        # -- commit ----------------------------------------------------
+        self.docs_table.append(b)
+        self.bands_table.append(new_bands)
+        self.labels_table.overwrite(new_labels)
+        if timings is not None:
+            timings["commit_sec"] = round(_time.perf_counter() - t0, 2)
+            new_labels.unpersist()
+        if prior is not None:
+            prior.unpersist()
+            touched.unpersist()
+        cands.unpersist()
+        b.unpersist()
+        new_bands.unpersist()
+        return pairs

@@ -69,10 +69,7 @@ class SnapshotTable:
         return snapshot.files if snapshot else []
 
     # -- write path ----------------------------------------------------
-    def append(self, df: DataFrame) -> Snapshot:
-        """Write df as new parquet files, then commit a manifest that
-        references old + new files.  Crash before the LATEST rename means
-        the new files are invisible (atomic commit)."""
+    def _write_files(self, df: DataFrame) -> tuple[list[str], int]:
         staging = os.path.join(self.data_dir, uuid.uuid4().hex)
         df.write.mode("overwrite").parquet(staging)
         new_files = [
@@ -82,7 +79,13 @@ class SnapshotTable:
         ]
         spark = df.sparkSession
         new_rows = spark.read.parquet(*new_files).count() if new_files else 0
+        return new_files, new_rows
 
+    def append(self, df: DataFrame) -> Snapshot:
+        """Write df as new parquet files, then commit a manifest that
+        references old + new files.  Crash before the LATEST rename means
+        the new files are invisible (atomic commit)."""
+        new_files, new_rows = self._write_files(df)
         parent = self.current_snapshot()
         version = self._latest_version() + 1
         snapshot = Snapshot(
@@ -91,6 +94,26 @@ class SnapshotTable:
             row_count=(parent.row_count if parent else 0) + new_rows,
             parent=parent.snapshot_id if parent else None,
         )
+        return self._commit(snapshot)
+
+    def overwrite(self, df: DataFrame) -> Snapshot:
+        """Write df as new files and commit a manifest referencing ONLY
+        them — Iceberg's replace/overwrite snapshot.  Prior versions
+        stay readable via time travel (their files are never deleted
+        here; expiry is a separate maintenance concern)."""
+        new_files, new_rows = self._write_files(df)
+        parent = self.current_snapshot()
+        version = self._latest_version() + 1
+        snapshot = Snapshot(
+            snapshot_id=version,
+            files=new_files,
+            row_count=new_rows,
+            parent=parent.snapshot_id if parent else None,
+        )
+        return self._commit(snapshot)
+
+    def _commit(self, snapshot: Snapshot) -> Snapshot:
+        version = snapshot.snapshot_id
         manifest_path = os.path.join(self.log_dir, f"v{version}.json")
         with open(manifest_path, "w") as f:
             json.dump(

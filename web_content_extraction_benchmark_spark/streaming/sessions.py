@@ -242,12 +242,21 @@ def write_session_flush_sentinels_from_state(
 def run_session_stream_with_state_flush(
     spark: SparkSession, source_dir: str, query_name: str = "sessions",
     watermark: str = "1 hour", checkpoint_dir: str | None = None,
+    sink_path: str | None = None,
 ) -> None:
     """Drive the sessionizer to completion with the state-store flush:
     ONE streaming query consumes the real events, then (while it idles)
     sentinels derived from its own committed state are dropped into the
     source dir and consumed by the same query — closing every open
-    session so the append-mode memory sink equals the batch truth."""
+    session so the append-mode sink equals the batch truth.
+
+    ``sink_path=None`` writes to a memory sink named ``query_name`` —
+    but a memory sink CANNOT recover a checkpoint, so a RESTARTED run
+    (resumed ``checkpoint_dir``) must pass ``sink_path``: the parquet
+    file sink's own commit log then spans runs, and reading the path
+    yields every session emitted across all of them (the restart
+    pytest drives phase 1 and the flushed phase 2 through the same
+    path + checkpoint)."""
     import os
     import shutil
     import tempfile
@@ -271,13 +280,16 @@ def run_session_stream_with_state_flush(
             if name.startswith("zz_sentinels"):
                 os.remove(os.path.join(source_dir, name))
     out = stream_sessionize(spark, source_dir, watermark=watermark)
-    query = (
-        out.writeStream.format("memory")
-        .queryName(query_name)
+    writer = (
+        out.writeStream.queryName(query_name)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
-        .start()
     )
+    if sink_path is None:
+        writer = writer.format("memory")
+    else:
+        writer = writer.format("parquet").option("path", sink_path)
+    query = writer.start()
     query.processAllAvailable()
     staging = os.path.join(source_dir, "__sentinel_staging")
     n = write_session_flush_sentinels_from_state(
