@@ -445,7 +445,13 @@ def main() -> None:
             hash_fn="oph",
         )
         d2 = drop_near_duplicates(d1, pairs)
-        bench_set = docs.filter(F.col("doc_id") % 101 == 0).select("text")
+        # ONE benchmark doc (r6 fix): the synthetic vocabulary is ~31
+        # words, so 3-gram collisions across DISTINCT texts run ~28%
+        # per benchmark doc — the previous %101 draw (~2k rows) covered
+        # every text and decontaminated the corpus to ZERO, leaving
+        # quota/sample/pack timing empty input.  One doc keeps a
+        # realistic ~28% drop and the tail stages real rows.
+        bench_set = d2.orderBy("doc_id").limit(1).select("text")
         d3 = decontaminate(d2, bench_set)
         capped = quota_per_key(d3, 100, key_col="host")
         sampled = deterministic_sample(capped, 0.5, key_col="doc_id")

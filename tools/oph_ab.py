@@ -43,9 +43,11 @@ def main() -> None:
     spark = get_spark("oph-ab", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
+    # rebalance the ~4-split parquet read or the signature stages run
+    # 4-wide (and 4 fat partitions of text can blow the 8g heap)
     corpus = build_chain_corpus(
         spark, sf_dir, replicate, chain_mod=4, chain_len=4
-    ).persist()
+    ).repartition(cpus * 2).persist()
     n_docs = corpus.count()
 
     def run(hash_fn: str) -> float:

@@ -214,8 +214,14 @@ def oph_signature_catalyst(hashes: Column, num_hashes: int) -> Column:
 
     Cost shape: O(shingles x k) comparisons per doc — MORE ops than the
     Arrow kernel's O(shingles) lattice, but each op is a codegen'd
-    bitmask/compare instead of a Python-side Arrow batch round-trip;
-    tools/oph_ab.py measures which wins (no shuffle either way).
+    bitmask/compare instead of a Python-side Arrow batch round-trip.
+    MEASURED (tools/oph_ab.py, 218,750 chain docs, 128/16, local[32],
+    BENCH/oph_ab_r06.jsonl): Arrow "oph" 28.4k docs/s, this path 10.3k,
+    xxhash64 remix 25.3k — the lattice kernel's O(shingles) beats the
+    JVM's O(shingles x k), so "oph" STAYS the corpus-scale default and
+    this path is the no-Python-stage alternative (e.g. clusters where
+    Python workers are unavailable).  Band keys verified bit-identical
+    across both (A/B check row + pytest at 8/4 and 128/16).
     ``hash_fn="oph_sql"`` in the LSH entry points selects this path."""
     k = num_hashes
     if k & (k - 1):
