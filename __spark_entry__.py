@@ -1066,7 +1066,7 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     returned ``canonical_url`` column byte-compares the normalization
     against the DuckDB mirror."""
     from web_content_extraction_benchmark_spark.operators.urls import (
-        canonical_url_col,
+        canonicalize_urls,
     )
 
     pages = synthesize_pages(spark, sf_dir).filter(F.col("doc_id") % 103 != 0)
@@ -1086,11 +1086,19 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("?utm_source=x&b="), b, F.lit("&a=1&c=%4a#s"),
         ),
     ).otherwise(F.col("url"))
-    return pages.select(
+    # the staged corpus entry point, NOT canonical_url_col(messy): the
+    # single-expression form would evaluate the (lambda-bearing, hence
+    # subexpression-elimination-exempt) percent-normalize transform 4x
+    # per row — canonicalize_urls materializes __messy/__norm in their
+    # own projections first (the CLAUDE.md fan-out gotcha)
+    staged = pages.select(
         "url",
         F.sha2(F.col("html"), 256).alias("page_id"),
-        canonical_url_col(messy).alias("canonical_url"),
+        messy.alias("__messy"),
     )
+    return canonicalize_urls(
+        staged, "__messy", out_col="canonical_url"
+    ).select("url", "page_id", "canonical_url")
 
 
 def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:

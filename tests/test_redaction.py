@@ -22,6 +22,9 @@ PLANTED = [
     # r6: IPv6 (full + ::-compressed) and space-separated intl phone
     "node fe80:1:2:3:4:5:6:7 and 2001:db8::8a2e:370:7334 up",
     "call +44 20 7946 0958 now",
+    # v4-mapped/NAT64 tails: one <IP6>, never a leaked quad (review r6)
+    "nat64 64:ff9b::1.2.3.4 mapped 2001:db8::ffff:10.0.0.9 done",
+    "leading ::ffff:192.168.1.20 form",
 ]
 
 # deliberately NOT redacted — the operator's pinned exclusion list
@@ -82,6 +85,11 @@ def test_redaction_matches_duckdb_corpus_wide(corpus, sf_dir):
     # r6 rules: full + compressed IPv6, space-separated intl phone
     assert got[10_000_005] == "node <IP6> and <IP6> up"
     assert got[10_000_006] == "call <PHONE> now"
+    # v4-mapped tails are ONE token — no '.2.3.4' leak after the <IP6>
+    assert got[10_000_007] == "nat64 <IP6> mapped <IP6> done"
+    # ::-leading v4-mapped: the quad still redacts (prefix remains —
+    # documented exclusion)
+    assert got[10_000_008] == "leading ::ffff:<IP> form"
 
 
 def test_redaction_pinned_exclusions(spark):

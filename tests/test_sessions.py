@@ -284,3 +284,29 @@ def test_restart_from_checkpoint_then_flush_equals_batch_truth(
     span_sessions = [s for s in final if s[0] == span_user]
     assert len(span_sessions) == 1
     assert span_sessions[0][3] == 2  # both events merged
+
+
+def test_reflushing_a_flushed_checkpoint_raises(spark, sf_dir, tmp_path):
+    """A sentinel-flushed checkpoint is TERMINAL (the watermark sits
+    ~2 days ahead): resuming it with more events would silently drop
+    them all as late data, so the runner must refuse (review r6)."""
+    import pytest as _pytest
+
+    from web_content_extraction_benchmark_spark.streaming.sessions import (
+        run_session_stream_with_state_flush,
+    )
+
+    src = tmp_path / "events"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "events.parquet")
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+    run_session_stream_with_state_flush(
+        spark, str(src), query_name="sessions_terminal_p1",
+        checkpoint_dir=ckpt, sink_path=out_dir,
+    )
+    with _pytest.raises(RuntimeError, match="TERMINAL"):
+        run_session_stream_with_state_flush(
+            spark, str(src), query_name="sessions_terminal_p2",
+            checkpoint_dir=ckpt, sink_path=out_dir,
+        )

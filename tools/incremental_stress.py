@@ -22,8 +22,11 @@ batch fraction rather than the corpus.
 
 Usage:
     python tools/incremental_stress.py [sf_dir] [replicate] [split_mod]
-                                       [hash_fn]
-Defaults: /root/testdata/sf0.1 40 10 oph.  Prints one JSON line.
+                                       [hash_fn] [chain_mod]
+Defaults: /root/testdata/sf0.1 40 10 oph 4.  ``chain_mod`` sets the
+planted dup rate (every chain_mod-th doc gets mutants): 4 is the
+dup-HEAVY shape shared with neardup_stress; 20 approximates a
+realistic corpus (~13% of docs in chains).  Prints one JSON line.
 """
 
 from __future__ import annotations
@@ -47,6 +50,7 @@ def main() -> None:
     replicate = int(sys.argv[2]) if len(sys.argv) > 2 else 40
     split_mod = int(sys.argv[3]) if len(sys.argv) > 3 else 10
     hash_fn = sys.argv[4] if len(sys.argv) > 4 else "oph"
+    chain_mod = int(sys.argv[5]) if len(sys.argv) > 5 else 4
 
     from web_content_extraction_benchmark_spark.operators.dedup import (
         PROD_BANDS,
@@ -68,7 +72,8 @@ def main() -> None:
     # stage runs 4-wide on a 32-core box (the CLAUDE.md .limit/partition
     # gotcha family)
     corpus = (
-        build_chain_corpus(spark, sf_dir, replicate, chain_mod=4, chain_len=4)
+        build_chain_corpus(spark, sf_dir, replicate, chain_mod=chain_mod,
+                           chain_len=4)
         .repartition(cpus * 2)
         .persist()
     )
@@ -157,11 +162,18 @@ def main() -> None:
                     "bands": PROD_BANDS,
                     "split_mod": split_mod,
                     "replicate": replicate,
+                    "chain_mod": chain_mod,
                     "cpus": cpus,
                     "loadavg_at_start": loadavg,
                 }
             )
         )
+        if mismatches:
+            raise SystemExit(
+                f"incremental != from-scratch: {mismatches} label "
+                "mismatches — the evidence line above records a BROKEN "
+                "incremental path"
+            )
     finally:
         shutil.rmtree(index_path, ignore_errors=True)
 

@@ -240,10 +240,15 @@ def oph_signature_catalyst(hashes: Column, num_hashes: int) -> Column:
         ),
     )
     tiled = F.concat(sig0, sig0)
+    # NB: the aggregate's zero value must NOT reference tiled (e.g. a
+    # slice(tiled, 1, 0)): lambda-bearing subtrees are exempt from
+    # subexpression elimination, so that would re-evaluate the whole
+    # O(shingles x k) lattice per row just to make an empty array
+    # (review finding r6)
     ff = F.aggregate(
         tiled,
         F.struct(
-            F.slice(tiled, 1, 0).alias("out"),
+            F.array().cast("array<long>").alias("out"),
             F.lit(None).cast("long").alias("last"),
         ),
         lambda acc, x: F.struct(

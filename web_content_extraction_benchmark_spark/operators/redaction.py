@@ -21,8 +21,10 @@ prefix plus digits).
 WHAT IS REDACTED — the inclusion list, exactly:
 - e-mail addresses (local@dotted-domain);
 - IPv4 dotted quads with every octet in 0-255;
-- IPv6 in full 8-group form, or ``::``-compressed with at least one
-  hex group on each side of the ``::``;
+- IPv6 in full 8-group form, ``::``-compressed with at least one
+  hex group on each side of the ``::``, or with an embedded dotted-quad
+  tail (v4-mapped/NAT64: ``64:ff9b::1.2.3.4``) — the whole address is
+  one ``<IP6>``, never a half-eaten hex prefix plus a leaked quad;
 - 13-19 digit runs and 4-4-4-4 grouped card numbers;
 - phone numbers with ``-``/``.`` separators (3-3/4-4, optional
   +country), and space-separated international numbers that START
@@ -34,7 +36,9 @@ WHAT IS DELIBERATELY NOT REDACTED — pinned by negative tests
   strings, not routable addresses);
 - ``::``-leading or ``::``-trailing IPv6 (``::1``, ``fe80::``) — a
   ``\\b`` boundary cannot anchor after ``:``, and bare ``::1`` collides
-  with too much non-PII text;
+  with too much non-PII text (a ``::``-LEADING v4-mapped form like
+  ``::ffff:1.2.3.4`` still redacts its quad via the IPv4 rule — the
+  address bytes never leak, only the ``::ffff:`` prefix remains);
 - space-separated phone numbers WITHOUT a leading ``+``
   (``415 555 2671``) — indistinguishable from numeric table columns;
 - national formats with no separators beyond the 13-19-digit card rule
@@ -59,6 +63,13 @@ _HEX4 = r"[0-9A-Fa-f]{1,4}"
 PII_RULES: tuple[tuple[str, str], ...] = (
     # e-mail: local part @ dotted domain
     (r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}\b", "<EMAIL>"),
+    # IPv6 with an embedded dotted-quad tail (v4-mapped/NAT64 forms,
+    # '::ffff:1.2.3.4' / '64:ff9b::1.2.3.4' / full '0:...:0:1.2.3.4')
+    # FIRST: the hex-only compressed rule below would otherwise consume
+    # '...::1' and leave '.2.3.4' behind (review finding r6)
+    (rf"\b(?:{_HEX4}:){{1,6}}:(?:{_HEX4}:){{0,5}}"
+     rf"(?:{_OCTET}\.){{3}}{_OCTET}\b", "<IP6>"),
+    (rf"\b(?:{_HEX4}:){{6}}(?:{_OCTET}\.){{3}}{_OCTET}\b", "<IP6>"),
     # IPv6 full form (8 groups), then ::-compressed with >=1 group on
     # each side of the ::.  Before IPv4 so a v4-mapped tail can't be
     # half-eaten by the dotted-quad rule.

@@ -27,7 +27,15 @@ regex chain.  Every construct sits in the Java-regex/RE2 common
 subset (or exact engine-agnostic arithmetic) and has a DuckDB twin
 (``canonical_url_sql``), so an independent engine reproduces the
 output byte-for-byte; non-URL strings (no ``scheme://`` after
-normalization) pass through byte-unchanged."""
+normalization) pass through byte-unchanged.
+
+Deliberately OUT of scope (documented, not forgotten): IDN/punycode
+host folding (``bücher.example`` vs ``xn--bcher-kva.example`` stay
+distinct — full nameprep/IDNA mapping is far outside the regex subset
+this operator pins itself to, and mixed-representation hosts are rare
+in crawl frontiers, which store the punycode form), and path dot-
+segment removal (``/a/../b`` — a crawler's fetcher resolves these
+before the URL reaches a corpus)."""
 
 from __future__ import annotations
 

@@ -256,7 +256,15 @@ def run_session_stream_with_state_flush(
     file sink's own commit log then spans runs, and reading the path
     yields every session emitted across all of them (the restart
     pytest drives phase 1 and the flushed phase 2 through the same
-    path + checkpoint)."""
+    path + checkpoint).
+
+    A FLUSHED checkpoint is TERMINAL for event time: the sentinels sit
+    ``days_ahead`` in the future, so the committed watermark has
+    advanced past any realistic later event — a further resumed run
+    would silently drop every new event as late data.  Restart-then-
+    flush therefore composes as (plain checkpointed runs)* -> ONE
+    flush; this function RAISES if asked to resume a checkpoint whose
+    source dir already holds its sentinel files (review finding r6)."""
     import os
     import shutil
     import tempfile
@@ -279,6 +287,19 @@ def run_session_stream_with_state_flush(
         for name in os.listdir(source_dir):
             if name.startswith("zz_sentinels"):
                 os.remove(os.path.join(source_dir, name))
+    elif any(
+        name.startswith("zz_sentinels") for name in os.listdir(source_dir)
+    ):
+        # resumed checkpoint + committed sentinels = the watermark is
+        # ~days_ahead in the future; any newer real events would be
+        # silently discarded as late.  Fail loudly instead.
+        raise RuntimeError(
+            f"checkpoint {checkpoint_dir} was already sentinel-flushed: "
+            "its event-time watermark sits days ahead, so resuming with "
+            "more events would silently drop them all.  Flush is the "
+            "TERMINAL step — restart from plain checkpointed runs and "
+            "flush once at the end (or start a fresh checkpoint)."
+        )
     out = stream_sessionize(spark, source_dir, watermark=watermark)
     writer = (
         out.writeStream.queryName(query_name)
