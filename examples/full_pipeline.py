@@ -148,6 +148,30 @@ def main() -> None:
     ).collect()[0]
     print(f"[7] corpus prep: {stats.docs} docs packed into "
           f"{stats.sequences} 2048-token sequences")
+
+    # 8. Incremental append (r6): commit today's corpus to a persisted
+    #    NearDupIndex, then dedup a "tomorrow" batch against it — the
+    #    new batch signs ONLY itself and candidate-joins the committed
+    #    band store, so appends cost O(batch), not O(corpus).
+    from web_content_extraction_benchmark_spark.operators.incremental_dedup import (
+        NearDupIndex,
+    )
+
+    idx = NearDupIndex(
+        os.path.join(out_dir, "neardup_index"),
+        jaccard_threshold=0.8, hash_fn="oph",
+    )
+    ids = unique_docs.select(
+        F.xxhash64("doc_id").alias("doc_id"), "text"
+    )
+    idx.add_batch(ids).unpersist()
+    tomorrow = ids.limit(50).select(
+        (F.col("doc_id") + 1).alias("doc_id"), "text"  # near-exact dups
+    )
+    new_pairs = idx.add_batch(tomorrow)
+    print(f"[8] incremental index v{idx.assert_consistent()}: "
+          f"batch-2 found {new_pairs.count()} pairs vs the committed "
+          f"corpus; {idx.unique_docs(spark).count()} unique docs total")
     print("PIPELINE OK", out_dir)
 
 

@@ -87,3 +87,30 @@ def test_cli_surface_matches_reference_commands():
     assert {"extract", "convert-datasets", "eval", "complexity"} <= set(
         sub.choices
     )
+
+
+def test_cli_dedup_append_and_export(tmp_path, spark):
+    """Beyond-reference `wceb-spark dedup`: two appends against a
+    persisted index, then export of the canonical (deduped) view."""
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "one two three four five six seven")],
+        "doc_id long, text string",
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(3, "alpha beta gamma delta epsilon zeta theta")],
+        "doc_id long, text string",
+    ).write.parquet(b2)
+    index = str(tmp_path / "idx")
+    out = str(tmp_path / "uniq")
+
+    main(["dedup", "append", "--index", index, "--batch", b1,
+          "--threshold", "0.5", "--hash-fn", "md5"])
+    main(["dedup", "append", "--index", index, "--batch", b2,
+          "--threshold", "0.5", "--hash-fn", "md5"])
+    main(["dedup", "export", "--index", index, "-o", out])
+    uniq = {r.doc_id for r in spark.read.json(out).collect()}
+    # doc 3 near-dups doc 1 (6 of 7 words shared) -> canonical 1 kept
+    assert uniq == {1, 2}

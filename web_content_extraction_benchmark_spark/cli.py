@@ -231,6 +231,50 @@ def cmd_complexity_calculate(args: argparse.Namespace) -> None:
     print(f"complexities -> {args.output}")
 
 
+def cmd_dedup_append(args: argparse.Namespace) -> None:
+    """Beyond-reference: append a JSONL/parquet batch of (doc_id, text)
+    to a persisted incremental near-dup index (operators/
+    incremental_dedup.NearDupIndex) — signs only the batch, dedups it
+    against everything committed, prints the pair/cluster deltas."""
+    from .operators.incremental_dedup import NearDupIndex
+
+    spark = _spark(args)
+    reader = spark.read
+    batch = (
+        reader.json(args.batch) if args.batch.endswith((".jsonl", ".json"))
+        else reader.parquet(args.batch)
+    ).select(
+        F.col(args.id_col).cast("long").alias("doc_id"),
+        F.col(args.text_col).alias("text"),
+    )
+    idx = NearDupIndex(
+        args.index, jaccard_threshold=args.threshold, hash_fn=args.hash_fn,
+    )
+    pairs = idx.add_batch(batch)
+    n_pairs = pairs.count()
+    version = idx.assert_consistent()
+    labels = idx.labels(spark)
+    n_clusters = labels.select("component").distinct().count()
+    print(
+        f"index {args.index} now at v{version}: batch added "
+        f"{batch.count()} docs, {n_pairs} new near-dup pairs; "
+        f"{n_clusters} clusters / {labels.count()} clustered docs total"
+    )
+
+
+def cmd_dedup_export(args: argparse.Namespace) -> None:
+    """Write the deduplicated view (one canonical doc per cluster) of
+    everything committed to the index."""
+    from .operators.incremental_dedup import NearDupIndex
+    from .sources.jsonl import write_jsonl
+
+    spark = _spark(args)
+    idx = NearDupIndex(args.index)
+    uniq = idx.unique_docs(spark)
+    write_jsonl(uniq, args.output, sort_by="doc_id")
+    print(f"{uniq.count()} unique docs -> {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="wceb-spark",
@@ -278,6 +322,30 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--score-col", default="f1",
                    help="main score column for distribution tables")
     p.set_defaults(fn=cmd_eval_aggregate)
+
+    pd_ = sub.add_parser(
+        "dedup", help="incremental near-dup index (beyond-reference)"
+    )
+    dsub = pd_.add_subparsers(dest="dedup_command", required=True)
+
+    p = dsub.add_parser("append", help="dedup a new batch against the "
+                        "committed index and commit it")
+    p.add_argument("--index", required=True,
+                   help="index directory (created on first append)")
+    p.add_argument("--batch", required=True,
+                   help="parquet dir or .jsonl file of (doc_id, text)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--threshold", type=float, default=0.8)
+    p.add_argument("--hash-fn", default="oph",
+                   choices=["md5", "xxhash64", "oph", "oph_sql"])
+    p.set_defaults(fn=cmd_dedup_append)
+
+    p = dsub.add_parser("export", help="write one canonical doc per "
+                        "near-dup cluster (sorted JSONL)")
+    p.add_argument("--index", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.set_defaults(fn=cmd_dedup_export)
 
     pc = sub.add_parser("complexity", help="page extraction complexity")
     csub = pc.add_subparsers(dest="complexity_command", required=True)
