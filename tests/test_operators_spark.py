@@ -842,3 +842,31 @@ def test_decontamination_matches_duckdb_and_plan(spark, docs):
         if "Exchange hashpartitioning(gram" in ln
     ]
     assert len(gram_exchanges) <= 1, gram_exchanges
+
+
+def test_bloom_decontamination_equals_exact(spark, docs):
+    """contaminated_ids_bloom (r6): the Bloom path — bit positions
+    JVM-side, numpy bitmap build/probe, exact re-verify on survivors —
+    must return EXACTLY the broadcast-join result at any fpp (false
+    positives are verified away), including a tight bitmap where
+    collisions are common."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        contaminated_ids,
+        contaminated_ids_bloom,
+    )
+
+    corpus = docs.select("doc_id", "text")
+    words = F.split(F.col("text"), " ")
+    bench = corpus.filter(F.col("doc_id") % 25 == 0).select(
+        F.concat_ws(" ", F.slice(words, 3, 9)).alias("text")
+    )
+    want = {r.doc_id for r in contaminated_ids(corpus, bench).collect()}
+    for fpp in (0.01, 0.5):  # 0.5 = deliberately collision-heavy bitmap
+        got = {
+            r.doc_id
+            for r in contaminated_ids_bloom(
+                corpus, bench, fpp=fpp
+            ).collect()
+        }
+        assert got == want, fpp
+    assert want  # the planted leaks make the comparison non-trivial

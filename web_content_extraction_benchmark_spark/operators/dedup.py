@@ -757,11 +757,11 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
     Size bound: the broadcast carries the DISTINCT gram strings —
     ~10^5 grams (a large eval suite) is a few MB, benched as
     q14_decontam_100kgrams; it stays practical to ~10^7 grams
-    (hundreds of MB of driver+executor copies).  Above that, swap the
-    broadcast for (a) a partitioned repartition-join of grams on gram
-    hash, or (b) a Bloom filter built over benchmark grams
-    (F.bloom_filter_agg) applied map-side with the exact join only on
-    filter survivors — same semantics, no single-node materialization."""
+    (hundreds of MB of driver+executor copies).  Above that, use
+    ``contaminated_ids_bloom`` (r6): a from-scratch Bloom filter
+    (m/8 BYTES broadcast instead of gram strings) applied map-side,
+    with the exact gram join only on filter survivors — pytest pins
+    output equality with this function at any fpp."""
     doc_grams = docs.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_col(F.col(text_col), k)).alias("gram"),
@@ -777,6 +777,116 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
         .select("id")
         .distinct()
         .select(F.col("id").alias(id_col))
+    )
+
+
+def _bloom_params(n_items: int, fpp: float) -> tuple[int, int]:
+    """Standard Bloom sizing: m bits and h hash functions for n items
+    at the target false-positive rate (m rounded up to a multiple of
+    64 so the bitmap packs into whole int64 words)."""
+    m = math.ceil(-n_items * math.log(fpp) / (math.log(2) ** 2))
+    m = ((m + 63) // 64) * 64
+    h = max(1, round(m / n_items * math.log(2)))
+    return m, h
+
+
+def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
+                           k: int = SHINGLE_SIZE, text_col: str = "text",
+                           id_col: str = "doc_id", fpp: float = 0.01,
+                           expected_grams: int | None = None) -> DataFrame:
+    """``contaminated_ids`` for benchmark sets too big to broadcast as
+    strings (the documented ~10^7-gram bound of the broadcast join):
+    EXACTLY the same output, via a from-scratch Bloom filter.
+
+    Spark's own ``bloom_filter_agg``/``might_contain`` are internal
+    (unregistered) expressions, so the filter is built from public
+    APIs: bit POSITIONS are computed JVM-side on both sides
+    (``pmod(xxhash64(gram, seed_i), m)`` for h seeds — engine-exact by
+    construction), a vectorized ``mapInPandas`` ORs each benchmark
+    partition into an m-bit numpy bitmap, the driver ORs the partition
+    bitmaps, and probing is one Arrow-batched pandas UDF over the
+    broadcast bitmap.  Probe SURVIVORS (true leaks + ~fpp false
+    positives) are then re-verified with the exact gram equi join, so
+    false positives only cost verify work, never correctness —
+    pytest pins equality with ``contaminated_ids``.
+
+    Scale shape: the broadcast is m/8 BYTES (~120 MB for 10^8 grams at
+    1% fpp — executor-feasible where 10^8 gram strings are not); the
+    exact verify joins only the survivor grams (~leak rate + fpp of
+    the corpus) against the benchmark grams, with the survivor side
+    small enough to drive a broadcast join at realistic leak rates."""
+    m, h = _bloom_params(max(1, expected_grams or _count_grams(
+        benchmark, k, text_col)), fpp)
+    n_words = m // 64
+
+    bench_grams = benchmark.select(
+        F.explode(shingle_col(F.col(text_col), k)).alias("gram")
+    ).distinct()
+    positions = F.array(
+        *[F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m)) for i in range(h)]
+    )
+
+    def _build(batches):
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            if len(pdf):
+                pos = np.concatenate(
+                    [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
+                )
+                np.bitwise_or.at(
+                    bitmap, pos // 64,
+                    np.uint64(1) << (pos % 64).astype(np.uint64),
+                )
+        yield pd.DataFrame({"words": [bitmap.view(np.int64).tobytes()]})
+
+    parts = bench_grams.select(positions.alias("pos")).mapInPandas(
+        _build, "words binary"
+    ).collect()
+    bitmap = np.zeros(n_words, dtype=np.uint64)
+    for row in parts:
+        bitmap |= np.frombuffer(row.words, dtype=np.int64).view(np.uint64)
+    bc = docs.sparkSession.sparkContext.broadcast(bitmap)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.BooleanType())
+    def might_contain(pos_col: pd.Series) -> pd.Series:
+        bm = bc.value
+        n = len(pos_col)
+        if n == 0:
+            return pd.Series([], dtype=bool)
+        flat = np.concatenate(
+            [np.asarray(p, dtype=np.int64) for p in pos_col]
+        )
+        hits = (
+            bm[flat // 64] & (np.uint64(1) << (flat % 64).astype(np.uint64))
+        ) != 0
+        return pd.Series(hits.reshape(n, -1).all(axis=1))
+
+    doc_grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingle_col(F.col(text_col), k)).alias("gram"),
+    )
+    survivors = doc_grams.filter(
+        might_contain(positions)
+    )
+    # exact re-verify: survivors are ~(leak + fpp) of the corpus grams —
+    # broadcast THAT side into the benchmark-gram stream
+    return (
+        survivors.join(bench_grams, "gram")
+        .select("id")
+        .distinct()
+        .select(F.col("id").alias(id_col))
+    )
+
+
+def _count_grams(benchmark: DataFrame, k: int, text_col: str) -> int:
+    return (
+        benchmark.select(
+            F.explode(shingle_col(F.col(text_col), k)).alias("gram")
+        )
+        .distinct()
+        .count()
     )
 
 
