@@ -107,9 +107,16 @@ def test_cli_dedup_append_and_export(tmp_path, spark):
     out = str(tmp_path / "uniq")
 
     main(["dedup", "append", "--index", index, "--batch", b1,
-          "--threshold", "0.5", "--hash-fn", "md5"])
-    main(["dedup", "append", "--index", index, "--batch", b2,
-          "--threshold", "0.5", "--hash-fn", "md5"])
+          "--threshold", "0.5", "--hash-fn", "md5",
+          "--num-hashes", "8", "--bands", "8"])
+    # config is persisted: the second append needs NO flags (loads the
+    # stored shape), and a CONFLICTING explicit flag must refuse
+    main(["dedup", "append", "--index", index, "--batch", b2])
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different"):
+        main(["dedup", "append", "--index", index, "--batch", b2,
+              "--hash-fn", "oph"])
     main(["dedup", "export", "--index", index, "-o", out])
     uniq = {r.doc_id for r in spark.read.json(out).collect()}
     # doc 3 near-dups doc 1 (6 of 7 words shared) -> canonical 1 kept

@@ -236,6 +236,8 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
     to a persisted incremental near-dup index (operators/
     incremental_dedup.NearDupIndex) — signs only the batch, dedups it
     against everything committed, prints the pair/cluster deltas."""
+    import os
+
     from .operators.incremental_dedup import NearDupIndex
 
     spark = _spark(args)
@@ -247,8 +249,30 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
         F.col(args.id_col).cast("long").alias("doc_id"),
         F.col(args.text_col).alias("text"),
     )
-    idx = NearDupIndex(
-        args.index, jaccard_threshold=args.threshold, hash_fn=args.hash_fn,
+    # fresh index: unset flags take the PRODUCTION LSH shape (128/16
+    # OPH at 0.8), not the library's oracle-fixture defaults; existing
+    # index: unset flags load the persisted config, and a conflicting
+    # explicit flag raises (the config is part of the index)
+    if not os.path.exists(NearDupIndex.meta_path(args.index)):
+        prod = {"num_hashes": 128, "bands": 16,
+                "jaccard_threshold": 0.8, "hash_fn": "oph"}
+    else:
+        prod = {}
+    idx = NearDupIndex.open(
+        args.index,
+        **{
+            **prod,
+            **{
+                k: v
+                for k, v in {
+                    "num_hashes": args.num_hashes,
+                    "bands": args.bands,
+                    "jaccard_threshold": args.threshold,
+                    "hash_fn": args.hash_fn,
+                }.items()
+                if v is not None
+            },
+        },
     )
     pairs = idx.add_batch(batch)
     n_pairs = pairs.count()
@@ -269,7 +293,7 @@ def cmd_dedup_export(args: argparse.Namespace) -> None:
     from .sources.jsonl import write_jsonl
 
     spark = _spark(args)
-    idx = NearDupIndex(args.index)
+    idx = NearDupIndex.open(args.index)
     uniq = idx.unique_docs(spark)
     write_jsonl(uniq, args.output, sort_by="doc_id")
     print(f"{uniq.count()} unique docs -> {args.output}")
@@ -336,9 +360,13 @@ def build_parser() -> argparse.ArgumentParser:
                    help="parquet dir or .jsonl file of (doc_id, text)")
     p.add_argument("--id-col", default="doc_id")
     p.add_argument("--text-col", default="text")
-    p.add_argument("--threshold", type=float, default=0.8)
-    p.add_argument("--hash-fn", default="oph",
+    # None = fresh index takes the production shape (128/16 oph @0.8);
+    # existing index loads its persisted config
+    p.add_argument("--threshold", type=float, default=None)
+    p.add_argument("--hash-fn", default=None,
                    choices=["md5", "xxhash64", "oph", "oph_sql"])
+    p.add_argument("--num-hashes", type=int, default=None)
+    p.add_argument("--bands", type=int, default=None)
     p.set_defaults(fn=cmd_dedup_append)
 
     p = dsub.add_parser("export", help="write one canonical doc per "

@@ -812,16 +812,21 @@ def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
 
     Scale shape: the broadcast is m/8 BYTES (~120 MB for 10^8 grams at
     1% fpp — executor-feasible where 10^8 gram strings are not); the
-    exact verify joins only the survivor grams (~leak rate + fpp of
-    the corpus) against the benchmark grams, with the survivor side
-    small enough to drive a broadcast join at realistic leak rates."""
-    m, h = _bloom_params(max(1, expected_grams or _count_grams(
-        benchmark, k, text_col)), fpp)
-    n_words = m // 64
-
+    per-partition bitmaps are OR-merged in ONE executor task before a
+    single-row collect, so the driver holds O(m/8), never
+    O(partitions x m/8).  The exact verify is a hash join on gram
+    where the survivor side (~leak rate + fpp of the corpus grams) is
+    the small side at realistic leak rates (AQE broadcasts it when it
+    fits); at extreme scale both sides shuffle once — still only
+    survivor grams, never the full corpus gram stream."""
     bench_grams = benchmark.select(
         F.explode(shingle_col(F.col(text_col), k)).alias("gram")
-    ).distinct()
+    ).distinct().persist()  # reused: sizing, bitmap build, exact verify
+    m, h = _bloom_params(
+        max(1, expected_grams or bench_grams.count()), fpp
+    )
+    n_words = m // 64
+
     positions = F.array(
         *[F.pmod(F.xxhash64("gram", F.lit(i)), F.lit(m)) for i in range(h)]
     )
@@ -837,14 +842,26 @@ def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
                     bitmap, pos // 64,
                     np.uint64(1) << (pos % 64).astype(np.uint64),
                 )
-        yield pd.DataFrame({"words": [bitmap.view(np.int64).tobytes()]})
+        yield pd.DataFrame({"words": [bitmap.tobytes()]})
 
-    parts = bench_grams.select(positions.alias("pos")).mapInPandas(
-        _build, "words binary"
-    ).collect()
-    bitmap = np.zeros(n_words, dtype=np.uint64)
-    for row in parts:
-        bitmap |= np.frombuffer(row.words, dtype=np.int64).view(np.uint64)
+    def _merge(batches):
+        bitmap = np.zeros(n_words, dtype=np.uint64)
+        for pdf in batches:
+            for words in pdf["words"]:
+                bitmap |= np.frombuffer(words, dtype=np.uint64)
+        yield pd.DataFrame({"words": [bitmap.tobytes()]})
+
+    merged = (
+        bench_grams.select(positions.alias("pos"))
+        .mapInPandas(_build, "words binary")   # one bitmap / partition
+        .repartition(1)
+        .mapInPandas(_merge, "words binary")   # one bitmap total
+        .collect()
+    )
+    bitmap = (
+        np.frombuffer(merged[0].words, dtype=np.uint64)
+        if merged else np.zeros(n_words, dtype=np.uint64)
+    )
     bc = docs.sparkSession.sparkContext.broadcast(bitmap)
 
     from pyspark.sql.functions import pandas_udf
@@ -877,16 +894,6 @@ def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
         .select("id")
         .distinct()
         .select(F.col("id").alias(id_col))
-    )
-
-
-def _count_grams(benchmark: DataFrame, k: int, text_col: str) -> int:
-    return (
-        benchmark.select(
-            F.explode(shingle_col(F.col(text_col), k)).alias("gram")
-        )
-        .distinct()
-        .count()
     )
 
 

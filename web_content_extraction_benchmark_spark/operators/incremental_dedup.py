@@ -53,6 +53,7 @@ Scale notes for the 100 TB deployment:
 
 from __future__ import annotations
 
+import json
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -96,9 +97,64 @@ class NearDupIndex:
         self.hash_fn = hash_fn
         self.text_col = text_col
         self.id_col = id_col
+        # the LSH configuration is part of the INDEX, not the call:
+        # band keys computed under a different hash_fn/width would
+        # silently match nothing against the store, and a different
+        # threshold changes which pairs exist — persist the config on
+        # first open and REFUSE mismatched reopens (review finding r6)
+        meta = self._meta()
+        stored = None
+        if os.path.exists(self.meta_path(path)):
+            with open(self.meta_path(path)) as f:
+                stored = json.load(f)
+            if stored != meta:
+                diffs = {
+                    key: (stored.get(key), meta[key])
+                    for key in meta
+                    if stored.get(key) != meta[key]
+                }
+                raise ValueError(
+                    f"index {path} was built with a different "
+                    f"configuration (stored vs requested): {diffs} — "
+                    "appends under mismatched LSH parameters would "
+                    "silently miss cross-batch duplicates.  Re-open "
+                    "with the stored parameters (NearDupIndex.open "
+                    "loads them) or build a new index."
+                )
         self.docs_table = SnapshotTable(os.path.join(path, "docs"))
         self.bands_table = SnapshotTable(os.path.join(path, "bands"))
         self.labels_table = SnapshotTable(os.path.join(path, "labels"))
+        if stored is None:
+            with open(self.meta_path(path), "w") as f:
+                json.dump(meta, f)
+
+    def _meta(self) -> dict:
+        return {
+            "num_hashes": self.num_hashes,
+            "bands": self.bands,
+            "jaccard_threshold": self.jaccard_threshold,
+            "hash_fn": self.hash_fn,
+            "text_col": self.text_col,
+            "id_col": self.id_col,
+        }
+
+    @staticmethod
+    def meta_path(path: str) -> str:
+        return os.path.join(path, "index_meta.json")
+
+    @classmethod
+    def open(cls, path: str, **overrides) -> "NearDupIndex":
+        """Open an existing index with its PERSISTED configuration
+        (overrides of value ``None`` are ignored; a non-None override
+        that conflicts with the stored config raises via __init__).
+        On a fresh path, behaves like the constructor."""
+        kwargs = {k: v for k, v in overrides.items() if v is not None}
+        if os.path.exists(cls.meta_path(path)):
+            with open(cls.meta_path(path)) as f:
+                stored = json.load(f)
+            stored.update(kwargs)
+            kwargs = stored
+        return cls(path, **kwargs)
 
     # -- consistency ---------------------------------------------------
     def assert_consistent(self) -> int:

@@ -36,9 +36,11 @@ WHAT IS DELIBERATELY NOT REDACTED — pinned by negative tests
   strings, not routable addresses);
 - ``::``-leading or ``::``-trailing IPv6 (``::1``, ``fe80::``) — a
   ``\\b`` boundary cannot anchor after ``:``, and bare ``::1`` collides
-  with too much non-PII text (a ``::``-LEADING v4-mapped form like
-  ``::ffff:1.2.3.4`` still redacts its quad via the IPv4 rule — the
-  address bytes never leak, only the ``::ffff:`` prefix remains);
+  with too much non-PII text.  In a ``::``-LEADING v4-tailed form the
+  embedded quad still redacts via the IPv4 rule, but any hex groups
+  between the leading ``::`` and the quad survive (``::a:b:1.2.3.4``
+  -> ``::a:b:<IP>``) — only forms with >=1 hex group BEFORE the ``::``
+  get the full single-token ``<IP6>`` treatment;
 - space-separated phone numbers WITHOUT a leading ``+``
   (``415 555 2671``) — indistinguishable from numeric table columns;
 - national formats with no separators beyond the 13-19-digit card rule
