@@ -256,3 +256,56 @@ def test_drop_exact_duplicates_keys_only_plan(spark, sf_dir):
     # AQE must have converted the payload-side anti join to a broadcast:
     # the only sort-exchanges left are over the keys-only projections.
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_oph_sql_band_keys_pure_catalyst(spark, sf_dir):
+    """The r6 Catalyst OPH twin must stay entirely JVM-side: no Python
+    eval node and no shuffle anywhere in the signature+banding plan."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        lsh_band_keys,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    plan = _plan(
+        lsh_band_keys(docs, num_hashes=128, bands=16, hash_fn="oph_sql")
+    )
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_incremental_candidates_store_side_not_shuffled(
+    spark, sf_dir, tmp_path
+):
+    """add_batch's new-vs-stored candidate join (r6): the committed
+    band store must stream through a BroadcastHashJoin against the new
+    batch's distinct keys — the store-scan lineage may contain NO
+    Exchange (at 100 TB the store is the corpus-sized side)."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        lsh_band_keys,
+    )
+    from web_content_extraction_benchmark_spark.operators.incremental_dedup import (
+        NearDupIndex,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    idx = NearDupIndex(str(tmp_path / "idx"))
+    idx.add_batch(docs.filter("doc_id % 2 = 0")).unpersist()
+    new_bands = lsh_band_keys(docs.filter("doc_id % 2 = 1"))
+    cands = NearDupIndex.candidate_pairs(
+        new_bands, idx.bands_table.read(spark)
+    )
+    cands.collect()  # final adaptive plan
+    plan = _plan(cands)
+    # every join the store participates in must be a BroadcastHashJoin
+    # whose build side comes from the NEW batch (its distinct-keys
+    # shuffle is the small legitimate band exchange, feeding a
+    # BroadcastExchange).  A store-side shuffle would surface as a
+    # SortMergeJoin / ShuffledHashJoin on (band, key) — the
+    # corpus-sized exchange this design exists to avoid.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

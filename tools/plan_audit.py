@@ -24,6 +24,33 @@ def _fmt(df) -> str:
     )
 
 
+def _incremental_candidates_plan(spark, docs):
+    """Build a tiny committed index so the audited plan shows the real
+    stored-scan-vs-broadcast-keys join shape of add_batch."""
+    import shutil
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        lsh_band_keys,
+    )
+    from web_content_extraction_benchmark_spark.operators.incremental_dedup import (
+        NearDupIndex,
+    )
+
+    path = tempfile.mkdtemp(prefix="wceb_plan_idx_")
+    idx = NearDupIndex(path)
+    idx.add_batch(docs.filter(F.col("doc_id") % 2 == 0)).unpersist()
+    new_bands = lsh_band_keys(docs.filter(F.col("doc_id") % 2 == 1))
+    plan_df = NearDupIndex.candidate_pairs(
+        new_bands, idx.bands_table.read(spark)
+    )
+    # the scratch dir must outlive plan printing only; sweep on exit
+    import atexit
+
+    atexit.register(shutil.rmtree, path, True)
+    return plan_df
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -243,6 +270,39 @@ def main() -> None:
                     ".multimodal",
                     fromlist=["synthesize_media"],
                 ).synthesize_media(spark, n_rows=16)
+            ),
+        ),
+        (
+            "OPH signatures, pure-Catalyst twin (oph_sql, r6)",
+            "NO Python eval node anywhere — the whole 128-wide "
+            "signature (bin-mask filter/min + circular ffill aggregate) "
+            "and banding stay JVM-side",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.dedup",
+                fromlist=["lsh_band_keys"],
+            ).lsh_band_keys(
+                docs, num_hashes=128, bands=16, hash_fn="oph_sql"
+            ),
+        ),
+        (
+            "incremental near-dup candidates vs a committed store (r6)",
+            "the STORED band scan feeds BroadcastHashJoins built from "
+            "the NEW batch (its distinct-keys shuffle is the only band "
+            "Exchange); no SortMergeJoin/ShuffledHashJoin anywhere — a "
+            "store-side shuffle would be corpus-sized",
+            _incremental_candidates_plan(spark, docs),
+        ),
+        (
+            "bloom decontamination probe + exact verify (r6)",
+            "ONE ArrowEvalPython probe over the broadcast bitmap on the "
+            "corpus gram stream; the exact verify joins only probe "
+            "SURVIVORS against the benchmark grams",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.dedup",
+                fromlist=["contaminated_ids_bloom"],
+            ).contaminated_ids_bloom(
+                docs,
+                docs.filter(F.col("doc_id") % 25 == 0).select("text"),
             ),
         ),
     ]

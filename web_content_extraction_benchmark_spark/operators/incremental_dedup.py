@@ -206,6 +206,45 @@ class NearDupIndex:
         ).select(F.col("id").alias(self.id_col))
         return docs.join(losers, [self.id_col], "left_anti")
 
+    @staticmethod
+    def candidate_pairs(new_bands: DataFrame,
+                        stored_bands: DataFrame | None) -> DataFrame:
+        """Distinct candidate (id_a, id_b): the batch's band self-join
+        plus — when a store exists — the store streaming through a
+        broadcast join against the batch's (small) distinct key set,
+        so the store is scanned but NEVER shuffled (plan-audited in
+        BENCH/PLANS.md)."""
+        left = new_bands.select(F.col("id").alias("id_a"), "band", "key")
+        right = new_bands.select(F.col("id").alias("id_b"), "band", "key")
+        cands = (
+            left.join(right, ["band", "key"])
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+        )
+        if stored_bands is not None:
+            new_keys = new_bands.select("band", "key").distinct()
+            stored_hits = stored_bands.join(
+                F.broadcast(new_keys), ["band", "key"]
+            )
+            cross = (
+                new_bands.select(
+                    F.col("id").alias("_new"), "band", "key"
+                )
+                .join(
+                    stored_hits.select(
+                        F.col("id").alias("_old"), "band", "key"
+                    ),
+                    ["band", "key"],
+                )
+                .filter(F.col("_new") != F.col("_old"))
+                .select(
+                    F.least("_new", "_old").alias("id_a"),
+                    F.greatest("_new", "_old").alias("id_b"),
+                )
+            )
+            cands = cands.unionByName(cross)
+        return cands.dropDuplicates(["id_a", "id_b"])
+
     # -- write side ----------------------------------------------------
     def add_batch(self, batch: DataFrame,
                   timings: dict | None = None) -> DataFrame:
@@ -235,42 +274,11 @@ class NearDupIndex:
             t0 = _time.perf_counter()
 
         # -- candidates: new-vs-new ∪ new-vs-stored ---------------------
-        left = new_bands.select(F.col("id").alias("id_a"), "band", "key")
-        right = new_bands.select(F.col("id").alias("id_b"), "band", "key")
-        cands = (
-            left.join(right, ["band", "key"])
-            .filter(F.col("id_a") < F.col("id_b"))
-            .select("id_a", "id_b")
-        )
         stored_bands = self.bands_table.read(spark)
-        if stored_bands is not None:
-            # the store streams through a broadcast join against the
-            # batch's (small) distinct key set: no store-side shuffle
-            new_keys = new_bands.select("band", "key").distinct()
-            stored_hits = stored_bands.join(
-                F.broadcast(new_keys), ["band", "key"]
-            )
-            cross = (
-                new_bands.select(
-                    F.col("id").alias("_new"), "band", "key"
-                )
-                .join(
-                    stored_hits.select(
-                        F.col("id").alias("_old"), "band", "key"
-                    ),
-                    ["band", "key"],
-                )
-                .filter(F.col("_new") != F.col("_old"))
-                .select(
-                    F.least("_new", "_old").alias("id_a"),
-                    F.greatest("_new", "_old").alias("id_b"),
-                )
-            )
-            cands = cands.unionByName(cross)
         # persisted: the verify stage reads cands TWICE when a store
         # exists (as the pair list AND inside cand_ids for the old-doc
         # semi join) — unpersisted, the store scan would run twice
-        cands = cands.dropDuplicates(["id_a", "id_b"]).persist()
+        cands = self.candidate_pairs(new_bands, stored_bands).persist()
 
         # -- exact-Jaccard verify --------------------------------------
         sh = b.select(
