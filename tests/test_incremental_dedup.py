@@ -148,3 +148,33 @@ def test_assert_consistent_detects_commit_skew(spark, index_path):
 
     with _pytest.raises(RuntimeError, match="commit skew"):
         idx.assert_consistent()
+
+
+def test_meta_lifecycle_guards(spark, index_path):
+    """Config-persistence edges (review r6): read-only opens never
+    stamp a meta file; committed tables WITHOUT a meta refuse (the
+    config is unknown — guessing would silently miss duplicates);
+    unknown stored keys are tolerated by open()."""
+    import json
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    # 1. constructing (a read-only open) writes NO meta
+    idx = NearDupIndex(index_path, jaccard_threshold=0.6)
+    assert not os.path.exists(NearDupIndex.meta_path(index_path))
+    # 2. the first MUTATION stamps it
+    idx.add_batch(mk([(1, "alpha beta gamma delta epsilon")]))
+    assert os.path.exists(NearDupIndex.meta_path(index_path))
+    # 3. a future-version meta with extra keys still opens fine
+    meta = json.load(open(NearDupIndex.meta_path(index_path)))
+    meta["format_version"] = 99
+    json.dump(meta, open(NearDupIndex.meta_path(index_path), "w"))
+    idx2 = NearDupIndex.open(index_path)
+    assert idx2.jaccard_threshold == 0.6
+    # 4. committed tables with a LOST meta refuse outright
+    os.remove(NearDupIndex.meta_path(index_path))
+    with pytest.raises(ValueError, match="no\\s+index_meta"):
+        NearDupIndex(index_path)
+    # 5. and open() with fresh_defaults must NOT resurrect it as fresh
+    with pytest.raises(ValueError, match="no\\s+index_meta"):
+        NearDupIndex.open(index_path, fresh_defaults={"hash_fn": "oph"})

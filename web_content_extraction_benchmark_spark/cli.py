@@ -236,8 +236,6 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
     to a persisted incremental near-dup index (operators/
     incremental_dedup.NearDupIndex) — signs only the batch, dedups it
     against everything committed, prints the pair/cluster deltas."""
-    import os
-
     from .operators.incremental_dedup import NearDupIndex
 
     spark = _spark(args)
@@ -252,27 +250,17 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
     # fresh index: unset flags take the PRODUCTION LSH shape (128/16
     # OPH at 0.8), not the library's oracle-fixture defaults; existing
     # index: unset flags load the persisted config, and a conflicting
-    # explicit flag raises (the config is part of the index)
-    if not os.path.exists(NearDupIndex.meta_path(args.index)):
-        prod = {"num_hashes": 128, "bands": 16,
-                "jaccard_threshold": 0.8, "hash_fn": "oph"}
-    else:
-        prod = {}
+    # explicit flag raises (the config is part of the index).  The
+    # fresh-vs-existing decision lives in NearDupIndex.open — one probe,
+    # one place.
     idx = NearDupIndex.open(
         args.index,
-        **{
-            **prod,
-            **{
-                k: v
-                for k, v in {
-                    "num_hashes": args.num_hashes,
-                    "bands": args.bands,
-                    "jaccard_threshold": args.threshold,
-                    "hash_fn": args.hash_fn,
-                }.items()
-                if v is not None
-            },
-        },
+        fresh_defaults={"num_hashes": 128, "bands": 16,
+                        "jaccard_threshold": 0.8, "hash_fn": "oph"},
+        num_hashes=args.num_hashes,
+        bands=args.bands,
+        jaccard_threshold=args.threshold,
+        hash_fn=args.hash_fn,
     )
     pairs = idx.add_batch(batch)
     n_pairs = pairs.count()

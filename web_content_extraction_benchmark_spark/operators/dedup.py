@@ -819,9 +819,14 @@ def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
     the small side at realistic leak rates (AQE broadcasts it when it
     fits); at extreme scale both sides shuffle once — still only
     survivor grams, never the full corpus gram stream."""
+    # persisted only for this call's EAGER phases (sizing count +
+    # bitmap build); released before returning — the lazy verify join
+    # recomputes the distinct once at materialization, which beats
+    # pinning a 10^7-10^8-row gram set in executor storage for the
+    # session lifetime (review finding r6)
     bench_grams = benchmark.select(
         F.explode(shingle_col(F.col(text_col), k)).alias("gram")
-    ).distinct().persist()  # reused: sizing, bitmap build, exact verify
+    ).distinct().persist()
     m, h = _bloom_params(
         max(1, expected_grams or bench_grams.count()), fpp
     )
@@ -862,6 +867,7 @@ def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
         np.frombuffer(merged[0].words, dtype=np.uint64)
         if merged else np.zeros(n_words, dtype=np.uint64)
     )
+    bench_grams.unpersist()
     bc = docs.sparkSession.sparkContext.broadcast(bitmap)
 
     from pyspark.sql.functions import pandas_udf

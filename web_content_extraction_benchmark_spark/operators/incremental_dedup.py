@@ -100,14 +100,14 @@ class NearDupIndex:
         # the LSH configuration is part of the INDEX, not the call:
         # band keys computed under a different hash_fn/width would
         # silently match nothing against the store, and a different
-        # threshold changes which pairs exist — persist the config on
-        # first open and REFUSE mismatched reopens (review finding r6)
+        # threshold changes which pairs exist — the config is persisted
+        # by the FIRST add_batch (read-only opens never mutate the
+        # index) and mismatched reopens REFUSE (review findings r6)
         meta = self._meta()
-        stored = None
-        if os.path.exists(self.meta_path(path)):
-            with open(self.meta_path(path)) as f:
-                stored = json.load(f)
-            if stored != meta:
+        stored = self._read_meta(path)
+        if stored is not None:
+            known = {k: stored.get(k) for k in meta}  # ignore unknown
+            if known != meta:
                 diffs = {
                     key: (stored.get(key), meta[key])
                     for key in meta
@@ -121,12 +121,22 @@ class NearDupIndex:
                     "with the stored parameters (NearDupIndex.open "
                     "loads them) or build a new index."
                 )
+        elif os.path.exists(
+            os.path.join(path, "bands", "_snapshots", "LATEST")
+        ):
+            # committed tables but no meta: a lost/never-written config.
+            # Treating this as fresh would silently re-stamp whatever
+            # parameters this open happens to carry — refuse instead.
+            raise ValueError(
+                f"index {path} has committed data but no "
+                "index_meta.json — its LSH configuration is unknown, "
+                "and appending under guessed parameters would silently "
+                "miss cross-batch duplicates.  Restore the meta file "
+                "(or rebuild the index)."
+            )
         self.docs_table = SnapshotTable(os.path.join(path, "docs"))
         self.bands_table = SnapshotTable(os.path.join(path, "bands"))
         self.labels_table = SnapshotTable(os.path.join(path, "labels"))
-        if stored is None:
-            with open(self.meta_path(path), "w") as f:
-                json.dump(meta, f)
 
     def _meta(self) -> dict:
         return {
@@ -143,17 +153,46 @@ class NearDupIndex:
         return os.path.join(path, "index_meta.json")
 
     @classmethod
-    def open(cls, path: str, **overrides) -> "NearDupIndex":
+    def _read_meta(cls, path: str) -> dict | None:
+        if not os.path.exists(cls.meta_path(path)):
+            return None
+        with open(cls.meta_path(path)) as f:
+            return json.load(f)
+
+    def _commit_meta(self) -> None:
+        """Persist the config atomically (temp + rename, like the
+        snapshot log's LATEST pointer) the first time the index is
+        MUTATED — a crash mid-write must not leave a truncated file
+        that bricks every later open."""
+        if self._read_meta(self.path) is not None:
+            return
+        import tempfile
+
+        fd, tmp = tempfile.mkstemp(dir=self.path)
+        with os.fdopen(fd, "w") as f:
+            json.dump(self._meta(), f)
+        os.replace(tmp, self.meta_path(self.path))
+
+    _PARAMS = ("num_hashes", "bands", "jaccard_threshold", "hash_fn",
+               "text_col", "id_col")
+
+    @classmethod
+    def open(cls, path: str, fresh_defaults: dict | None = None,
+             **overrides) -> "NearDupIndex":
         """Open an existing index with its PERSISTED configuration
         (overrides of value ``None`` are ignored; a non-None override
         that conflicts with the stored config raises via __init__).
-        On a fresh path, behaves like the constructor."""
+        On a fresh path, ``fresh_defaults`` (if given) fill any
+        parameter the caller didn't set — the single place a CLI-style
+        front-end states its production shape."""
         kwargs = {k: v for k, v in overrides.items() if v is not None}
-        if os.path.exists(cls.meta_path(path)):
-            with open(cls.meta_path(path)) as f:
-                stored = json.load(f)
-            stored.update(kwargs)
-            kwargs = stored
+        stored = cls._read_meta(path)
+        if stored is not None:
+            base = {k: stored[k] for k in cls._PARAMS if k in stored}
+            base.update(kwargs)
+            kwargs = base
+        elif fresh_defaults:
+            kwargs = {**fresh_defaults, **kwargs}
         return cls(path, **kwargs)
 
     # -- consistency ---------------------------------------------------
@@ -358,6 +397,7 @@ class NearDupIndex:
             t0 = _time.perf_counter()
 
         # -- commit ----------------------------------------------------
+        self._commit_meta()  # first mutation stamps the config
         self.docs_table.append(b)
         self.bands_table.append(new_bands)
         self.labels_table.overwrite(new_labels)
