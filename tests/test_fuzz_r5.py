@@ -225,3 +225,29 @@ def test_oph_sql_rejects_non_power_of_two():
 
     with _pytest.raises(ValueError, match="power-of-two"):
         oph_signature_catalyst(F.col("x"), 12)
+
+def test_oph_catalyst_empty_hashes_yields_sentinel(spark):
+    """ADVICE r6: an empty hashes array must produce the Arrow kernel's
+    int64-max EMPTY sentinel in every bin, not all-null (concat_ws drops
+    nulls, so all shingle-less docs would collide on one band key)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        oph_signature_catalyst,
+    )
+
+    sentinel = int(np.iinfo(np.int64).max)
+    df = spark.createDataFrame(
+        [([],), ([7, 11, 13],)], "hashes: array<long>"
+    )
+    rows = {tuple(r.sig) for r in df.select(
+        oph_signature_catalyst(F.col("hashes"), 8).alias("sig")
+    ).collect()}
+    empty_sig = next(s for s in rows if s[0] == sentinel or None not in s
+                     and all(v == sentinel for v in s))
+    # the empty-array row: every bin is the sentinel, none null
+    assert all(v == sentinel for v in empty_sig)
+    # the non-empty row: fully densified, no nulls, no sentinel
+    other = next(s for s in rows if s is not empty_sig)
+    assert None not in other and sentinel not in other

@@ -25,6 +25,9 @@ PLANTED = [
     # v4-mapped/NAT64 tails: one <IP6>, never a leaked quad (review r6)
     "nat64 64:ff9b::1.2.3.4 mapped 2001:db8::ffff:10.0.0.9 done",
     "leading ::ffff:192.168.1.20 form",
+    # MALFORMED 7-hex-group + quad: redacted whole, no '.2.3.4' tail
+    # leak from the 8-group rule eating the first octet (ADVICE r6)
+    "bad 1:2:3:4:5:6:7:1.2.3.4 blob",
 ]
 
 # deliberately NOT redacted — the operator's pinned exclusion list
@@ -90,6 +93,8 @@ def test_redaction_matches_duckdb_corpus_wide(corpus, sf_dir):
     # ::-leading v4-mapped: the quad still redacts (prefix remains —
     # documented exclusion)
     assert got[10_000_008] == "leading ::ffff:<IP> form"
+    # malformed 7-group + quad: one <IP6>, never '<IP6>.2.3.4'
+    assert got[10_000_009] == "bad <IP6> blob"
 
 
 def test_redaction_pinned_exclusions(spark):

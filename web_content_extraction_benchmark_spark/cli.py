@@ -264,6 +264,10 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
     )
     pairs = idx.add_batch(batch)
     n_pairs = pairs.count()
+    # add_batch returns a PERSISTED DataFrame (caller-must-unpersist
+    # contract); a daemon looping this command path would otherwise
+    # accumulate one cached pair set per batch for the session lifetime
+    pairs.unpersist()
     version = idx.assert_consistent()
     labels = idx.labels(spark)
     n_clusters = labels.select("component").distinct().count()

@@ -245,6 +245,13 @@ def oph_signature_catalyst(hashes: Column, num_hashes: int) -> Column:
     # subexpression elimination, so that would re-evaluate the whole
     # O(shingles x k) lattice per row just to make an empty array
     # (review finding r6)
+    # an EMPTY hashes array fills no bin, so densification carries only
+    # nulls — coalesce those to the kernel's int64-max EMPTY sentinel so
+    # the bit-identity contract holds even for shingle-less docs (the
+    # LSH callers filter size(sh) > 0 anyway, but the public function
+    # must not turn "no shingles" into all-null band keys that
+    # concat_ws would collapse onto one colliding bucket; ADVICE r6)
+    empty = F.lit(np.iinfo(np.int64).max)
     ff = F.aggregate(
         tiled,
         F.struct(
@@ -257,7 +264,9 @@ def oph_signature_catalyst(hashes: Column, num_hashes: int) -> Column:
             ).alias("out"),
             F.coalesce(x, acc["last"]).alias("last"),
         ),
-        lambda acc: F.slice(acc["out"], k + 1, k),
+        lambda acc: F.transform(
+            F.slice(acc["out"], k + 1, k), lambda v: F.coalesce(v, empty)
+        ),
     )
     return ff
 
@@ -626,6 +635,25 @@ def simhash_near_duplicates(df: DataFrame, text_col: str = "text",
 # ---------------------------------------------------------------------------
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free the executor blocks behind a ``localCheckpoint``-ed
+    DataFrame.  ``df.unpersist()`` only covers ``persist``/``cache``
+    registrations — checkpoint blocks otherwise live until the JVM
+    garbage-collects the RDD, which in a long-lived driver (a daemon
+    appending batches to a NearDupIndex all day) accumulates storage
+    memory across calls (ADVICE r6).  The DataFrame is UNREADABLE
+    afterwards — only release results nobody will scan again.
+
+    Best-effort by design: it reaches through the analyzed plan to the
+    checkpointed RDD (``LogicalRDD.rdd``), which is internal API — if a
+    Spark upgrade moves it, freeing degrades back to GC-eventual rather
+    than failing the job."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        pass
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 30,
@@ -652,6 +680,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     ~15 rounds even on toy edges).  On a real cluster with executor
     churn, swap in reliable ``checkpoint()`` against the job's
     checkpoint dir — same plan shape, fault-tolerant storage.
+    Superseded rounds' blocks (and the edge set) are freed eagerly as
+    the iteration advances; the RETURNED labels DataFrame is the one
+    retained checkpoint — long-lived drivers that are done scanning it
+    should hand it to ``release_local_checkpoint`` (reading it after
+    that raises).
 
     ``on_round(stats_dict)``, if given, is called after every round with
     ``{"round", "changed", "wall_sec"}`` — the hook the scale-stress
@@ -707,6 +740,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
             .filter(F.col("component") != F.col("__old"))
             .count()
         )
+        # the superseded round's label blocks are dead the moment the
+        # changed-count lands — free them now instead of waiting for JVM
+        # GC (round 1 releases the seed labels; ADVICE r6)
+        release_local_checkpoint(labels)
         labels = new_labels
         if on_round is not None:
             on_round(
@@ -717,6 +754,7 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
                 }
             )
         if changed == 0:
+            release_local_checkpoint(edges)
             return labels
     raise RuntimeError(
         f"connected_components did not converge in {max_iterations} "

@@ -24,7 +24,11 @@ WHAT IS REDACTED — the inclusion list, exactly:
 - IPv6 in full 8-group form, ``::``-compressed with at least one
   hex group on each side of the ``::``, or with an embedded dotted-quad
   tail (v4-mapped/NAT64: ``64:ff9b::1.2.3.4``) — the whole address is
-  one ``<IP6>``, never a half-eaten hex prefix plus a leaked quad;
+  one ``<IP6>``, never a half-eaten hex prefix plus a leaked quad.
+  This extends to the MALFORMED 7-hex-group + quad shape
+  (``1:2:3:4:5:6:7:1.2.3.4``): not a valid address, but redacted whole
+  as one ``<IP6>`` rather than letting the 8-group rule eat the quad's
+  first octet and leak ``.2.3.4`` (over-redaction is the safe side);
 - 13-19 digit runs and 4-4-4-4 grouped card numbers;
 - phone numbers with ``-``/``.`` separators (3-3/4-4, optional
   +country), and space-separated international numbers that START
@@ -71,6 +75,16 @@ PII_RULES: tuple[tuple[str, str], ...] = (
     # '...::1' and leave '.2.3.4' behind (review finding r6)
     (rf"\b(?:{_HEX4}:){{1,6}}:(?:{_HEX4}:){{0,5}}"
      rf"(?:{_OCTET}\.){{3}}{_OCTET}\b", "<IP6>"),
+    # MALFORMED 7-group + quad ('1:2:3:4:5:6:7:1.2.3.4' — 9 groups,
+    # not a valid address): without this arm the 8-group rule below
+    # consumes the quad's first octet as its 8th hex group and leaves
+    # '<IP6>.2.3.4' — a surviving quad-like tail fragment (ADVICE r6).
+    # Over-redacting the whole malformed blob as one <IP6> is the
+    # privacy-safe direction (RE2 has no lookahead to reject instead).
+    # MUST precede the valid 6-group v4-mapped arm: \b also matches
+    # after '1:', so the 6-group arm would eat '2:...:7:1.2.3.4' first
+    # and leave a stray '1:' prefix.
+    (rf"\b(?:{_HEX4}:){{7}}(?:{_OCTET}\.){{3}}{_OCTET}\b", "<IP6>"),
     (rf"\b(?:{_HEX4}:){{6}}(?:{_OCTET}\.){{3}}{_OCTET}\b", "<IP6>"),
     # IPv6 full form (8 groups), then ::-compressed with >=1 group on
     # each side of the ::.  Before IPv4 so a v4-mapped tail can't be

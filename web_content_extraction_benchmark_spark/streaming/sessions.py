@@ -272,11 +272,18 @@ def run_session_stream_with_state_flush(
 
     if checkpoint_dir is None:
         checkpoint_dir = tempfile.mkdtemp(prefix="wceb_sess_ckpt_")
-    # fresh = the checkpoint has no committed offsets yet — an explicit
+    # fresh = the checkpoint has no COMMITTED offsets yet — an explicit
     # but empty/nonexistent dir counts (keying on `is None` alone would
-    # let a caller-provided fresh dir ingest stale sentinels as events)
-    fresh_checkpoint = not os.path.isdir(
-        os.path.join(checkpoint_dir, "offsets")
+    # let a caller-provided fresh dir ingest stale sentinels as events).
+    # "Committed" means at least one offset file exists: a run that
+    # crashed after mkdir but before its first offset commit leaves an
+    # EMPTY offsets dir, and classifying that as resumed would raise the
+    # terminal-flush error on leftover sentinels instead of sweeping
+    # them as a fresh run does (ADVICE r6).  Dot-prefixed entries are
+    # HDFSMetadataLog temp/CRC files, not commits.
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    fresh_checkpoint = not os.path.isdir(offsets_dir) or not any(
+        not name.startswith(".") for name in os.listdir(offsets_dir)
     )
     if fresh_checkpoint:
         # a FRESH checkpoint would ingest stale sentinel files from a
