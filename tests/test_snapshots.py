@@ -60,3 +60,78 @@ def test_resume_no_duplicates_no_missing(spark, sf_dir, tmp_path):
         pages.select("url", "gold").alias("p"), "url"
     )
     assert joined.filter(F.expr("a.plaintext != p.gold")).count() == 0
+
+
+def test_bucketed_snapshot_table_append_read_overwrite(spark, tmp_path):
+    """BucketedSnapshotTable: per-bucket manifests, pruned reads, and
+    partial overwrite with file carryover + stray-bucket refusal."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.sources.snapshots import (
+        BucketedSnapshotTable,
+        bucket_of,
+    )
+
+    t = BucketedSnapshotTable(str(tmp_path / "bt"), n_buckets=8)
+    bcol = BucketedSnapshotTable.BUCKET_COL
+    df = spark.range(0, 200).select(
+        F.col("id"), (F.col("id") * 2).alias("v")
+    ).withColumn(bcol, bucket_of(F.col("id"), 8))
+    t.append_bucketed(df)
+    files, rows = t._bucket_manifest()
+    assert set(files) == set(range(8)) and sum(rows.values()) == 200
+    # flat read sees everything, schema has NO bucket column
+    full = t.read(spark)
+    assert full.count() == 200 and bcol not in full.columns
+    # pruned read opens only the requested buckets' files
+    pruned = t.read_buckets(spark, {3})
+    assert all(f"{bcol}=3/" in f for f in pruned.inputFiles())
+    want_b3 = {r.id for r in full.withColumn(bcol, bucket_of(F.col("id"), 8))
+               .filter(F.col(bcol) == 3).collect()}
+    assert {r.id for r in pruned.collect()} == want_b3
+
+    # append again: bucket file lists grow, counts accumulate
+    t.append_bucketed(df.limit(0))  # empty append = version bump only
+    assert t.read(spark).count() == 200
+
+    # partial overwrite: replace bucket 3 only, everything else carries
+    before, _ = t._bucket_manifest()
+    repl = spark.createDataFrame(
+        [(r, -1) for r in sorted(want_b3)], "id long, v long"
+    ).withColumn(bcol, bucket_of(F.col("id"), 8))
+    t.overwrite_buckets(repl, {3})
+    after, after_rows = t._bucket_manifest()
+    assert after[4] == before[4]  # untouched bucket: same file paths
+    assert after[3] != before[3]
+    got = t.read(spark)
+    assert got.filter(F.col("v") == -1).count() == len(want_b3)
+    assert got.count() == 200
+    assert sum(after_rows.values()) == 200  # bookkeeping, no re-scan
+
+    # stray-bucket refusal: rows outside the touched set are an error
+    with _pytest.raises(ValueError, match="not in the touched set"):
+        t.overwrite_buckets(df, {3})
+
+
+def test_bucketed_overwrite_refuses_legacy_flat_manifest(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.sources.snapshots import (
+        BucketedSnapshotTable,
+        SnapshotTable,
+        bucket_of,
+    )
+
+    path = str(tmp_path / "legacy")
+    flat = SnapshotTable(path)
+    flat.append(spark.range(10))
+    bt = BucketedSnapshotTable(path, n_buckets=4)
+    # pruned read falls back to ALL files (correct, unpruned)
+    assert bt.read_buckets(spark, {0}).count() == 10
+    df = spark.range(3).withColumn(
+        BucketedSnapshotTable.BUCKET_COL, bucket_of(F.col("id"), 4)
+    )
+    with _pytest.raises(ValueError, match="legacy flat manifest"):
+        bt.overwrite_buckets(df, {0, 1, 2, 3})

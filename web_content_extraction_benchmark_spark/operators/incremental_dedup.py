@@ -39,16 +39,30 @@ and verification is exact Jaccard either way, so N incremental batches
 produce byte-identical labels to one from-scratch run over the union.
 
 Scale notes for the 100 TB deployment:
-- batch cost = sign(batch) + scan(store bands) + resolve(dup graph).
-  The scan is sequential columnar I/O of (id, band, key) — ~1-2% of
-  corpus bytes; to prune it too, bucket the bands table by ``key``
-  (sources/bucketed.py shows the no-Exchange co-located join) so a
-  batch only opens matching buckets.
+- batch cost = sign(batch) + probe(store bands) + resolve(touched
+  subgraph) + commit(touched label buckets).  All three tables are
+  hash-BUCKETED (``n_buckets``, Iceberg's bucket partition transform
+  realized by ``sources/snapshots.BucketedSnapshotTable``): bands by
+  ``key``, docs by id, labels by ``component``.  A batch reads only the
+  store buckets its own keys/candidate-ids hash into, and the label
+  commit rewrites only buckets holding a touched or newly resolved
+  component — every other bucket's files carry over into the new
+  manifest at zero I/O.  Pruning is regime-dependent by construction:
+  a trickle/point append whose key set covers few buckets skips most of
+  the store; a 10%-of-corpus batch covers every bucket and the probe
+  degenerates to the sequential columnar scan of (id, band, key) —
+  ~1-2% of corpus bytes (measured slope in
+  BENCH/incremental_stress_r07.jsonl).
 - the broadcast of the batch's distinct band keys is bounded by
   ~bands x |batch| x ~40 B; for a 10M-doc daily batch at 16 bands
   that is a few GB — above broadcast limits, flip the join direction
   (shuffle both sides on (band, key)) which is still O(batch) + one
   store shuffle, or split the batch.
+- ONE writer at a time: ``add_batch`` takes an exclusive on-disk lock
+  (``_writer.lock/`` with the holder's pid; stale locks from dead
+  processes are swept).  Two concurrent writers would interleave the
+  docs -> bands -> labels commits; ``assert_consistent`` detects that
+  skew after the fact, the lock prevents it up front.
 """
 
 from __future__ import annotations
@@ -59,7 +73,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..sources.snapshots import SnapshotTable
+from ..sources.snapshots import (
+    BucketedSnapshotTable,
+    SnapshotTable,
+    bucket_of,
+)
 from .dedup import (
     DEFAULT_BANDS,
     DEFAULT_NUM_HASHES,
@@ -68,6 +86,12 @@ from .dedup import (
     lsh_band_keys,
     shingle_col,
 )
+
+DEFAULT_INDEX_BUCKETS = 64
+
+
+class ConcurrentWriterError(RuntimeError):
+    """A second ``add_batch`` while another writer holds the index."""
 
 
 class NearDupIndex:
@@ -85,7 +109,8 @@ class NearDupIndex:
                  jaccard_threshold: float = 0.6,
                  hash_fn: str = "md5",
                  text_col: str = "text",
-                 id_col: str = "doc_id"):
+                 id_col: str = "doc_id",
+                 n_buckets: int | None = DEFAULT_INDEX_BUCKETS):
         if num_hashes % bands != 0:
             raise ValueError(
                 f"num_hashes ({num_hashes}) must divide into bands ({bands})"
@@ -97,6 +122,13 @@ class NearDupIndex:
         self.hash_fn = hash_fn
         self.text_col = text_col
         self.id_col = id_col
+        # bucket layout is part of the index (rows land in directories
+        # by this hash): a pre-r7 index has no n_buckets in its meta —
+        # reopen it with n_buckets=None (flat legacy layout; open()
+        # does this automatically) — while a bucketed index refuses a
+        # different bucket count the same way it refuses a different
+        # hash_fn
+        self.n_buckets = n_buckets
         # the LSH configuration is part of the INDEX, not the call:
         # band keys computed under a different hash_fn/width would
         # silently match nothing against the store, and a different
@@ -134,9 +166,20 @@ class NearDupIndex:
                 "miss cross-batch duplicates.  Restore the meta file "
                 "(or rebuild the index)."
             )
-        self.docs_table = SnapshotTable(os.path.join(path, "docs"))
-        self.bands_table = SnapshotTable(os.path.join(path, "bands"))
-        self.labels_table = SnapshotTable(os.path.join(path, "labels"))
+        if self.n_buckets is None:
+            self.docs_table = SnapshotTable(os.path.join(path, "docs"))
+            self.bands_table = SnapshotTable(os.path.join(path, "bands"))
+            self.labels_table = SnapshotTable(os.path.join(path, "labels"))
+        else:
+            self.docs_table = BucketedSnapshotTable(
+                os.path.join(path, "docs"), self.n_buckets
+            )
+            self.bands_table = BucketedSnapshotTable(
+                os.path.join(path, "bands"), self.n_buckets
+            )
+            self.labels_table = BucketedSnapshotTable(
+                os.path.join(path, "labels"), self.n_buckets
+            )
 
     def _meta(self) -> dict:
         return {
@@ -146,6 +189,7 @@ class NearDupIndex:
             "hash_fn": self.hash_fn,
             "text_col": self.text_col,
             "id_col": self.id_col,
+            "n_buckets": self.n_buckets,
         }
 
     @staticmethod
@@ -174,7 +218,7 @@ class NearDupIndex:
         os.replace(tmp, self.meta_path(self.path))
 
     _PARAMS = ("num_hashes", "bands", "jaccard_threshold", "hash_fn",
-               "text_col", "id_col")
+               "text_col", "id_col", "n_buckets")
 
     @classmethod
     def open(cls, path: str, fresh_defaults: dict | None = None,
@@ -189,11 +233,85 @@ class NearDupIndex:
         stored = cls._read_meta(path)
         if stored is not None:
             base = {k: stored[k] for k in cls._PARAMS if k in stored}
+            # a pre-r7 index has no n_buckets key: its tables are flat
+            # (legacy layout), which __init__ spells n_buckets=None
+            base.setdefault("n_buckets", None)
             base.update(kwargs)
             kwargs = base
         elif fresh_defaults:
             kwargs = {**fresh_defaults, **kwargs}
         return cls(path, **kwargs)
+
+    # -- single-writer lock --------------------------------------------
+    # mkdir is the atomic primitive (EEXIST on contention, works on any
+    # POSIX fs); the pid file inside names the holder so a lock left by
+    # a CRASHED writer (pid no longer alive) is swept, while a lock
+    # held by a LIVE writer raises ConcurrentWriterError.
+    def _lock_dir(self) -> str:
+        return os.path.join(self.path, "_writer.lock")
+
+    @staticmethod
+    def _pid_alive(pid: int) -> bool:
+        try:
+            os.kill(pid, 0)
+        except ProcessLookupError:
+            return False
+        except PermissionError:
+            return True  # exists, owned by someone else
+        return True
+
+    def _acquire_writer_lock(self) -> None:
+        os.makedirs(self.path, exist_ok=True)
+        holder: int | None = None
+        for attempt in range(3):
+            try:
+                os.mkdir(self._lock_dir())
+            except FileExistsError:
+                pid_file = os.path.join(self._lock_dir(), "pid")
+                try:
+                    with open(pid_file) as f:
+                        holder = int(f.read().strip())
+                except (FileNotFoundError, ValueError):
+                    # mid-acquire or corrupt: give the other writer a
+                    # beat to land its pid file, then re-check (sweeping
+                    # a lock whose pid is about to appear would race)
+                    holder = None
+                    import time as _t
+
+                    _t.sleep(0.2)
+                    continue
+                if not self._pid_alive(holder):
+                    # stale lock from a crashed writer — sweep and retry
+                    try:
+                        os.remove(pid_file)
+                        os.rmdir(self._lock_dir())
+                    except OSError:
+                        pass  # another sweeper won the race
+                    continue
+                break  # live holder: contended
+            else:
+                with open(os.path.join(self._lock_dir(), "pid"),
+                          "w") as f:
+                    f.write(str(os.getpid()))
+                return
+        raise ConcurrentWriterError(
+            f"index {self.path} is locked by writer pid "
+            f"{holder if holder is not None else '<unknown>'} — "
+            "NearDupIndex allows ONE add_batch at a time (interleaved "
+            "commits would skew the docs/bands/labels snapshot "
+            "versions).  If that process is truly gone, remove the "
+            "_writer.lock directory."
+        )
+
+    def _release_writer_lock(self) -> None:
+        try:
+            os.remove(os.path.join(self._lock_dir(), "pid"))
+        except OSError:
+            pass
+        try:
+            os.rmdir(self._lock_dir())
+        except OSError:
+            pass
 
     # -- consistency ---------------------------------------------------
     def assert_consistent(self) -> int:
@@ -290,12 +408,39 @@ class NearDupIndex:
         """Sign ONLY ``batch``, pair it against (batch ∪ store), merge
         components, commit.  Returns the newly verified pairs
         (id_a, id_b, jaccard) — every pair involves >= 1 batch doc.
+        The returned DataFrame is PERSISTED: callers that are done with
+        it must ``unpersist()`` it (a daemon looping add_batch would
+        otherwise accumulate one cached pair set per batch).
+
+        Takes the single-writer lock for the whole call (see module
+        docstring); a second concurrent writer raises
+        ConcurrentWriterError instead of silently interleaving commits.
 
         Pass a dict as ``timings`` to get per-phase wall seconds
         (sign / candidates+verify / resolve / commit) — phase
         boundaries are then forced with an extra count per phase, so
         leave it None in production (the phases otherwise fuse into
-        Spark's own job boundaries)."""
+        Spark's own job boundaries).  On a bucketed index the dict also
+        reports bands_buckets_read / docs_buckets_read /
+        labels_buckets_rewritten out of n_buckets."""
+        self._acquire_writer_lock()
+        try:
+            return self._add_batch_locked(batch, timings)
+        finally:
+            self._release_writer_lock()
+
+    def _bucket_set(self, df: DataFrame, col: str) -> set[int]:
+        """Distinct store buckets the probe keys hash into — at most
+        ``n_buckets`` values, so the collect is bounded and tiny."""
+        return {
+            row["b"]
+            for row in df.select(
+                bucket_of(F.col(col), self.n_buckets).alias("b")
+            ).distinct().collect()
+        }
+
+    def _add_batch_locked(self, batch: DataFrame,
+                          timings: dict | None = None) -> DataFrame:
         import time as _time
 
         t0 = _time.perf_counter()
@@ -313,7 +458,21 @@ class NearDupIndex:
             t0 = _time.perf_counter()
 
         # -- candidates: new-vs-new ∪ new-vs-stored ---------------------
-        stored_bands = self.bands_table.read(spark)
+        if self.n_buckets is None:
+            stored_bands = self.bands_table.read(spark)
+        else:
+            # bucket-pruned store probe: only the buckets the batch's
+            # own keys hash into are opened (a trickle batch skips the
+            # rest of the store at file level; a corpus-fraction batch
+            # covers every bucket and this degenerates to the full
+            # sequential scan — the regime note in the module docstring)
+            band_buckets = self._bucket_set(new_bands, "key")
+            stored_bands = self.bands_table.read_buckets(
+                spark, band_buckets
+            )
+            if timings is not None:
+                timings["bands_buckets_read"] = len(band_buckets)
+                timings["n_buckets"] = self.n_buckets
         # persisted: the verify stage reads cands TWICE when a store
         # exists (as the pair list AND inside cand_ids for the old-doc
         # semi join) — unpersisted, the store scan would run twice
@@ -324,7 +483,22 @@ class NearDupIndex:
             F.col(self.id_col).alias("id"),
             shingle_col(F.col(self.text_col)).alias("sh"),
         )
-        stored_docs = self.docs_table.read(spark)
+        if self.n_buckets is None or self.docs_table._latest_version() == 0:
+            stored_docs = self.docs_table.read(spark)
+        else:
+            # prune the committed-docs read to the buckets holding a
+            # candidate id — the only stored TEXT a batch ever touches
+            # is the candidate-matched docs it re-shingles for the
+            # exact-Jaccard verify
+            cand_id_df = (
+                cands.select(F.col("id_a").alias("id"))
+                .unionByName(cands.select(F.col("id_b").alias("id")))
+                .distinct()
+            )
+            doc_buckets = self._bucket_set(cand_id_df, "id")
+            stored_docs = self.docs_table.read_buckets(spark, doc_buckets)
+            if timings is not None:
+                timings["docs_buckets_read"] = len(doc_buckets)
         if stored_docs is not None:
             cand_ids = (
                 cands.select(F.col("id_a").alias("id"))
@@ -356,8 +530,17 @@ class NearDupIndex:
 
         # -- resolve: only components TOUCHED by a new pair ------------
         prior = self.labels_table.read(spark)
+        touched = None
+        touched_buckets: set[int] | None = None
         if prior is None:
-            new_labels = connected_components(pairs.select("id_a", "id_b"))
+            write_labels = connected_components(
+                pairs.select("id_a", "id_b")
+            )
+            if self.n_buckets is not None:
+                # first batch: every resolved component's bucket is new
+                touched_buckets = self._bucket_set(
+                    write_labels, "component"
+                )
         else:
             prior = prior.persist()
             pair_nodes = (
@@ -384,26 +567,71 @@ class NearDupIndex:
                 )
             )
             resolved = connected_components(edges)
-            # NB: a list-key join moves the key column FIRST — re-select
-            # the canonical (id, component) order before the union/commit
-            untouched = prior.join(
-                touched, "component", "left_anti"
-            ).select("id", "component")
-            new_labels = untouched.unionByName(resolved)
+            if self.n_buckets is None:
+                # legacy flat layout: materialize the FULL label set
+                # (untouched carryover is row-level, not file-level).
+                # NB: a list-key join moves the key column FIRST —
+                # re-select the canonical (id, component) order
+                untouched = prior.join(
+                    touched, "component", "left_anti"
+                ).select("id", "component")
+                write_labels = untouched.unionByName(resolved)
+            else:
+                # bucketed layout: rewrite ONLY the buckets that hold a
+                # touched component (rows leave) or a newly resolved
+                # one (rows land — a merged component's min-id can hash
+                # to a bucket none of its old parts lived in); every
+                # other bucket's files carry over in the manifest.  The
+                # rewritten buckets must keep their untouched
+                # co-resident components, read back bucket-pruned.
+                touched_buckets = self._bucket_set(
+                    touched, "component"
+                ) | self._bucket_set(resolved, "component")
+                prior_tb = self.labels_table.read_buckets(
+                    spark, touched_buckets
+                )
+                if prior_tb is None:
+                    write_labels = resolved
+                else:
+                    keep = prior_tb.join(
+                        touched, "component", "left_anti"
+                    ).select("id", "component")
+                    write_labels = keep.unionByName(resolved)
         if timings is not None:
-            new_labels = new_labels.persist()
-            new_labels.count()
+            write_labels = write_labels.persist()
+            write_labels.count()
             timings["resolve_sec"] = round(_time.perf_counter() - t0, 2)
             t0 = _time.perf_counter()
 
         # -- commit ----------------------------------------------------
         self._commit_meta()  # first mutation stamps the config
-        self.docs_table.append(b)
-        self.bands_table.append(new_bands)
-        self.labels_table.overwrite(new_labels)
+        if self.n_buckets is None:
+            self.docs_table.append(b)
+            self.bands_table.append(new_bands)
+            self.labels_table.overwrite(write_labels)
+        else:
+            bcol = BucketedSnapshotTable.BUCKET_COL
+            self.docs_table.append_bucketed(
+                b.withColumn(
+                    bcol, bucket_of(F.col(self.id_col), self.n_buckets)
+                )
+            )
+            self.bands_table.append_bucketed(
+                new_bands.withColumn(
+                    bcol, bucket_of(F.col("key"), self.n_buckets)
+                )
+            )
+            self.labels_table.overwrite_buckets(
+                write_labels.withColumn(
+                    bcol, bucket_of(F.col("component"), self.n_buckets)
+                ),
+                touched_buckets,
+            )
+            if timings is not None:
+                timings["labels_buckets_rewritten"] = len(touched_buckets)
         if timings is not None:
             timings["commit_sec"] = round(_time.perf_counter() - t0, 2)
-            new_labels.unpersist()
+            write_labels.unpersist()
         if prior is not None:
             prior.unpersist()
             touched.unpersist()

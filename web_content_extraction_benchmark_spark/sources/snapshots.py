@@ -156,6 +156,201 @@ class SnapshotTable:
         return spark.read.parquet(*snapshot.files)
 
 
+class BucketedSnapshotTable(SnapshotTable):
+    """SnapshotTable whose data files are grouped into hash buckets —
+    Iceberg's bucket partition transform over the same manifest log.
+
+    Two scale properties the flat table cannot give (both exploited by
+    ``operators/incremental_dedup.NearDupIndex``):
+
+    - **bucket-pruned reads**: ``read_buckets`` opens only the files of
+      the requested buckets, so a point/trickle lookup whose key set
+      hashes into few buckets skips the rest of the store entirely.
+      (When the probe side covers every bucket — e.g. a 10%-of-corpus
+      batch — pruning degenerates to a full read by construction; the
+      caller decides which regime it is in.)
+    - **partial overwrite with file carryover**: ``overwrite_buckets``
+      rewrites ONLY the named buckets and re-references the untouched
+      buckets' existing files in the new manifest — a commit whose cost
+      scales with the touched buckets' row count, not the table size.
+
+    The writer derives each row's bucket itself (callers pass the bucket
+    column already computed — one deterministic ``pmod(xxhash64(...))``
+    expression shared by the write and read sides).  Manifests carry a
+    ``buckets`` map (bucket -> files) alongside the flat ``files`` list,
+    so every plain ``SnapshotTable`` read/time-travel path still works
+    on a bucketed table.
+    """
+
+    BUCKET_COL = "_bucket"
+
+    def __init__(self, path: str, n_buckets: int):
+        super().__init__(path)
+        if n_buckets <= 0:
+            raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+        self.n_buckets = n_buckets
+
+    # -- manifest helpers ----------------------------------------------
+    def _bucket_manifest(self) -> tuple[dict[int, list[str]],
+                                        dict[int, int]]:
+        """(bucket -> files, bucket -> rows) of the latest snapshot.
+        A legacy flat manifest (no bucket map) surfaces as bucket -1 —
+        bucket membership of its files is unknown, so pruned reads fall
+        back to all of them and partial overwrites refuse."""
+        version = self._latest_version()
+        if version == 0:
+            return {}, {}
+        with open(os.path.join(self.log_dir, f"v{version}.json")) as f:
+            manifest = json.load(f)
+        raw = manifest.get("buckets")
+        if raw is None:
+            return ({-1: manifest["files"]},
+                    {-1: manifest["row_count"]})
+        rows = manifest.get("bucket_rows", {})
+        return (
+            {int(b): files for b, files in raw.items()},
+            {int(b): n for b, n in rows.items()},
+        )
+
+    def _write_bucketed_files(
+        self, df: DataFrame
+    ) -> tuple[dict[int, list[str]], dict[int, int]]:
+        """Write df partitioned by BUCKET_COL; return files and row
+        counts per bucket (the bucket column itself becomes a directory
+        name, not a stored column — reads re-derive it from the shared
+        ``bucket_of`` expression).  The count pass touches only the
+        newly staged files, never the committed store."""
+        staging = os.path.join(self.data_dir, uuid.uuid4().hex)
+        (df.write.mode("overwrite").partitionBy(self.BUCKET_COL)
+         .parquet(staging))
+        per_bucket: dict[int, list[str]] = {}
+        for name in sorted(os.listdir(staging)):
+            if not name.startswith(f"{self.BUCKET_COL}="):
+                continue
+            bucket = int(name.split("=", 1)[1])
+            bdir = os.path.join(staging, name)
+            files = [
+                os.path.join(bdir, f)
+                for f in sorted(os.listdir(bdir))
+                if f.endswith(".parquet")
+            ]
+            if files:
+                per_bucket[bucket] = files
+        if not per_bucket:
+            return {}, {}
+        spark = df.sparkSession
+        counts = {
+            row[self.BUCKET_COL]: row["n"]
+            for row in spark.read.option("basePath", staging)
+            .parquet(staging)
+            .groupBy(self.BUCKET_COL)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        return per_bucket, {b: int(counts.get(b, 0)) for b in per_bucket}
+
+    def _commit_buckets(self, bucket_files: dict[int, list[str]],
+                        bucket_rows: dict[int, int]) -> Snapshot:
+        parent = self.current_snapshot()
+        version = self._latest_version() + 1
+        flat = [f for b in sorted(bucket_files) for f in bucket_files[b]]
+        total = sum(bucket_rows.values())
+        manifest_path = os.path.join(self.log_dir, f"v{version}.json")
+        with open(manifest_path, "w") as f:
+            json.dump(
+                {
+                    "snapshot_id": version,
+                    "files": flat,
+                    "row_count": total,
+                    "parent": parent.snapshot_id if parent else None,
+                    "buckets": {str(b): fs
+                                for b, fs in bucket_files.items()},
+                    "bucket_rows": {str(b): n
+                                    for b, n in bucket_rows.items()},
+                },
+                f,
+            )
+        fd, tmp = tempfile.mkstemp(dir=self.log_dir)
+        with os.fdopen(fd, "w") as f:
+            f.write(str(version))
+        os.replace(tmp, os.path.join(self.log_dir, "LATEST"))
+        return Snapshot(version, flat, total,
+                        parent.snapshot_id if parent else None)
+
+    # -- write path ----------------------------------------------------
+    def append_bucketed(self, df: DataFrame) -> Snapshot:
+        """Append rows (df must carry BUCKET_COL); new files join the
+        per-bucket file lists of the parent manifest."""
+        new_files, new_rows = self._write_bucketed_files(df)
+        files, rows = self._bucket_manifest()
+        merged_files = {b: list(fs) for b, fs in files.items()}
+        merged_rows = dict(rows)
+        for bucket, fs in new_files.items():
+            merged_files.setdefault(bucket, []).extend(fs)
+            merged_rows[bucket] = merged_rows.get(bucket, 0) \
+                + new_rows[bucket]
+        return self._commit_buckets(merged_files, merged_rows)
+
+    def overwrite_buckets(self, df: DataFrame,
+                          touched: set[int]) -> Snapshot:
+        """Replace ONLY the ``touched`` buckets with df's rows (df must
+        carry BUCKET_COL and contain rows ONLY for touched buckets);
+        every other bucket's files carry over into the new manifest
+        untouched — a commit whose write AND bookkeeping cost scale with
+        the touched buckets' row count, not the table size (carried
+        buckets' row counts come from the parent manifest, no re-scan)."""
+        files, rows = self._bucket_manifest()
+        if -1 in files:
+            raise ValueError(
+                "overwrite_buckets on a legacy flat manifest — bucket "
+                "membership of existing files is unknown; rewrite the "
+                "table with append_bucketed/overwrite_buckets(all) first"
+            )
+        new_files, new_rows = self._write_bucketed_files(df)
+        stray = set(new_files) - set(touched)
+        if stray:
+            raise ValueError(
+                f"overwrite_buckets: df contains rows for buckets "
+                f"{sorted(stray)} not in the touched set — the commit "
+                "would silently drop their prior rows"
+            )
+        merged_files = {b: fs for b, fs in files.items()
+                        if b not in touched}
+        merged_rows = {b: rows.get(b, 0) for b in merged_files}
+        for bucket, fs in new_files.items():
+            merged_files[bucket] = fs
+            merged_rows[bucket] = new_rows[bucket]
+        return self._commit_buckets(merged_files, merged_rows)
+
+    # -- read path -----------------------------------------------------
+    def read_buckets(self, spark: SparkSession,
+                     buckets: set[int]) -> DataFrame | None:
+        """Read only the requested buckets' files (None = empty table).
+        A legacy flat manifest (no bucket map) falls back to all files —
+        correct, just unpruned."""
+        bucket_map, _ = self._bucket_manifest()
+        if not bucket_map:
+            return None
+        if -1 in bucket_map:
+            files = bucket_map[-1]
+        else:
+            files = [
+                f for b in sorted(buckets)
+                for f in bucket_map.get(b, [])
+            ]
+        if not files:
+            return None
+        return spark.read.parquet(*files)
+
+
+def bucket_of(col, n_buckets: int):
+    """The shared bucket expression: ``pmod(xxhash64(col), n_buckets)``.
+    Write side stamps it as the partition column; read side applies it
+    to the probe keys to compute which buckets to open.  One definition
+    so the two can never drift."""
+    return F.pmod(F.xxhash64(col), F.lit(n_buckets)).cast("int")
+
+
 def remaining_pages(pages: DataFrame, answers_table: SnapshotTable,
                     model: str | None = None) -> DataFrame:
     """Resume: drop pages whose url is already in the committed answers
