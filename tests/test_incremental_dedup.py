@@ -334,3 +334,53 @@ def test_multi_batch_fuzz_equals_scratch(spark, sf_dir, index_path):
         assert got == want, f"labels diverged after batch {i + 1}"
     assert len(got) > 20  # the fuzz actually exercised merges
     corpus.unpersist()
+
+
+def test_compact_preserves_labels_and_version_alignment(
+    spark, sf_dir, index_path
+):
+    """compact() re-bounds files/bucket across all three tables,
+    keeps their snapshot versions aligned (assert_consistent), leaves
+    labels identical, and later appends still equal from-scratch."""
+    base, mutants = _chain_corpus(spark, sf_dir, mod=40)
+    corpus = base.unionByName(mutants).withColumn(
+        "_b", F.pmod(F.xxhash64("doc_id", F.lit(7)), F.lit(4))
+    ).persist()
+    idx = NearDupIndex(index_path, jaccard_threshold=0.6, bands=4,
+                       n_buckets=8)
+    seen = None
+    for i in range(3):
+        part = corpus.filter(F.col("_b") == i).drop("_b")
+        idx.add_batch(part).unpersist()
+        seen = part if seen is None else seen.unionByName(part)
+    assert max(idx.bands_table.bucket_file_counts().values()) == 3
+    before = _labels_set(idx.labels(spark))
+    v0 = idx.assert_consistent()
+
+    rewritten = idx.compact(spark, max_files_per_bucket=1)
+    assert rewritten["docs"] > 0 and rewritten["bands"] > 0
+    # all three advanced together even if labels had nothing to do
+    assert idx.assert_consistent() == v0 + 1
+    assert max(idx.bands_table.bucket_file_counts().values()) == 1
+    assert _labels_set(idx.labels(spark)) == before
+
+    # a post-compaction append still equals from-scratch
+    part = corpus.filter(F.col("_b") == 3).drop("_b")
+    idx.add_batch(part).unpersist()
+    seen = seen.unionByName(part)
+    assert _labels_set(idx.labels(spark)) == _labels_set(
+        _scratch_labels(seen, 0.6)
+    )
+    # idempotent: already bounded -> no commit anywhere
+    assert idx.compact(spark, max_files_per_bucket=8) == {
+        "docs": 0, "bands": 0, "labels": 0
+    }
+    assert idx.assert_consistent() == v0 + 2
+    # flat legacy index refuses
+    flat = tempfile.mkdtemp(prefix="wceb_flat_")
+    try:
+        with pytest.raises(ValueError, match="bucketed"):
+            NearDupIndex(flat, n_buckets=None).compact(spark)
+    finally:
+        shutil.rmtree(flat, ignore_errors=True)
+    corpus.unpersist()

@@ -135,3 +135,52 @@ def test_bucketed_overwrite_refuses_legacy_flat_manifest(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="legacy flat manifest"):
         bt.overwrite_buckets(df, {0, 1, 2, 3})
+
+
+def test_bucketed_write_lands_one_file_per_bucket_and_compacts(
+    spark, tmp_path
+):
+    """Each commit writes exactly one file per touched bucket (the
+    repartition-by-bucket write shape — without it file count grows
+    O(partitions x buckets) per commit), and compact_buckets re-bounds
+    files/bucket after a run of appends without changing the data."""
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.sources.snapshots import (
+        BucketedSnapshotTable,
+        bucket_of,
+    )
+
+    t = BucketedSnapshotTable(str(tmp_path / "ct"), n_buckets=4)
+    bcol = BucketedSnapshotTable.BUCKET_COL
+
+    def mk(lo, hi):
+        # 16 upstream partitions: the pre-fix shape would write up to
+        # 16 files per bucket per commit
+        return (
+            spark.range(lo, hi, 1, 16)
+            .select(F.col("id"), (F.col("id") * 3).alias("v"))
+            .withColumn(bcol, bucket_of(F.col("id"), 4))
+        )
+
+    for k in range(3):
+        t.append_bucketed(mk(k * 100, (k + 1) * 100))
+    counts = t.bucket_file_counts()
+    assert counts == {b: 3 for b in range(4)}, counts  # 1/bucket/commit
+
+    before = {(r.id, r.v) for r in t.read(spark).collect()}
+    v_before = t._latest_version()
+    assert t.compact_buckets(spark, max_files=1) == 4
+    assert t.bucket_file_counts() == {b: 1 for b in range(4)}
+    assert t._latest_version() == v_before + 1
+    after = {(r.id, r.v) for r in t.read(spark).collect()}
+    assert after == before and len(after) == 300
+    # under the bound: nothing rewritten, nothing committed
+    assert t.compact_buckets(spark, max_files=1) == 0
+    assert t._latest_version() == v_before + 1
+    # carryover: version bump, same files
+    files_now, _ = t._bucket_manifest()
+    t.commit_carryover()
+    assert t._latest_version() == v_before + 2
+    files_after, _ = t._bucket_manifest()
+    assert files_after == files_now

@@ -337,6 +337,47 @@ class NearDupIndex:
             )
         return versions["docs"]
 
+    # -- maintenance ---------------------------------------------------
+    def compact(self, spark: SparkSession,
+                max_files_per_bucket: int = 8) -> dict[str, int]:
+        """Compact any store bucket holding more than
+        ``max_files_per_bucket`` files down to one file each.  Each
+        append lands one file per touched bucket, so a daily-append
+        deployment grows files/bucket — and every probe's open/task
+        count — linearly with the append count; run this between
+        batches (weekly at daily appends, say) to re-bound it.
+
+        Takes the writer lock.  Returns buckets rewritten per table.
+        If ANY table rewrites, the others commit a zero-I/O carryover
+        snapshot so all three stay at the same version
+        (``assert_consistent``'s invariant); if nothing exceeds the
+        bound, nothing commits at all."""
+        if self.n_buckets is None:
+            raise ValueError(
+                "compact requires a bucketed index (this one uses the "
+                "legacy flat layout)"
+            )
+        self._acquire_writer_lock()
+        try:
+            tables = {
+                "docs": self.docs_table,
+                "bands": self.bands_table,
+                "labels": self.labels_table,
+            }
+            rewritten = {
+                name: table.compact_buckets(
+                    spark, max_files=max_files_per_bucket
+                )
+                for name, table in tables.items()
+            }
+            if any(rewritten.values()):
+                for name, table in tables.items():
+                    if not rewritten[name]:
+                        table.commit_carryover()
+            return rewritten
+        finally:
+            self._release_writer_lock()
+
     # -- read side -----------------------------------------------------
     def labels(self, spark: SparkSession) -> DataFrame:
         """(id, component) for every doc that ever appeared in a

@@ -221,7 +221,19 @@ class BucketedSnapshotTable(SnapshotTable):
         ``bucket_of`` expression).  The count pass touches only the
         newly staged files, never the committed store."""
         staging = os.path.join(self.data_dir, uuid.uuid4().hex)
-        (df.write.mode("overwrite").partitionBy(self.BUCKET_COL)
+        # Repartition on the bucket column first so each commit lands
+        # exactly ONE file per touched bucket.  A bare partitionBy
+        # fans every upstream partition across every bucket directory
+        # — O(partitions x buckets) files per commit — and since
+        # append/overwrite manifests carry prior files forward, the
+        # store's file count (and every later probe's task count)
+        # grows per append: the r7 stress smoke measured the bands
+        # probe at 9k+ tasks over ~1.2k stored docs after 3 appends.
+        # Cost: write parallelism capped at n_buckets tasks (hash
+        # partitioning maps each bucket value to one partition);
+        # size n_buckets >= cores for big-batch deployments.
+        (df.repartition(self.n_buckets, F.col(self.BUCKET_COL))
+         .write.mode("overwrite").partitionBy(self.BUCKET_COL)
          .parquet(staging))
         per_bucket: dict[int, list[str]] = {}
         for name in sorted(os.listdir(staging)):
@@ -341,6 +353,55 @@ class BucketedSnapshotTable(SnapshotTable):
         if not files:
             return None
         return spark.read.parquet(*files)
+
+    # -- maintenance ---------------------------------------------------
+    def bucket_file_counts(self) -> dict[int, int]:
+        """Files per bucket of the latest snapshot (legacy flat
+        manifests surface as ``{-1: n}``)."""
+        files, _ = self._bucket_manifest()
+        return {b: len(fs) for b, fs in files.items()}
+
+    def commit_carryover(self) -> Snapshot:
+        """Commit a new snapshot referencing exactly the current
+        files — a version bump with zero I/O.  Used to keep sibling
+        tables' snapshot versions aligned when only some of them had
+        work to do (``NearDupIndex.assert_consistent`` pins the
+        same-version invariant)."""
+        files, rows = self._bucket_manifest()
+        return self._commit_buckets(files, rows)
+
+    def compact_buckets(self, spark: SparkSession,
+                        max_files: int = 1) -> int:
+        """Rewrite every bucket holding more than ``max_files`` files
+        into one file each and commit a snapshot; buckets at or under
+        the bound carry over untouched.  Returns the number of buckets
+        rewritten (0 = nothing committed).
+
+        This is the daily-append maintenance op: each append adds one
+        file per touched bucket, so without compaction files/bucket —
+        and every later probe's task/open count — grows with the
+        APPEND COUNT rather than the data volume."""
+        files, rows = self._bucket_manifest()
+        if -1 in files:
+            raise ValueError(
+                "compact_buckets on a legacy flat manifest — bucket "
+                "membership of existing files is unknown"
+            )
+        to_compact = {b for b, fs in files.items()
+                      if len(fs) > max_files}
+        if not to_compact:
+            return 0
+        # One read per bucket (bounded by n_buckets), stamped with its
+        # literal bucket id — no key column needed, the manifest IS
+        # the bucket membership.
+        df = None
+        for bucket in sorted(to_compact):
+            part = spark.read.parquet(*files[bucket]).withColumn(
+                self.BUCKET_COL, F.lit(bucket).cast("int")
+            )
+            df = part if df is None else df.unionByName(part)
+        self.overwrite_buckets(df, to_compact)
+        return len(to_compact)
 
 
 def bucket_of(col, n_buckets: int):
