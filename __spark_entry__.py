@@ -1055,6 +1055,15 @@ def q_neural_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neural_extract_answers(pages).select("url", "plaintext")
 
 
+# Planted IDN hosts and their pinned punycode forms (stdlib
+# `'<host>'.encode('idna')` — IDNA 2003 ToASCII): the pair of constant
+# lists is shared by the Spark arm (input construction) and the DuckDB
+# mirror (closed-form expected output), so the fold's oracle can't
+# drift from its inputs.
+IDN_UNICODE = ["bücher", "köln", "почта"]
+IDN_PUNY = ["xn--bcher-kva", "xn--kln-sna", "xn--80a1acny"]
+
+
 def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: sha256 content-hash page ids over the raw html bytes (gzip rows
     excluded — compressed bytes are not SQL-reproducible), plus the URL
@@ -1064,7 +1073,12 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     hex-uppercase + unreserved-decode, and — every 20th — a
     case-sensitive userinfo that must survive host lowercasing) and the
     returned ``canonical_url`` column byte-compares the normalization
-    against the DuckDB mirror."""
+    against the DuckDB mirror.  r7 adds the IDN arm: every 20th-plus-5
+    url carries a Unicode host (from IDN_UNICODE, by doc_id%3) that
+    must fold to its pinned punycode form, and every 20th-plus-15 an
+    UPPERCASE punycode host that must lower-fold to itself — the
+    DuckDB mirror maps the planted hosts in closed form (punycode is
+    not SQL-expressible; the pinned constants ARE the oracle)."""
     from web_content_extraction_benchmark_spark.operators.urls import (
         canonicalize_urls,
     )
@@ -1073,11 +1087,30 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     host = F.regexp_extract("url", r"^https://([^/]+)/", 1)
     tail = F.regexp_extract("url", r"^https://[^/]+/(.*)$", 1)
     b = (F.col("doc_id") % 7).cast("string")
+    k = (F.col("doc_id") % 3).cast("int")
+    uhost = F.element_at(
+        F.array(*[F.lit(h) for h in IDN_UNICODE]), k + 1
+    )
+    ahost = F.upper(
+        F.element_at(F.array(*[F.lit(h) for h in IDN_PUNY]), k + 1)
+    )
     messy = F.when(
         F.col("doc_id") % 20 == 0,
         F.concat(
             F.lit("HTTPS://U%3aP@"), F.upper(host), F.lit(":443/%7e"),
             tail, F.lit("?utm_source=x&b="), b, F.lit("&a=%31#s"),
+        ),
+    ).when(
+        F.col("doc_id") % 20 == 5,
+        F.concat(
+            F.lit("https://"), uhost, F.lit(".example:443/"), tail,
+            F.lit("#f"),
+        ),
+    ).when(
+        F.col("doc_id") % 20 == 15,
+        F.concat(
+            F.lit("HTTPS://"), ahost, F.lit(".example/"), tail,
+            F.lit("?utm_x=1&z=2"),
         ),
     ).when(
         F.col("doc_id") % 10 == 0,
@@ -1510,21 +1543,47 @@ def _page_ids_sql() -> str:
         html_sql,
     )
 
+    uhost = (
+        f"CASE doc_id % 3 WHEN 0 THEN '{IDN_UNICODE[0]}' "
+        f"WHEN 1 THEN '{IDN_UNICODE[1]}' ELSE '{IDN_UNICODE[2]}' END"
+    )
+    ahost = (
+        f"upper(CASE doc_id % 3 WHEN 0 THEN '{IDN_PUNY[0]}' "
+        f"WHEN 1 THEN '{IDN_PUNY[1]}' ELSE '{IDN_PUNY[2]}' END)"
+    )
     messy = f"""
         CASE WHEN doc_id % 20 = 0 THEN
             'HTTPS://U%3aP@' || upper({HOST_SQL}) || ':443/%7e'
             || source || '/'
             || CAST(doc_id AS VARCHAR) || '?utm_source=x&b='
             || CAST(doc_id % 7 AS VARCHAR) || '&a=%31#s'
+        WHEN doc_id % 20 = 5 THEN
+            'https://' || {uhost} || '.example:443/' || source || '/'
+            || CAST(doc_id AS VARCHAR) || '#f'
+        WHEN doc_id % 20 = 15 THEN
+            'HTTPS://' || {ahost} || '.example/' || source || '/'
+            || CAST(doc_id AS VARCHAR) || '?utm_x=1&z=2'
         WHEN doc_id % 10 = 0 THEN
             'HTTPS://' || upper({HOST_SQL}) || ':443/' || source || '/'
             || CAST(doc_id AS VARCHAR) || '?utm_source=x&b='
             || CAST(doc_id % 7 AS VARCHAR) || '&a=1&c=%4a#s'
         ELSE {URL_SQL} END
     """
+    # the IDN fold's closed-form mirror: punycode is not
+    # SQL-expressible, but the PLANTED hosts' punycode forms are pinned
+    # constants — map each '://<unicode-host>.example' occurrence in
+    # the (fold-free) canonical output to its ASCII form.  The
+    # uppercase-punycode arm needs no mapping: the canonicalizer's host
+    # lowercasing plus the fold's valid-punycode round-trip identity
+    # land it on itself.
+    canon = canonical_url_sql(f"({messy})")
+    for u, p in zip(IDN_UNICODE, IDN_PUNY):
+        canon = (
+            f"replace({canon}, '://{u}.example', '://{p}.example')"
+        )
     return (
         f"SELECT {URL_SQL} AS url, sha256({html_sql()}) AS page_id, "
-        f"{canonical_url_sql(f'({messy})')} AS canonical_url "
+        f"{canon} AS canonical_url "
         "FROM documents WHERE doc_id % 103 != 0"
     )
 

@@ -88,9 +88,78 @@ def test_plan_is_jvm_side(spark, sf_dir):
         F.concat(F.lit("https://H.Example/"), F.col("doc_id").cast("string"))
         .alias("url")
     )
+    # fold_idn=False: the pure-Catalyst plan canonical_url_sql mirrors
     plan = (
-        canonicalize_urls(pages_urls)
+        canonicalize_urls(pages_urls, fold_idn=False)
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert "Exchange" not in plan
+    # default (fold_idn=True): exactly ONE Arrow stage — the hostport
+    # fold — no per-row Python eval, still no shuffle
+    plan = (
+        canonicalize_urls(pages_urls)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Exchange" not in plan
+
+
+def test_idn_fold_planted_hosts_and_idempotence(spark):
+    """The IDN fold (r7): Unicode hosts fold to their pinned punycode
+    forms, uppercase/valid punycode folds to its lowercase self,
+    invalid punycode and IPv6 literals pass through, ports survive —
+    and the whole canonicalization stays idempotent with the fold on.
+    The Spark column output must byte-match the pure kernel
+    (fold_idn_host) composed over the fold-free canonical output."""
+    from web_content_extraction_benchmark_spark.operators.urls import (
+        fold_idn_host,
+    )
+
+    idn_cases = [
+        ("https://bücher.example/p?b=2&a=1",
+         "https://bücher.example/p?a=1&b=2",        # fold-free
+         "https://xn--bcher-kva.example/p?a=1&b=2"),  # folded
+        ("HTTPS://XN--KLN-SNA.Example:443/x",
+         "https://xn--kln-sna.example/x",
+         "https://xn--kln-sna.example/x"),
+        ("http://почта.example:8080/a#f",
+         "http://почта.example:8080/a",
+         "http://xn--80a1acny.example:8080/a"),
+        ("https://U:P@müller.example/x",            # userinfo survives
+         "https://U:P@müller.example/x",
+         "https://U:P@xn--mller-kva.example/x"),
+        ("https://xn--zzzzzz.example/x",            # invalid punycode
+         "https://xn--zzzzzz.example/x",
+         "https://xn--zzzzzz.example/x"),
+        ("http://[2001:DB8::1]:8080/x",             # IPv6: no IDN
+         "http://[2001:db8::1]:8080/x",
+         "http://[2001:db8::1]:8080/x"),
+    ]
+    rows = [(i, raw) for i, (raw, _, _) in enumerate(idn_cases)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.url for r in canonicalize_urls(df).collect()}
+    plain = {
+        r.id: r.url
+        for r in canonicalize_urls(df, fold_idn=False).collect()
+    }
+    for i, (raw, want_plain, want_folded) in enumerate(idn_cases):
+        assert plain[i] == want_plain, (raw, plain[i])
+        assert got[i] == want_folded, (raw, got[i])
+    # Spark fold == pure kernel over the fold-free host (byte identity
+    # between the distributed path and the single-threaded oracle)
+    import re as _re
+
+    for i, (raw, want_plain, _) in enumerate(idn_cases):
+        m = _re.match(r"^([a-z+.-]+://)(?:([^/@]*@))?([^/?#]*)(.*)$",
+                      want_plain)
+        scheme, userinfo, hostport, rest = m.groups()
+        rebuilt = (scheme + (userinfo or "")
+                   + fold_idn_host(hostport) + rest)
+        assert got[i] == rebuilt, (raw, got[i], rebuilt)
+    # idempotent with the fold on
+    twice = {r.id: r.url for r in canonicalize_urls(
+        canonicalize_urls(df)
+    ).collect()}
+    assert twice == got

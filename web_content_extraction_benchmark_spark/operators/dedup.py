@@ -32,6 +32,7 @@ use PROD_NUM_HASHES/PROD_BANDS (128/16 -> r=8, S-curve midpoint
 from __future__ import annotations
 
 import math
+import warnings
 
 import numpy as np
 import pandas as pd
@@ -876,8 +877,10 @@ def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
 
     def _build(batches):
         bitmap = np.zeros(n_words, dtype=np.uint64)
+        n = 0
         for pdf in batches:
             if len(pdf):
+                n += len(pdf)
                 pos = np.concatenate(
                     [np.asarray(p, dtype=np.int64) for p in pdf["pos"]]
                 )
@@ -885,27 +888,48 @@ def contaminated_ids_bloom(docs: DataFrame, benchmark: DataFrame,
                     bitmap, pos // 64,
                     np.uint64(1) << (pos % 64).astype(np.uint64),
                 )
-        yield pd.DataFrame({"words": [bitmap.tobytes()]})
+        yield pd.DataFrame({"words": [bitmap.tobytes()], "n": [n]})
 
     def _merge(batches):
         bitmap = np.zeros(n_words, dtype=np.uint64)
+        n = 0
         for pdf in batches:
+            n += int(pdf["n"].sum())
             for words in pdf["words"]:
                 bitmap |= np.frombuffer(words, dtype=np.uint64)
-        yield pd.DataFrame({"words": [bitmap.tobytes()]})
+        yield pd.DataFrame({"words": [bitmap.tobytes()], "n": [n]})
 
     merged = (
         bench_grams.select(positions.alias("pos"))
-        .mapInPandas(_build, "words binary")   # one bitmap / partition
+        .mapInPandas(_build, "words binary, n long")  # 1 bitmap/partition
         .repartition(1)
-        .mapInPandas(_merge, "words binary")   # one bitmap total
+        .mapInPandas(_merge, "words binary, n long")  # one bitmap total
         .collect()
     )
     bitmap = (
         np.frombuffer(merged[0].words, dtype=np.uint64)
         if merged else np.zeros(n_words, dtype=np.uint64)
     )
+    observed_grams = merged[0].n if merged else 0
     bench_grams.unpersist()
+    if expected_grams is not None and observed_grams > 2 * expected_grams:
+        # the bitmap was sized for expected_grams — a real insert count
+        # past 2x silently inflates the effective fpp (and with it the
+        # survivor set the exact verify join must chew through).  The
+        # insert count falls out of the build pass for free, so the
+        # under-estimate is surfaced rather than absorbed; output stays
+        # exact either way (the verify join filters every false
+        # positive).
+        warnings.warn(
+            f"contaminated_ids_bloom: bitmap sized for "
+            f"expected_grams={expected_grams} but the benchmark set "
+            f"holds {observed_grams} distinct grams (> 2x) — effective "
+            f"fpp exceeds the requested {fpp} and the exact-verify "
+            f"survivor join grows accordingly.  Pass a realistic "
+            f"expected_grams (or omit it to size from an exact count).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     bc = docs.sparkSession.sparkContext.broadcast(bitmap)
 
     from pyspark.sql.functions import pandas_udf

@@ -29,18 +29,33 @@ subset (or exact engine-agnostic arithmetic) and has a DuckDB twin
 output byte-for-byte; non-URL strings (no ``scheme://`` after
 normalization) pass through byte-unchanged.
 
-Deliberately OUT of scope (documented, not forgotten): IDN/punycode
-host folding (``bücher.example`` vs ``xn--bcher-kva.example`` stay
-distinct — full nameprep/IDNA mapping is far outside the regex subset
-this operator pins itself to, and mixed-representation hosts are rare
-in crawl frontiers, which store the punycode form), and path dot-
+IDN/punycode host folding (r7): ``bücher.example`` and
+``xn--bcher-kva.example`` are the same host in two representations —
+``canonicalize_urls`` folds both to the ASCII (punycode) form crawl
+frontiers store, per label, via stdlib ``encodings.idna`` (IDNA 2003
+ToASCII — nameprep case/width folding included).  The fold is the one
+step outside the regex/Catalyst subset: a vectorized ``pandas_udf``
+over the hostport column ONLY, with an ASCII fast path (rows whose
+host has no non-ASCII byte and no ``xn--`` label — i.e. ~all of a real
+crawl — never enter the per-label Python loop).  Because punycode is
+not SQL-expressible, ``canonical_url_sql`` mirrors the
+``fold_idn=False`` operator; the fold itself is value-oracled through
+planted hosts with pinned punycode forms (the ``page_ids`` arm) plus
+idempotence/round-trip pytests.  A label that fails ToASCII (invalid
+punycode, length overflow) passes through unchanged — conservative,
+never destructive.
+
+Deliberately OUT of scope (documented, not forgotten): path dot-
 segment removal (``/a/../b`` — a crawler's fetcher resolves these
 before the URL reaches a corpus)."""
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
 
 _SCHEME_RE = r"^([A-Za-z][A-Za-z0-9+.-]*)://"
 _HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
@@ -131,6 +146,55 @@ def percent_normalize_sql(url_expr: str) -> str:
     return f"(({parts})[1] || {tail})"
 
 
+def fold_idn_host(hostport: str) -> str:
+    """Fold one (lowercased) ``host[:port]`` to its IDNA ASCII form:
+    non-ASCII labels are punycode-encoded (stdlib ``encodings.idna``,
+    IDNA 2003 ToASCII — the nameprep mapping handles any residual
+    case/width variants); existing ``xn--`` labels are round-tripped
+    (decode -> re-encode) so only VALID punycode survives as-is and
+    invalid punycode passes through unchanged.  Pure function — the
+    same kernel runs inside the Spark pandas_udf and in the pytest
+    oracle (the repo's byte-identity pattern)."""
+    if not hostport or hostport.startswith("["):
+        return hostport  # IPv6 literal: no IDN semantics
+    head, sep, tail = hostport.rpartition(":")
+    if sep and tail.isdigit():
+        host, port = head, ":" + tail
+    else:
+        host, port = hostport, ""
+    out = []
+    for label in host.split("."):
+        try:
+            if not label.isascii():
+                label = label.encode("idna").decode("ascii")
+            elif label.lower().startswith("xn--"):
+                # stdlib ToUnicode only recognizes a lowercase ACE
+                # prefix; the canonical form is lowercase anyway
+                label = (
+                    label.lower().encode("ascii").decode("idna")
+                    .encode("idna").decode("ascii")
+                )
+        except UnicodeError:
+            pass  # not foldable: conservative passthrough
+        out.append(label)
+    return ".".join(out) + port
+
+
+# rows with neither a non-ASCII byte nor an xn-- label skip the
+# per-label Python loop entirely (the ~always fast path)
+_IDN_NEEDS_RE = r"[^\x00-\x7f]|(?:^|\.)(?:xn|XN|Xn|xN)--"
+
+
+@pandas_udf(T.StringType())
+def _fold_idn_udf(hostport: pd.Series) -> pd.Series:
+    needs = hostport.str.contains(_IDN_NEEDS_RE, regex=True, na=False)
+    if not needs.any():
+        return hostport
+    out = hostport.copy()
+    out[needs] = out[needs].map(fold_idn_host)
+    return out
+
+
 def _host_canon(scheme: Column, hostport: Column) -> Column:
     """lowercase + default-port strip over the host:port part ONLY
     (userinfo already split off)."""
@@ -143,6 +207,10 @@ def _host_canon(scheme: Column, hostport: Column) -> Column:
 
 
 def canonical_url_col(url: Column) -> Column:
+    """Single-expression pure-Catalyst variant (no IDN fold — use
+    ``canonicalize_urls`` for the full canonicalization; this form also
+    re-evaluates the percent-normalize transform per referencing regex,
+    see the entry point's docstring)."""
     norm = percent_normalize_col(url)
     pre = F.regexp_replace(norm, _FRAG_RE, "")
     scheme = F.lower(F.regexp_extract(norm, _SCHEME_RE, 1))
@@ -170,14 +238,22 @@ def canonical_url_col(url: Column) -> Column:
 
 
 def canonicalize_urls(df: DataFrame, url_col: str = "url",
-                      out_col: str | None = None) -> DataFrame:
+                      out_col: str | None = None,
+                      fold_idn: bool = True) -> DataFrame:
     """Corpus-scale entry point: the percent-normalized url, the
     component regexp_extracts, and the authority split are each
     MATERIALIZED in their own projection — the normalization transform
     is referenced by 4 regexes and the combined expression references
     scheme 4x / hostport 3x, and CollapseProject would otherwise
     inline (re-evaluate) each non-cheap expression per reference
-    (the CLAUDE.md fan-out gotcha)."""
+    (the CLAUDE.md fan-out gotcha).
+
+    ``fold_idn`` (default on) additionally folds Unicode/punycode host
+    representations to one ASCII form (module docstring) — the one
+    Arrow stage in the operator, carrying ONLY the short hostport
+    column, with a no-Python fast path for ASCII hosts.  Pass False
+    for the pure-Catalyst plan (exactly what ``canonical_url_sql``
+    mirrors)."""
     u = F.col(url_col)
     s1 = df.select("*", percent_normalize_col(u).alias("__norm"))
     n = F.col("__norm")
@@ -196,6 +272,8 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
     )
     scheme = F.col("__scheme")
     host = _host_canon(scheme, F.col("__hostport"))
+    if fold_idn:
+        host = _fold_idn_udf(host)
     path = F.when(F.col("__path_raw") == "", F.lit("/")).otherwise(
         F.col("__path_raw")
     )
@@ -224,7 +302,9 @@ def canonicalize_urls(df: DataFrame, url_col: str = "url",
 
 def canonical_url_sql(url_expr: str) -> str:
     """DuckDB mirror — the SAME interpolated regex constants, same rule
-    order, byte-identical output."""
+    order, byte-identical output.  Mirrors ``fold_idn=False`` (punycode
+    is not SQL-expressible); the fold is oracled separately through
+    planted hosts with pinned punycode forms (``page_ids`` arm)."""
     u = url_expr
     n = percent_normalize_sql(u)
     pre = f"regexp_replace({n}, '{_FRAG_RE}', '')"
