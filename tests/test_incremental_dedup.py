@@ -384,3 +384,59 @@ def test_compact_preserves_labels_and_version_alignment(
     finally:
         shutil.rmtree(flat, ignore_errors=True)
     corpus.unpersist()
+
+
+def test_simhash_signature_index_equals_scratch(spark, sf_dir, index_path):
+    """Verdict r6 #7: the signature plugin — a SimHash-configured index
+    appended in 3 batches must label-match the from-scratch
+    simhash_near_duplicates + connected_components run over the union
+    after EVERY append (cross-batch hamming pairs included), and the
+    persisted config must refuse a mismatched (minhash) reopen."""
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        simhash_near_duplicates,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .filter((F.col("doc_id") % 10 == 0) & F.col("text").isNotNull())
+    )
+    # planted near-dups: drop ONE trailing word (hamming-small votes);
+    # mutants in the negative namespace, spread across batches
+    words = F.split("text", " ")
+    mutants = docs.select(
+        (-F.col("doc_id") - 1).alias("doc_id"),
+        F.concat_ws(
+            " ", F.slice(words, 1, F.size(words) - 1)
+        ).alias("text"),
+    )
+    corpus = docs.unionByName(mutants).withColumn(
+        "_b", F.pmod(F.xxhash64("doc_id", F.lit(3)), F.lit(3))
+    ).persist()
+
+    idx = NearDupIndex(index_path, signature="simhash", max_hamming=3,
+                       n_buckets=8)
+    seen = None
+    for i in range(3):
+        part = corpus.filter(F.col("_b") == i).drop("_b")
+        pairs = idx.add_batch(part)
+        assert pairs.columns == ["id_a", "id_b", "hamming"]
+        pairs.unpersist()
+        seen = part if seen is None else seen.unionByName(part)
+        got = _labels_set(idx.labels(spark))
+        want = _labels_set(
+            connected_components(
+                simhash_near_duplicates(seen, max_hamming=3)
+                .select("id_a", "id_b")
+            )
+        )
+        assert got == want, f"labels diverged after batch {i + 1}"
+    assert len(got) > 10  # the planted mutants actually paired
+    # config pinning: a minhash reopen of a simhash store refuses
+    with pytest.raises(ValueError, match="different\\s+configuration"):
+        NearDupIndex(index_path, n_buckets=8)
+    # open() restores the persisted signature config
+    reopened = NearDupIndex.open(index_path)
+    assert reopened.signature == "simhash"
+    assert reopened.max_hamming == 3
+    corpus.unpersist()

@@ -58,6 +58,16 @@ Scale notes for the 100 TB deployment:
   that is a few GB — above broadcast limits, flip the join direction
   (shuffle both sides on (band, key)) which is still O(batch) + one
   store shuffle, or split the batch.
+- signature plugins (r7): the store is signature-agnostic — committed
+  band rows are (id, band, key-string) whatever produced them — so the
+  index runs under ``signature="minhash"`` (banded MinHash-LSH keys,
+  exact-Jaccard verify; the corpus-scale default) or
+  ``signature="simhash"`` (the four pigeonhole 16-bit chunks as band
+  keys, exact-hamming verify at ``max_hamming``).  Embedding near-dup
+  has NO incremental variant: its hyperplane-LSH candidates are
+  verified by exact cosine over the float vectors, which the docs
+  table does not store — re-signaturing the corpus each run
+  (operators/similarity.py) is the documented path there.
 - ONE writer at a time: ``add_batch`` takes an exclusive on-disk lock
   (``_writer.lock/`` with the holder's pid; stale locks from dead
   processes are swept).  Two concurrent writers would interleave the
@@ -85,6 +95,7 @@ from .dedup import (
     connected_components,
     lsh_band_keys,
     shingle_col,
+    simhash64_col,
 )
 
 DEFAULT_INDEX_BUCKETS = 64
@@ -110,10 +121,18 @@ class NearDupIndex:
                  hash_fn: str = "md5",
                  text_col: str = "text",
                  id_col: str = "doc_id",
-                 n_buckets: int | None = DEFAULT_INDEX_BUCKETS):
+                 n_buckets: int | None = DEFAULT_INDEX_BUCKETS,
+                 signature: str = "minhash",
+                 max_hamming: int = 3):
         if num_hashes % bands != 0:
             raise ValueError(
                 f"num_hashes ({num_hashes}) must divide into bands ({bands})"
+            )
+        if signature not in ("minhash", "simhash"):
+            raise ValueError(
+                f"unknown signature {signature!r}: 'minhash' (banded "
+                "MinHash-LSH, exact-Jaccard verify) or 'simhash' (16-bit "
+                "pigeonhole chunks, exact-hamming verify)"
             )
         self.path = path
         self.num_hashes = num_hashes
@@ -122,6 +141,13 @@ class NearDupIndex:
         self.hash_fn = hash_fn
         self.text_col = text_col
         self.id_col = id_col
+        # signature plugin (r7): the store layout is signature-agnostic
+        # — (id, band, key-string) rows — so SimHash slots in by
+        # swapping the sign and verify kernels; the config pins which
+        # one built the store (mixed-signature appends would silently
+        # match nothing, same failure class as a hash_fn mismatch)
+        self.signature = signature
+        self.max_hamming = max_hamming
         # bucket layout is part of the index (rows land in directories
         # by this hash): a pre-r7 index has no n_buckets in its meta —
         # reopen it with n_buckets=None (flat legacy layout; open()
@@ -138,6 +164,10 @@ class NearDupIndex:
         meta = self._meta()
         stored = self._read_meta(path)
         if stored is not None:
+            # pre-r7 metas predate the signature plugin: they were all
+            # written by the MinHash-only index
+            stored.setdefault("signature", "minhash")
+            stored.setdefault("max_hamming", 3)
             known = {k: stored.get(k) for k in meta}  # ignore unknown
             if known != meta:
                 diffs = {
@@ -190,6 +220,8 @@ class NearDupIndex:
             "text_col": self.text_col,
             "id_col": self.id_col,
             "n_buckets": self.n_buckets,
+            "signature": self.signature,
+            "max_hamming": self.max_hamming,
         }
 
     @staticmethod
@@ -218,7 +250,8 @@ class NearDupIndex:
         os.replace(tmp, self.meta_path(self.path))
 
     _PARAMS = ("num_hashes", "bands", "jaccard_threshold", "hash_fn",
-               "text_col", "id_col", "n_buckets")
+               "text_col", "id_col", "n_buckets", "signature",
+               "max_hamming")
 
     @classmethod
     def open(cls, path: str, fresh_defaults: dict | None = None,
@@ -404,6 +437,71 @@ class NearDupIndex:
         ).select(F.col("id").alias(self.id_col))
         return docs.join(losers, [self.id_col], "left_anti")
 
+    def _band_rows(self, b: DataFrame) -> DataFrame:
+        """(id, band, key) for one batch under the configured signature
+        — the store layout both plugins share.  MinHash: banded LSH
+        keys.  SimHash: the four pigeonhole 16-bit chunks as
+        (chunk_id, chunk-as-string) — hamming<=3 pairs share at least
+        one chunk exactly, so the identical (band, key) candidate join
+        applies; sig==0 (blank) docs are excluded exactly as the
+        from-scratch operator excludes them
+        (``dedup.simhash_near_duplicates``: a web corpus's millions of
+        empty docs would otherwise form one quadratic bucket)."""
+        if self.signature == "minhash":
+            return lsh_band_keys(
+                b, self.text_col, self.id_col,
+                self.num_hashes, self.bands, self.hash_fn,
+            )
+        sig = b.select(
+            F.col(self.id_col).alias("id"),
+            simhash64_col(F.col(self.text_col)).alias("sig"),
+        ).filter(F.col("sig") != 0)
+        return sig.select(
+            "id",
+            F.posexplode(
+                F.array(*[
+                    F.shiftrightunsigned(F.col("sig"), s)
+                    .bitwiseAND(F.lit(0xFFFF))
+                    for s in (0, 16, 32, 48)
+                ])
+            ).alias("band", "_key_long"),
+        ).select(
+            "id", "band", F.col("_key_long").cast("string").alias("key")
+        )
+
+    def _feature_rows(self, src: DataFrame) -> DataFrame:
+        """(id, sh) verify features: shingle set (minhash mode) or the
+        64-bit SimHash signature (simhash mode), recomputed from text —
+        the store never persists signatures, so both plugins prune the
+        committed-docs read the same way and re-sign only
+        candidate-matched stored docs."""
+        feature = (
+            shingle_col(F.col(self.text_col))
+            if self.signature == "minhash"
+            else simhash64_col(F.col(self.text_col))
+        )
+        return src.select(
+            F.col(self.id_col).alias("id"), feature.alias("sh")
+        )
+
+    def _verify_hamming(self, candidates: DataFrame,
+                        sigs: DataFrame) -> DataFrame:
+        """Exact hamming on candidate pairs (simhash mode's analogue of
+        ``_verify_jaccard``)."""
+        sg_a = sigs.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sg_a")
+        )
+        sg_b = sigs.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sg_b")
+        )
+        hamming = F.bit_count(F.col("sg_a").bitwiseXOR(F.col("sg_b")))
+        return (
+            candidates.join(sg_a, "id_a")
+            .join(sg_b, "id_b")
+            .select("id_a", "id_b", hamming.alias("hamming"))
+            .filter(F.col("hamming") <= self.max_hamming)
+        )
+
     @staticmethod
     def candidate_pairs(new_bands: DataFrame,
                         stored_bands: DataFrame | None) -> DataFrame:
@@ -447,8 +545,10 @@ class NearDupIndex:
     def add_batch(self, batch: DataFrame,
                   timings: dict | None = None) -> DataFrame:
         """Sign ONLY ``batch``, pair it against (batch ∪ store), merge
-        components, commit.  Returns the newly verified pairs
-        (id_a, id_b, jaccard) — every pair involves >= 1 batch doc.
+        components, commit.  Returns the newly verified pairs —
+        (id_a, id_b, jaccard) under the minhash signature,
+        (id_a, id_b, hamming) under simhash — every pair involves
+        >= 1 batch doc.
         The returned DataFrame is PERSISTED: callers that are done with
         it must ``unpersist()`` it (a daemon looping add_batch would
         otherwise accumulate one cached pair set per batch).
@@ -489,10 +589,7 @@ class NearDupIndex:
         b = batch.select(
             F.col(self.id_col), F.col(self.text_col)
         ).persist()
-        new_bands = lsh_band_keys(
-            b, self.text_col, self.id_col,
-            self.num_hashes, self.bands, self.hash_fn,
-        ).persist()
+        new_bands = self._band_rows(b).persist()
         if timings is not None:
             new_bands.count()
             timings["sign_sec"] = round(_time.perf_counter() - t0, 2)
@@ -519,11 +616,8 @@ class NearDupIndex:
         # semi join) — unpersisted, the store scan would run twice
         cands = self.candidate_pairs(new_bands, stored_bands).persist()
 
-        # -- exact-Jaccard verify --------------------------------------
-        sh = b.select(
-            F.col(self.id_col).alias("id"),
-            shingle_col(F.col(self.text_col)).alias("sh"),
-        )
+        # -- exact verify (signature-specific kernel) -------------------
+        sh = self._feature_rows(b)
         if self.n_buckets is None or self.docs_table._latest_version() == 0:
             stored_docs = self.docs_table.read(spark)
         else:
@@ -553,15 +647,13 @@ class NearDupIndex:
             ).join(  # defensive: batch text wins for re-added ids
                 b.select(self.id_col), [self.id_col], "left_anti"
             )
-            sh = sh.unionByName(
-                old_needed.select(
-                    F.col(self.id_col).alias("id"),
-                    shingle_col(F.col(self.text_col)).alias("sh"),
-                )
-            )
-        pairs = _verify_jaccard(
-            cands, sh, self.jaccard_threshold
-        ).persist()
+            sh = sh.unionByName(self._feature_rows(old_needed))
+        if self.signature == "minhash":
+            pairs = _verify_jaccard(
+                cands, sh, self.jaccard_threshold
+            ).persist()
+        else:
+            pairs = self._verify_hamming(cands, sh).persist()
         if timings is not None:
             pairs.count()
             timings["candidates_verify_sec"] = round(
