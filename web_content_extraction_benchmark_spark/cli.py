@@ -261,6 +261,8 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
         bands=args.bands,
         jaccard_threshold=args.threshold,
         hash_fn=args.hash_fn,
+        signature=args.signature,
+        max_hamming=args.max_hamming,
     )
     pairs = idx.add_batch(batch)
     n_pairs = pairs.count()
@@ -275,6 +277,25 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
         f"index {args.index} now at v{version}: batch added "
         f"{batch.count()} docs, {n_pairs} new near-dup pairs; "
         f"{n_clusters} clusters / {labels.count()} clustered docs total"
+    )
+
+
+def cmd_dedup_compact(args: argparse.Namespace) -> None:
+    """Maintenance: re-bound the index stores' files-per-bucket (each
+    append lands one file per touched bucket, so a daily-append
+    deployment otherwise grows probe open/task counts with the append
+    count, not the data)."""
+    from .operators.incremental_dedup import NearDupIndex
+
+    spark = _spark(args)
+    idx = NearDupIndex.open(args.index)
+    rewritten = idx.compact(
+        spark, max_files_per_bucket=args.max_files_per_bucket
+    )
+    version = idx.assert_consistent()
+    print(
+        f"index {args.index} at v{version}: buckets rewritten "
+        f"{rewritten} (bound: {args.max_files_per_bucket} files/bucket)"
     )
 
 
@@ -359,7 +380,19 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["md5", "xxhash64", "oph", "oph_sql"])
     p.add_argument("--num-hashes", type=int, default=None)
     p.add_argument("--bands", type=int, default=None)
+    p.add_argument("--signature", default=None,
+                   choices=["minhash", "simhash"],
+                   help="fresh index only: signature family (default "
+                        "minhash; existing indexes load theirs)")
+    p.add_argument("--max-hamming", type=int, default=None,
+                   help="simhash verify bound (default 3)")
     p.set_defaults(fn=cmd_dedup_append)
+
+    p = dsub.add_parser("compact", help="re-bound the index stores' "
+                        "files-per-bucket (run between append batches)")
+    p.add_argument("--index", required=True)
+    p.add_argument("--max-files-per-bucket", type=int, default=8)
+    p.set_defaults(fn=cmd_dedup_compact)
 
     p = dsub.add_parser("export", help="write one canonical doc per "
                         "near-dup cluster (sorted JSONL)")
