@@ -635,7 +635,16 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
       minhash 8/4, threshold 0.6) — batch 2 signs only itself and
       candidate-joins the committed band store.  The DuckDB mirror is
       the FROM-SCRATCH banded run over the union, so the hash match
-      proves incremental == from-scratch labels exactly."""
+      proves incremental == from-scratch labels exactly.
+    - ``incr_emb07`` (r7): the EMBEDDING signature plugin — sampled
+      embeddings plus planted identical copies fed as two batches
+      through an embedding-configured ``NearDupIndex`` (hyperplane LSH
+      48/4 seed 42, exact-cosine verify at 0.999).  The DuckDB mirror
+      is the EXACT all-pairs cosine graph closed by a recursive CTE —
+      valid because every planted pair (cos 1.0) shares all of its
+      original's buckets and the non-planted cosine ceiling sits far
+      below threshold (the same corpus property the hash-green
+      ``embedding_neardup`` row pins at both sf)."""
     from web_content_extraction_benchmark_spark.operators.dedup import (
         connected_components,
     )
@@ -663,7 +672,25 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("incr_lsh06").alias("mode"),
         F.col("id").alias("doc_id"), "component",
     )
-    return arm1.unionByName(arm2)
+
+    emb = _emb(spark, sf_dir).select("vec_id", "embedding").filter(
+        F.col("vec_id") % 3 == 0
+    )
+    copies = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    idx_emb = NearDupIndex(
+        _scratch_dir("wceb_neardup_emb_"), signature="embedding",
+        emb_dim=64, num_hashes=48, bands=4, jaccard_threshold=0.999,
+        id_col="vec_id", text_col="embedding",
+    )
+    idx_emb.add_batch(emb).unpersist()
+    idx_emb.add_batch(copies).unpersist()
+    arm3 = idx_emb.labels(spark).select(
+        F.lit("incr_emb07").alias("mode"),
+        F.col("id").alias("doc_id"), "component",
+    )
+    return arm1.unionByName(arm2).unionByName(arm3)
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1900,6 +1927,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT id, id FROM nodes2
         UNION
         SELECT e.b, reach2.r FROM edges2 e JOIN reach2 ON reach2.id = e.a
+    ),
+    -- embedding-plugin arm mirror: the EXACT all-pairs cosine graph
+    -- (same zero-norm guard as the embedding_neardup row) closed by a
+    -- recursive CTE; valid because planted identical copies share all
+    -- LSH buckets and no non-planted pair approaches the threshold
+    embc AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+        FROM embeddings WHERE vec_id % 3 = 0
+    ),
+    ecorpus AS (
+        SELECT vec_id, v FROM embc
+        UNION ALL
+        SELECT vec_id + 100000, v FROM embc WHERE vec_id % 9 = 0
+    ),
+    epairs AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        FROM ecorpus a JOIN ecorpus b ON a.vec_id < b.vec_id
+        WHERE CASE WHEN sqrt(list_dot_product(a.v, a.v)) *
+                        sqrt(list_dot_product(b.v, b.v)) != 0
+                   THEN list_dot_product(a.v, b.v) /
+                        (sqrt(list_dot_product(a.v, a.v)) *
+                         sqrt(list_dot_product(b.v, b.v)))
+                   ELSE 0.0 END >= 0.999
+    ),
+    eedges AS (
+        SELECT id_a AS a, id_b AS b FROM epairs
+        UNION SELECT id_b, id_a FROM epairs
+    ),
+    enodes AS (SELECT DISTINCT a AS id FROM eedges),
+    ereach(id, r) AS (
+        SELECT id, id FROM enodes
+        UNION
+        SELECT e.b, ereach.r FROM eedges e JOIN ereach ON ereach.id = e.a
     )
     SELECT 'ngram085' AS mode, id AS doc_id,
            CAST(min(r) AS BIGINT) AS component
@@ -1907,6 +1967,9 @@ def oracle_sql() -> dict[str, str]:
     UNION ALL
     SELECT 'incr_lsh06', id, CAST(min(r) AS BIGINT)
     FROM reach2 GROUP BY id
+    UNION ALL
+    SELECT 'incr_emb07', id, CAST(min(r) AS BIGINT)
+    FROM ereach GROUP BY id
     """
     )
 

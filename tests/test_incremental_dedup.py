@@ -440,3 +440,71 @@ def test_simhash_signature_index_equals_scratch(spark, sf_dir, index_path):
     assert reopened.signature == "simhash"
     assert reopened.max_hamming == 3
     corpus.unpersist()
+
+
+def test_embedding_signature_index_equals_scratch(spark, sf_dir, index_path):
+    """The third signature plugin: an embedding-configured index
+    appended in 3 batches must label-match the from-scratch
+    embedding_near_duplicates + connected_components run over the union
+    after EVERY append (the index's hyperplane bands reuse the exact
+    seeded UDF chain of similarity.lsh_candidate_cosines, so the
+    candidate sets — and after exact-cosine verify, the labels — are
+    identical), and the persisted config must refuse mismatched
+    reopens."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .filter(F.col("vec_id") % 3 == 0)
+    )
+    # planted identical copies (cos exactly 1.0, in every LSH bucket of
+    # their original) in a disjoint id range, spread across batches
+    copies = emb.filter(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100_000).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(copies).withColumn(
+        "_b", F.pmod(F.xxhash64("vec_id", F.lit(5)), F.lit(3))
+    ).persist()
+
+    idx = NearDupIndex(
+        index_path, signature="embedding", emb_dim=64,
+        num_hashes=48, bands=4, jaccard_threshold=0.999,
+        id_col="vec_id", text_col="embedding", n_buckets=8,
+    )
+    seen = None
+    for i in range(3):
+        part = corpus.filter(F.col("_b") == i).drop("_b")
+        pairs = idx.add_batch(part)
+        assert pairs.columns == ["id_a", "id_b", "cos"]
+        pairs.unpersist()
+        seen = part if seen is None else seen.unionByName(part)
+        got = _labels_set(idx.labels(spark))
+        want = _labels_set(
+            connected_components(
+                embedding_near_duplicates(
+                    seen, threshold=0.999, dim=64,
+                    n_planes=12, n_tables=4, seed=42,
+                    id_col="vec_id", vec_col="embedding",
+                ).select("id_a", "id_b")
+            )
+        )
+        assert got == want, f"labels diverged after batch {i + 1}"
+    assert len(got) > 10  # the planted copies actually paired
+    # the deduplicated view keeps one canonical row per planted pair
+    dedup_ids = {r.vec_id for r in idx.unique_docs(spark).collect()}
+    assert all(v < 100_000 for v in dedup_ids)
+    # config pinning: emb_dim is part of the index; open() restores it
+    with pytest.raises(ValueError, match="different\\s+configuration"):
+        NearDupIndex(index_path, signature="embedding", emb_dim=32,
+                     num_hashes=48, bands=4, jaccard_threshold=0.999,
+                     id_col="vec_id", text_col="embedding", n_buckets=8)
+    reopened = NearDupIndex.open(index_path)
+    assert reopened.signature == "embedding"
+    assert reopened.emb_dim == 64
+    # a fresh embedding index without emb_dim refuses up front
+    with pytest.raises(ValueError, match="emb_dim"):
+        NearDupIndex(index_path + "_fresh", signature="embedding")
+    corpus.unpersist()

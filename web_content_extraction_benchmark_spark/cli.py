@@ -263,6 +263,7 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
         hash_fn=args.hash_fn,
         signature=args.signature,
         max_hamming=args.max_hamming,
+        emb_dim=args.emb_dim,
     )
     pairs = idx.add_batch(batch)
     n_pairs = pairs.count()
@@ -381,11 +382,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num-hashes", type=int, default=None)
     p.add_argument("--bands", type=int, default=None)
     p.add_argument("--signature", default=None,
-                   choices=["minhash", "simhash"],
+                   choices=["minhash", "simhash", "embedding"],
                    help="fresh index only: signature family (default "
-                        "minhash; existing indexes load theirs)")
+                        "minhash; existing indexes load theirs).  "
+                        "embedding treats --text-col as a float-vector "
+                        "column, banded by seeded hyperplane LSH and "
+                        "verified by exact cosine >= --threshold")
     p.add_argument("--max-hamming", type=int, default=None,
                    help="simhash verify bound (default 3)")
+    p.add_argument("--emb-dim", type=int, default=None,
+                   help="embedding signature only: vector width (the "
+                        "seeded hyperplanes are drawn at this shape)")
     p.set_defaults(fn=cmd_dedup_append)
 
     p = dsub.add_parser("compact", help="re-bound the index stores' "

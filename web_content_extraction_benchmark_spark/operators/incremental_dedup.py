@@ -61,13 +61,20 @@ Scale notes for the 100 TB deployment:
 - signature plugins (r7): the store is signature-agnostic — committed
   band rows are (id, band, key-string) whatever produced them — so the
   index runs under ``signature="minhash"`` (banded MinHash-LSH keys,
-  exact-Jaccard verify; the corpus-scale default) or
-  ``signature="simhash"`` (the four pigeonhole 16-bit chunks as band
-  keys, exact-hamming verify at ``max_hamming``).  Embedding near-dup
-  has NO incremental variant: its hyperplane-LSH candidates are
-  verified by exact cosine over the float vectors, which the docs
-  table does not store — re-signaturing the corpus each run
-  (operators/similarity.py) is the documented path there.
+  exact-Jaccard verify at ``jaccard_threshold``; the corpus-scale
+  default), ``signature="simhash"`` (the four pigeonhole 16-bit chunks
+  as band keys, exact-hamming verify at ``max_hamming``), or
+  ``signature="embedding"`` (random-hyperplane LSH over a float-vector
+  column — band = table id, key = the band's sign-bit bucket, exactly
+  ``similarity.lsh_candidate_cosines`` with ``n_tables=bands`` and
+  ``n_planes=num_hashes//bands`` — verified by exact cosine at
+  ``jaccard_threshold``, which doubles as the cosine threshold; the
+  docs table stores the vectors, so only candidate-matched stored
+  vectors are re-read, same pruning as text).  Every plugin shares the
+  same equality guarantee: band keys are a pure per-doc function and
+  the verify is a pure per-pair function, so the union of per-batch
+  candidate sets equals the from-scratch candidate set and N appends
+  produce byte-identical labels to one from-scratch run.
 - ONE writer at a time: ``add_batch`` takes an exclusive on-disk lock
   (``_writer.lock/`` with the holder's pid; stale locks from dead
   processes are swept).  Two concurrent writers would interleave the
@@ -123,16 +130,26 @@ class NearDupIndex:
                  id_col: str = "doc_id",
                  n_buckets: int | None = DEFAULT_INDEX_BUCKETS,
                  signature: str = "minhash",
-                 max_hamming: int = 3):
+                 max_hamming: int = 3,
+                 emb_dim: int | None = None,
+                 lsh_seed: int = 42):
         if num_hashes % bands != 0:
             raise ValueError(
                 f"num_hashes ({num_hashes}) must divide into bands ({bands})"
             )
-        if signature not in ("minhash", "simhash"):
+        if signature not in ("minhash", "simhash", "embedding"):
             raise ValueError(
                 f"unknown signature {signature!r}: 'minhash' (banded "
-                "MinHash-LSH, exact-Jaccard verify) or 'simhash' (16-bit "
-                "pigeonhole chunks, exact-hamming verify)"
+                "MinHash-LSH, exact-Jaccard verify), 'simhash' (16-bit "
+                "pigeonhole chunks, exact-hamming verify), or "
+                "'embedding' (hyperplane-LSH over a vector column, "
+                "exact-cosine verify)"
+            )
+        if signature == "embedding" and emb_dim is None:
+            raise ValueError(
+                "signature='embedding' needs emb_dim (the vector width "
+                "— the seeded hyperplanes are drawn at that shape, so "
+                "it is part of the index configuration)"
             )
         self.path = path
         self.num_hashes = num_hashes
@@ -148,6 +165,8 @@ class NearDupIndex:
         # match nothing, same failure class as a hash_fn mismatch)
         self.signature = signature
         self.max_hamming = max_hamming
+        self.emb_dim = emb_dim
+        self.lsh_seed = lsh_seed
         # bucket layout is part of the index (rows land in directories
         # by this hash): a pre-r7 index has no n_buckets in its meta —
         # reopen it with n_buckets=None (flat legacy layout; open()
@@ -168,6 +187,8 @@ class NearDupIndex:
             # written by the MinHash-only index
             stored.setdefault("signature", "minhash")
             stored.setdefault("max_hamming", 3)
+            stored.setdefault("emb_dim", None)
+            stored.setdefault("lsh_seed", 42)
             known = {k: stored.get(k) for k in meta}  # ignore unknown
             if known != meta:
                 diffs = {
@@ -222,6 +243,8 @@ class NearDupIndex:
             "n_buckets": self.n_buckets,
             "signature": self.signature,
             "max_hamming": self.max_hamming,
+            "emb_dim": self.emb_dim,
+            "lsh_seed": self.lsh_seed,
         }
 
     @staticmethod
@@ -251,7 +274,7 @@ class NearDupIndex:
 
     _PARAMS = ("num_hashes", "bands", "jaccard_threshold", "hash_fn",
                "text_col", "id_col", "n_buckets", "signature",
-               "max_hamming")
+               "max_hamming", "emb_dim", "lsh_seed")
 
     @classmethod
     def open(cls, path: str, fresh_defaults: dict | None = None,
@@ -446,11 +469,37 @@ class NearDupIndex:
         applies; sig==0 (blank) docs are excluded exactly as the
         from-scratch operator excludes them
         (``dedup.simhash_near_duplicates``: a web corpus's millions of
-        empty docs would otherwise form one quadratic bucket)."""
+        empty docs would otherwise form one quadratic bucket).
+        Embedding: band = hyperplane table id, key = that table's
+        sign-bit bucket — the same seeded ``hyperplane_bucket_udf``
+        chain as ``similarity.lsh_candidate_cosines`` (``seed + t`` per
+        table), so incremental candidates equal the from-scratch
+        operator's exactly."""
         if self.signature == "minhash":
             return lsh_band_keys(
                 b, self.text_col, self.id_col,
                 self.num_hashes, self.bands, self.hash_fn,
+            )
+        if self.signature == "embedding":
+            from .similarity import _as_double, hyperplane_bucket_udf
+
+            n_planes = self.num_hashes // self.bands
+            src = b.select(
+                F.col(self.id_col).alias("id"),
+                _as_double(F.col(self.text_col)).alias("_v"),
+            )
+            buckets = [
+                hyperplane_bucket_udf(
+                    self.emb_dim, n_planes, self.lsh_seed + t
+                )(F.col("_v"))
+                for t in range(self.bands)
+            ]
+            return src.select(
+                "id",
+                F.posexplode(F.array(*buckets)).alias("band", "_key_long"),
+            ).select(
+                "id", "band",
+                F.col("_key_long").cast("string").alias("key"),
             )
         sig = b.select(
             F.col(self.id_col).alias("id"),
@@ -470,18 +519,54 @@ class NearDupIndex:
         )
 
     def _feature_rows(self, src: DataFrame) -> DataFrame:
-        """(id, sh) verify features: shingle set (minhash mode) or the
-        64-bit SimHash signature (simhash mode), recomputed from text —
-        the store never persists signatures, so both plugins prune the
-        committed-docs read the same way and re-sign only
+        """(id, sh) verify features: shingle set (minhash mode), the
+        64-bit SimHash signature (simhash mode), or the vector with its
+        norm materialized (embedding mode — one norm per ROW, so the
+        verify pays one dot product per candidate pair, not three
+        O(dim) aggregates).  Recomputed from the stored value column —
+        the store never persists signatures, so every plugin prunes the
+        committed-docs read the same way and re-signs only
         candidate-matched stored docs."""
-        feature = (
-            shingle_col(F.col(self.text_col))
-            if self.signature == "minhash"
-            else simhash64_col(F.col(self.text_col))
-        )
+        if self.signature == "embedding":
+            from .similarity import _as_double, norm
+
+            vec = _as_double(F.col(self.text_col))
+            feature = F.struct(
+                vec.alias("v"), norm(vec).alias("n")
+            )
+        elif self.signature == "minhash":
+            feature = shingle_col(F.col(self.text_col))
+        else:
+            feature = simhash64_col(F.col(self.text_col))
         return src.select(
             F.col(self.id_col).alias("id"), feature.alias("sh")
+        )
+
+    def _verify_cosine(self, candidates: DataFrame,
+                       sigs: DataFrame) -> DataFrame:
+        """Exact cosine on candidate pairs (embedding mode's analogue
+        of ``_verify_jaccard``; ``jaccard_threshold`` doubles as the
+        cosine threshold).  Norms come pre-materialized from
+        ``_feature_rows``; the zero-norm guard inside
+        ``cosine_with_norms`` keeps all-zero vectors at cos 0 (dropped
+        by any positive threshold) instead of NaN."""
+        from .similarity import cosine_with_norms
+
+        sg_a = sigs.select(
+            F.col("id").alias("id_a"), F.col("sh").alias("sg_a")
+        )
+        sg_b = sigs.select(
+            F.col("id").alias("id_b"), F.col("sh").alias("sg_b")
+        )
+        cos = cosine_with_norms(
+            F.col("sg_a.v"), F.col("sg_b.v"),
+            F.col("sg_a.n"), F.col("sg_b.n"),
+        )
+        return (
+            candidates.join(sg_a, "id_a")
+            .join(sg_b, "id_b")
+            .select("id_a", "id_b", cos.alias("cos"))
+            .filter(F.col("cos") >= self.jaccard_threshold)
         )
 
     def _verify_hamming(self, candidates: DataFrame,
@@ -547,8 +632,8 @@ class NearDupIndex:
         """Sign ONLY ``batch``, pair it against (batch ∪ store), merge
         components, commit.  Returns the newly verified pairs —
         (id_a, id_b, jaccard) under the minhash signature,
-        (id_a, id_b, hamming) under simhash — every pair involves
-        >= 1 batch doc.
+        (id_a, id_b, hamming) under simhash, (id_a, id_b, cos) under
+        embedding — every pair involves >= 1 batch doc.
         The returned DataFrame is PERSISTED: callers that are done with
         it must ``unpersist()`` it (a daemon looping add_batch would
         otherwise accumulate one cached pair set per batch).
@@ -652,6 +737,8 @@ class NearDupIndex:
             pairs = _verify_jaccard(
                 cands, sh, self.jaccard_threshold
             ).persist()
+        elif self.signature == "embedding":
+            pairs = self._verify_cosine(cands, sh).persist()
         else:
             pairs = self._verify_hamming(cands, sh).persist()
         if timings is not None:
