@@ -120,6 +120,8 @@ def test_cli_dedup_append_and_export(tmp_path, spark):
     # compact between appends: file counts re-bound, labels unchanged
     main(["dedup", "compact", "--index", index,
           "--max-files-per-bucket", "1"])
+    # expire: history dropped, unreferenced files reclaimed, view intact
+    main(["dedup", "expire", "--index", index, "--keep-last", "1"])
     main(["dedup", "export", "--index", index, "-o", out])
     uniq = {r.doc_id for r in spark.read.json(out).collect()}
     # doc 3 near-dups doc 1 (6 of 7 words shared) -> canonical 1 kept

@@ -508,3 +508,47 @@ def test_embedding_signature_index_equals_scratch(spark, sf_dir, index_path):
     with pytest.raises(ValueError, match="emb_dim"):
         NearDupIndex(index_path + "_fresh", signature="embedding")
     corpus.unpersist()
+
+
+def test_index_expire_reclaims_history_preserves_labels(
+    spark, sf_dir, index_path
+):
+    """NearDupIndex.expire: after N appends the labels table holds one
+    full rewrite per batch — expiry drops the history, reclaims files,
+    and changes NOTHING the index computes (labels identical before and
+    after, and a further append still equals from-scratch)."""
+    import os
+
+    base, mutants = _chain_corpus(spark, sf_dir)
+    idx = NearDupIndex(index_path, jaccard_threshold=0.6, n_buckets=8)
+    idx.add_batch(base).unpersist()
+    idx.add_batch(mutants.filter(F.col("doc_id") % 2 == 0)).unpersist()
+    before = _labels_set(idx.labels(spark))
+
+    def parquet_on_disk():
+        return sum(
+            1
+            for _, _, files in os.walk(index_path)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    n_before = parquet_on_disk()
+    stats = idx.expire(keep_last=1)
+    assert set(stats) == {"docs", "bands", "labels"}
+    # batch-1's full label set was superseded by batch-2's rewrite of
+    # every touched bucket — expiry must actually reclaim files
+    assert stats["labels"]["files_removed"] > 0
+    assert parquet_on_disk() < n_before
+    assert idx.assert_consistent() == 2
+    assert _labels_set(idx.labels(spark)) == before
+    # below-horizon time travel is gone, current version readable
+    with pytest.raises(ValueError, match="expired"):
+        idx.labels_table.read(spark, snapshot_id=1)
+    # the index still appends and still equals from-scratch
+    rest = mutants.filter(F.col("doc_id") % 2 != 0)
+    idx.add_batch(rest).unpersist()
+    want = _labels_set(
+        _scratch_labels(base.unionByName(mutants), 0.6)
+    )
+    assert _labels_set(idx.labels(spark)) == want

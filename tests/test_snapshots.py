@@ -184,3 +184,88 @@ def test_bucketed_write_lands_one_file_per_bucket_and_compacts(
     assert t._latest_version() == v_before + 2
     files_after, _ = t._bucket_manifest()
     assert files_after == files_now
+
+
+def test_expire_snapshots_drops_history_and_unreferenced_files(
+    spark, tmp_path
+):
+    """expire_snapshots: retained reads intact, below-horizon manifests
+    and THEIR now-unreferenced data files gone, crashed-write orphans
+    swept, expired time travel raises a clear error."""
+    import os
+
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 5).select(F.col("id").alias("x")))
+    t.append(spark.range(5, 8).select(F.col("id").alias("x")))
+    # v3 overwrite: v1/v2's files become unreferenced once expired
+    t.overwrite(spark.range(100, 103).select(F.col("id").alias("x")))
+    orphan = t.write_uncommitted(
+        spark.range(0, 3).select(F.col("id").alias("x"))
+    )
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["manifests_removed"] == 2
+    assert stats["files_removed"] > 0
+    assert sorted(r.x for r in t.read(spark).collect()) == [100, 101, 102]
+    assert not os.path.exists(orphan)
+    with pytest.raises(ValueError, match="expired"):
+        t.read(spark, snapshot_id=1)
+    # idempotent: a second expire has nothing left to remove
+    again = t.expire_snapshots(keep_last=1)
+    assert again == {"manifests_removed": 0, "files_removed": 0}
+
+
+def test_expire_keeps_files_carried_into_retained_manifests(
+    spark, tmp_path
+):
+    """Liveness is the union over RETAINED manifests: an append-chain
+    table's newest manifest references every prior append's files, so
+    expiring the old manifests must delete nothing."""
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 4).select(F.col("id").alias("x")))
+    t.append(spark.range(4, 6).select(F.col("id").alias("x")))
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["manifests_removed"] == 1
+    assert stats["files_removed"] == 0
+    assert sorted(r.x for r in t.read(spark).collect()) == list(range(6))
+
+
+def test_expire_bucketed_reclaims_compacted_files(spark, tmp_path):
+    """On a bucketed table, compaction supersedes the pre-compaction
+    files but cannot delete them (older manifests still reference
+    them); expire is the step that actually reclaims the disk, and the
+    pruned-read path still works afterwards."""
+    import os
+
+    from web_content_extraction_benchmark_spark.sources.snapshots import (
+        BucketedSnapshotTable,
+        bucket_of,
+    )
+
+    bt = BucketedSnapshotTable(str(tmp_path / "bt"), 4)
+    bcol = BucketedSnapshotTable.BUCKET_COL
+    for lo in (0, 20, 40):
+        df = spark.range(lo, lo + 10).select(F.col("id").alias("k"))
+        bt.append_bucketed(df.withColumn(bcol, bucket_of(F.col("k"), 4)))
+    assert max(bt.bucket_file_counts().values()) == 3
+    assert bt.compact_buckets(spark, max_files=1) > 0
+
+    def parquet_on_disk():
+        return sum(
+            1
+            for _, _, files in os.walk(bt.data_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    before = parquet_on_disk()
+    stats = bt.expire_snapshots(keep_last=1)
+    assert stats["files_removed"] > 0
+    assert parquet_on_disk() == before - stats["files_removed"]
+    assert max(bt.bucket_file_counts().values()) == 1
+    got = {
+        r.k
+        for r in bt.read_buckets(spark, set(range(4))).collect()
+    }
+    assert got == set(range(0, 10)) | set(range(20, 30)) | set(range(40, 50))

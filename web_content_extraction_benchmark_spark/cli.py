@@ -300,6 +300,23 @@ def cmd_dedup_compact(args: argparse.Namespace) -> None:
     )
 
 
+def cmd_dedup_expire(args: argparse.Namespace) -> None:
+    """Maintenance: drop index snapshot history past --keep-last and
+    delete the data files nothing retained references (superseded
+    label rewrites and crashed-write orphans otherwise accumulate
+    forever under daily appends)."""
+    from .operators.incremental_dedup import NearDupIndex
+
+    idx = NearDupIndex.open(args.index)
+    stats = idx.expire(keep_last=args.keep_last)
+    version = idx.assert_consistent()
+    removed = {name: s["files_removed"] for name, s in stats.items()}
+    print(
+        f"index {args.index} at v{version}: kept last {args.keep_last} "
+        f"snapshots, data files removed {removed}"
+    )
+
+
 def cmd_dedup_export(args: argparse.Namespace) -> None:
     """Write the deduplicated view (one canonical doc per cluster) of
     everything committed to the index."""
@@ -400,6 +417,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index", required=True)
     p.add_argument("--max-files-per-bucket", type=int, default=8)
     p.set_defaults(fn=cmd_dedup_compact)
+
+    p = dsub.add_parser("expire", help="drop snapshot history past "
+                        "--keep-last and delete unreferenced data files")
+    p.add_argument("--index", required=True)
+    p.add_argument("--keep-last", type=int, default=2)
+    p.set_defaults(fn=cmd_dedup_expire)
 
     p = dsub.add_parser("export", help="write one canonical doc per "
                         "near-dup cluster (sorted JSONL)")

@@ -75,6 +75,14 @@ Scale notes for the 100 TB deployment:
   the verify is a pure per-pair function, so the union of per-batch
   candidate sets equals the from-scratch candidate set and N appends
   produce byte-identical labels to one from-scratch run.
+- retention (r7): every append commits new snapshot versions, and the
+  labels table REWRITES its touched buckets — a daily-append
+  deployment that never expires keeps every superseded label set on
+  disk forever.  ``expire(keep_last=N)`` (CLI: ``dedup expire``) drops
+  manifests below the horizon and deletes the data files no retained
+  manifest references (file liveness is the union over retained
+  manifests, so append-carried files survive); time travel below the
+  horizon raises afterwards.
 - ONE writer at a time: ``add_batch`` takes an exclusive on-disk lock
   (``_writer.lock/`` with the holder's pid; stale locks from dead
   processes are swept).  Two concurrent writers would interleave the
@@ -445,6 +453,32 @@ class NearDupIndex:
         return spark.createDataFrame(
             [], "id long, component long"
         )
+
+    def expire(self, keep_last: int = 2) -> dict[str, dict[str, int]]:
+        """Retention maintenance: expire all three stores' snapshot
+        history down to the newest ``keep_last`` versions and delete
+        the data files (superseded label rewrites, compacted-away band
+        files, crashed-write orphans) nothing retained references.  A
+        daily-append deployment that never expires keeps every
+        historical label set forever — the labels table alone grows
+        O(appends x clustered docs) on disk.
+
+        Takes the writer lock (expiry sweeps unreferenced files, and an
+        in-flight commit's staged-but-uncommitted files look exactly
+        like orphans).  Time travel below the horizon raises after
+        this.  Returns per-table removal counts."""
+        self._acquire_writer_lock()
+        try:
+            return {
+                name: table.expire_snapshots(keep_last)
+                for name, table in (
+                    ("docs", self.docs_table),
+                    ("bands", self.bands_table),
+                    ("labels", self.labels_table),
+                )
+            }
+        finally:
+            self._release_writer_lock()
 
     def committed_docs(self, spark: SparkSession) -> DataFrame | None:
         return self.docs_table.read(spark)

@@ -145,8 +145,18 @@ class SnapshotTable:
         if snapshot_id is None:
             snapshot = self.current_snapshot()
         else:
-            with open(os.path.join(self.log_dir, f"v{snapshot_id}.json")) as f:
-                manifest = json.load(f)
+            manifest_path = os.path.join(
+                self.log_dir, f"v{snapshot_id}.json"
+            )
+            try:
+                with open(manifest_path) as f:
+                    manifest = json.load(f)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"snapshot {snapshot_id} of {self.path} was expired "
+                    "(or never committed) — time travel only reaches "
+                    "versions retained by expire_snapshots"
+                ) from None
             snapshot = Snapshot(
                 manifest["snapshot_id"], manifest["files"],
                 manifest["row_count"], manifest.get("parent"),
@@ -154,6 +164,70 @@ class SnapshotTable:
         if snapshot is None or not snapshot.files:
             return None
         return spark.read.parquet(*snapshot.files)
+
+    # -- maintenance ---------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 2) -> dict[str, int]:
+        """Retention maintenance, Iceberg's ``expireSnapshots``: keep
+        the newest ``keep_last`` manifests, delete older ones, then
+        delete every data file no RETAINED manifest references (a file
+        can be referenced by many manifests — appends carry parents'
+        files forward — so liveness is computed against the union of
+        retained file lists, never a single version's).  Orphan staging
+        from crashed writes (files no manifest ever committed) is swept
+        by the same rule.
+
+        Time travel to an expired version raises a clear error; the
+        current snapshot is always retained (``keep_last >= 1``).
+
+        MUST NOT run concurrently with a writer: an in-flight commit's
+        just-staged files are unreferenced until its manifest lands and
+        would be swept as orphans.  ``NearDupIndex.expire`` wraps this
+        in the index's writer lock; standalone callers serialize
+        themselves.  Returns removal counts."""
+        import shutil
+
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        latest = self._latest_version()
+        stats = {"manifests_removed": 0, "files_removed": 0}
+        if latest == 0:
+            return stats
+        cutoff = max(1, latest - keep_last + 1)
+        retained: set[str] = set()
+        for version in range(cutoff, latest + 1):
+            manifest_path = os.path.join(self.log_dir, f"v{version}.json")
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as f:
+                    retained.update(json.load(f)["files"])
+        for name in os.listdir(self.log_dir):
+            if not (name.startswith("v") and name.endswith(".json")):
+                continue
+            try:
+                version = int(name[1:-5])
+            except ValueError:
+                continue
+            if version < cutoff:
+                os.remove(os.path.join(self.log_dir, name))
+                stats["manifests_removed"] += 1
+        # bottom-up: delete unreferenced parquet, then remove any dir
+        # left holding no parquet at all (write markers like _SUCCESS
+        # go with their dir)
+        for root, dirs, files in os.walk(self.data_dir, topdown=False):
+            for fname in files:
+                fpath = os.path.join(root, fname)
+                if fname.endswith(".parquet") and fpath not in retained:
+                    os.remove(fpath)
+                    stats["files_removed"] += 1
+            if root == self.data_dir:
+                continue
+            live = any(
+                fname.endswith(".parquet")
+                for _, _, fnames in os.walk(root)
+                for fname in fnames
+            )
+            if not live:
+                shutil.rmtree(root, ignore_errors=True)
+        return stats
 
 
 class BucketedSnapshotTable(SnapshotTable):
