@@ -913,3 +913,35 @@ def test_bloom_underestimated_expected_grams_warns_stays_exact(spark, docs):
         }
     assert got == want
     assert not [w for w in caught if "expected_grams" in str(w.message)]
+
+
+def test_ivf_tune_n_probe_picks_smallest_meeting_target(spark, sf_dir):
+    """ivf_tune_n_probe: the measured curve is non-decreasing in
+    n_probe, the returned n_probe is the FIRST grid value meeting
+    target, and an unreachable target surfaces the grid max with its
+    honest recall."""
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        ivf_train,
+        ivf_tune_n_probe,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    sample = emb.filter(F.col("vec_id") % 25 == 0)
+    centroids = ivf_train(emb, n_cells=16)
+    out = ivf_tune_n_probe(
+        emb, sample, centroids, k=5, target_recall=0.9,
+        n_probe_grid=(1, 2, 4, 8, 16),
+    )
+    recalls = [pt["recall"] for pt in out["curve"]]
+    assert recalls == sorted(recalls), "recall not monotone in n_probe"
+    assert out["recall"] >= 0.9
+    # every earlier grid point missed target (first-hit minimality)
+    assert all(pt["recall"] < 0.9 for pt in out["curve"][:-1])
+    # probing every cell is exhaustive: recall exactly 1.0 at the top
+    full = ivf_tune_n_probe(
+        emb, sample, centroids, k=5, target_recall=2.0,  # unreachable
+        n_probe_grid=(16,),
+    )
+    assert full["n_probe"] == 16 and full["recall"] == 1.0

@@ -404,3 +404,68 @@ def ivf_index(corpus: DataFrame, centroids, id_col: str = "vec_id",
     return _cell_assignments(
         corpus, "neighbor_id", id_col, vec_col, centroids, 1
     ).withColumn("neighbor_id_n", norm(F.col("neighbor_id_v")))
+
+
+def ivf_tune_n_probe(
+    corpus: DataFrame,
+    sample_queries: DataFrame,
+    centroids,
+    k: int = 5,
+    target_recall: float = 0.9,
+    n_probe_grid: tuple = (1, 2, 4, 8, 16, 32),
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    indexed_corpus: DataFrame | None = None,
+) -> dict:
+    """Pick the smallest ``n_probe`` whose measured recall@k on a
+    SAMPLED query set meets ``target_recall`` — the knob the r6
+    frontier measurement (``BENCH/ivf_frontier_r06.jsonl``: recall
+    0.709 -> 1.0 across n_probe 4 -> 32 at 200k vectors) showed users
+    must otherwise set blind.  Recall is corpus-geometry-dependent, so
+    it has to be MEASURED per deployment; this does it once, offline,
+    against the exact brute-force truth on the sample:
+
+    - the exact top-k truth is computed ONCE (one brute pass over
+      |sample| queries — size the sample, not the corpus);
+    - the grid is probed ascending and stops at the first value
+      meeting target (candidate cost grows with n_probe, so the first
+      hit is the cheapest);
+    - returns ``{"n_probe", "recall", "curve"}`` with the full
+      measured curve for the operator's audit trail.  If no grid
+      value reaches target, ``n_probe`` is the grid max (its recall in
+      ``"recall"``) — callers can widen the grid or add cells.
+
+    Driver-side loop, but over <= len(n_probe_grid) Spark jobs on a
+    bounded sample — the corpus-side index (pass ``indexed_corpus``)
+    is reused across probes, so tuning never re-assigns corpus cells."""
+    if indexed_corpus is None:
+        indexed_corpus = ivf_index(corpus, centroids, id_col, vec_col)
+    indexed_corpus = indexed_corpus.persist()
+    truth = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(
+            corpus, sample_queries, k=k, id_col=id_col, vec_col=vec_col
+        ).select("query_id", "neighbor_id").collect()
+    }
+    if not truth:
+        raise ValueError("empty exact truth — sample_queries matched "
+                         "nothing in the corpus")
+    curve = []
+    best = None
+    for n_probe in sorted(n_probe_grid):
+        got = {
+            (r["query_id"], r["neighbor_id"])
+            for r in ivf_cosine_topk(
+                corpus, sample_queries, k=k, n_probe=n_probe,
+                centroids=centroids, indexed_corpus=indexed_corpus,
+                id_col=id_col, vec_col=vec_col,
+            ).select("query_id", "neighbor_id").collect()
+        }
+        recall = len(got & truth) / len(truth)
+        curve.append({"n_probe": n_probe, "recall": round(recall, 6)})
+        best = curve[-1]
+        if recall >= target_recall:
+            break
+    indexed_corpus.unpersist()
+    return {"n_probe": best["n_probe"], "recall": best["recall"],
+            "curve": curve}
