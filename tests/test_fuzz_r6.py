@@ -49,7 +49,12 @@ def test_url_canonicalization_fuzz_cross_engine(spark, duck):
     df = spark.createDataFrame(
         [(i, c) for i, c in enumerate(cases)], "i long, url string"
     )
-    once = canonicalize_urls(df)
+    # cross-engine leg runs fold_idn=False: canonical_url_sql mirrors
+    # the punycode-free subset by contract (IDNA ToASCII is not
+    # SQL-expressible; the fold is value-oracled via planted hosts in
+    # the page_ids arm) — the r7 fold default silently broke this
+    # comparison until the test pinned the mirrored configuration
+    once = canonicalize_urls(df, fold_idn=False)
     got = {r.i: r.url for r in once.collect()}
     duck.execute("CREATE OR REPLACE TABLE fuzz_urls(i BIGINT, url VARCHAR)")
     duck.executemany(
@@ -67,8 +72,18 @@ def test_url_canonicalization_fuzz_cross_engine(spark, duck):
     }
     assert not diffs, list(diffs.items())[:3]
     # idempotence: canonical output is a fixed point
-    twice = {r.i: r.url for r in canonicalize_urls(once).collect()}
+    twice = {
+        r.i: r.url
+        for r in canonicalize_urls(once, fold_idn=False).collect()
+    }
     assert twice == got
+    # the fold-on DEFAULT must also be a fixed point on hostile input
+    # (punycoded labels re-fold to themselves; un-encodable labels
+    # pass through) even where no SQL mirror exists
+    folded = canonicalize_urls(df)
+    fold_once = {r.i: r.url for r in folded.collect()}
+    fold_twice = {r.i: r.url for r in canonicalize_urls(folded).collect()}
+    assert fold_twice == fold_once
 
 
 def test_redaction_fuzz_cross_engine(spark, duck):
