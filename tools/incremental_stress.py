@@ -47,6 +47,15 @@ touched components stay ~constant and the phases decompose cleanly:
 
 Prints one JSON line per batch plus a final summary line with the
 from-scratch label-equality check over the full union.
+
+Maintenance mode (r7): append ``maint`` as the 7th multi-mode arg (or
+set SPARK_GRAFT_MAINT=1) to run the two maintenance ops after every
+append — ``compact(max_files_per_bucket=4)`` then ``expire(keep_last=2)``
+— and record the on-disk parquet file/byte counts before and after.
+The final label-equality check then also proves maintenance never
+perturbs what the index computes, and the disk series shows retention
+actually bounds growth (without expire, every superseded label rewrite
+stays on disk forever).
 """
 
 from __future__ import annotations
@@ -65,12 +74,26 @@ from pyspark.sql import functions as F  # noqa: E402
 from neardup_stress import build_chain_corpus  # noqa: E402
 
 
+def _disk_stats(path: str) -> dict:
+    """(parquet file count, parquet bytes) under an index directory."""
+    n, size = 0, 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                n += 1
+                size += os.path.getsize(os.path.join(root, f))
+    return {"files": n, "mb": round(size / 1e6, 1)}
+
+
 def multi_main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     replicate = int(sys.argv[3]) if len(sys.argv) > 3 else 40
     n_batches = int(sys.argv[4]) if len(sys.argv) > 4 else 8
     hash_fn = sys.argv[5] if len(sys.argv) > 5 else "oph"
     chain_mod = int(sys.argv[6]) if len(sys.argv) > 6 else 20
+    maint = (len(sys.argv) > 7 and sys.argv[7] == "maint") or bool(
+        int(os.environ.get("SPARK_GRAFT_MAINT", "0"))
+    )
 
     from web_content_extraction_benchmark_spark.operators.dedup import (
         PROD_BANDS,
@@ -145,6 +168,23 @@ def multi_main() -> None:
                 "n_pairs": n_pairs,
                 "loadavg": os.getloadavg()[0],
             }
+            if maint:
+                disk_pre = _disk_stats(index_path)
+                t_m = time.perf_counter()
+                n_compacted = sum(
+                    idx.compact(spark, max_files_per_bucket=4).values()
+                )
+                expired = idx.expire(keep_last=2)
+                maint_sec = time.perf_counter() - t_m
+                line["maint"] = {
+                    "disk_before": disk_pre,
+                    "disk_after": _disk_stats(index_path),
+                    "buckets_compacted": n_compacted,
+                    "files_expired": sum(
+                        s["files_removed"] for s in expired.values()
+                    ),
+                    "maint_sec": round(maint_sec, 2),
+                }
             per_batch.append(line)
             print(json.dumps(line), flush=True)
             store_rows += n_b
@@ -202,6 +242,7 @@ def multi_main() -> None:
                     "bands": PROD_BANDS,
                     "replicate": replicate,
                     "chain_mod": chain_mod,
+                    "maintenance": maint,
                     "cpus": cpus,
                     "loadavg_at_start": loadavg,
                 }
