@@ -309,3 +309,34 @@ def test_incremental_candidates_store_side_not_shuffled(
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_incremental_candidates_embedding_store_not_shuffled(
+    spark, sf_dir, tmp_path
+):
+    """Same store-never-shuffled property for the r7 embedding
+    signature: the batch-side hyperplane banding adds an Arrow eval
+    node, but it must stay on the NEW side — the committed store still
+    streams through BroadcastHashJoins with no Exchange of its own."""
+    from web_content_extraction_benchmark_spark.operators.incremental_dedup import (
+        NearDupIndex,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+    idx = NearDupIndex(
+        str(tmp_path / "idx"), signature="embedding", emb_dim=64,
+        num_hashes=48, bands=4, jaccard_threshold=0.999,
+        id_col="vec_id", text_col="embedding",
+    )
+    idx.add_batch(emb.filter("vec_id % 2 = 0")).unpersist()
+    new_bands = idx._band_rows(emb.filter("vec_id % 2 = 1"))
+    cands = NearDupIndex.candidate_pairs(
+        new_bands, idx.bands_table.read(spark)
+    )
+    cands.collect()
+    plan = _plan(cands)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan

@@ -269,3 +269,24 @@ def test_expire_bucketed_reclaims_compacted_files(spark, tmp_path):
         for r in bt.read_buckets(spark, set(range(4))).collect()
     }
     assert got == set(range(0, 10)) | set(range(20, 30)) | set(range(40, 50))
+
+
+def test_expire_survives_mixed_path_spellings(spark, tmp_path):
+    """Deletion safety: a table WRITTEN via one path spelling and
+    EXPIRED via another (relative vs absolute — manifests record the
+    writer's spelling verbatim) must still recognize its live files;
+    a raw string compare would orphan-classify the whole table."""
+    import os
+
+    abs_dir = str(tmp_path / "t")
+    t = SnapshotTable(abs_dir)
+    t.append(spark.range(0, 4).select(F.col("id").alias("x")))
+    cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        t_rel = SnapshotTable("t")  # same table, relative spelling
+        stats = t_rel.expire_snapshots(keep_last=1)
+    finally:
+        os.chdir(cwd)
+    assert stats["files_removed"] == 0
+    assert sorted(r.x for r in t.read(spark).collect()) == [0, 1, 2, 3]

@@ -438,9 +438,14 @@ def ivf_tune_n_probe(
     Driver-side loop, but over <= len(n_probe_grid) Spark jobs on a
     bounded sample — the corpus-side index (pass ``indexed_corpus``)
     is reused across probes, so tuning never re-assigns corpus cells."""
-    if indexed_corpus is None:
-        indexed_corpus = ivf_index(corpus, centroids, id_col, vec_col)
-    indexed_corpus = indexed_corpus.persist()
+    own_index = indexed_corpus is None
+    if own_index:
+        # built here -> persisted here -> released here; a CALLER's
+        # prebuilt index is left alone (unpersisting it would silently
+        # drop their cache for every later probe)
+        indexed_corpus = ivf_index(
+            corpus, centroids, id_col, vec_col
+        ).persist()
     truth = {
         (r["query_id"], r["neighbor_id"])
         for r in cosine_topk(
@@ -466,6 +471,7 @@ def ivf_tune_n_probe(
         best = curve[-1]
         if recall >= target_recall:
             break
-    indexed_corpus.unpersist()
+    if own_index:
+        indexed_corpus.unpersist()
     return {"n_probe": best["n_probe"], "recall": best["recall"],
             "curve": curve}

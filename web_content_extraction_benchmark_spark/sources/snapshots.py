@@ -193,12 +193,20 @@ class SnapshotTable:
         if latest == 0:
             return stats
         cutoff = max(1, latest - keep_last + 1)
+        # liveness compares REAL paths: manifests record whatever path
+        # spelling the writer used (relative cwd path, absolute, extra
+        # slashes) — a raw string compare against os.walk's spelling
+        # would classify every live file as an orphan and delete the
+        # table when the spellings differ
         retained: set[str] = set()
         for version in range(cutoff, latest + 1):
             manifest_path = os.path.join(self.log_dir, f"v{version}.json")
             if os.path.exists(manifest_path):
                 with open(manifest_path) as f:
-                    retained.update(json.load(f)["files"])
+                    retained.update(
+                        os.path.realpath(p)
+                        for p in json.load(f)["files"]
+                    )
         for name in os.listdir(self.log_dir):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
@@ -215,7 +223,10 @@ class SnapshotTable:
         for root, dirs, files in os.walk(self.data_dir, topdown=False):
             for fname in files:
                 fpath = os.path.join(root, fname)
-                if fname.endswith(".parquet") and fpath not in retained:
+                if (
+                    fname.endswith(".parquet")
+                    and os.path.realpath(fpath) not in retained
+                ):
                     os.remove(fpath)
                     stats["files_removed"] += 1
             if root == self.data_dir:
