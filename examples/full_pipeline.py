@@ -172,6 +172,18 @@ def main() -> None:
     print(f"[8] incremental index v{idx.assert_consistent()}: "
           f"batch-2 found {new_pairs.count()} pairs vs the committed "
           f"corpus; {idx.unique_docs(spark).count()} unique docs total")
+    new_pairs.unpersist()
+
+    # 9. Maintenance (r7): re-bound files/bucket, then expire snapshot
+    #    history — compact-then-expire(keep_last=1) reclaims the
+    #    superseded files immediately (a daily-append deployment runs
+    #    this pair on whatever retention horizon it wants).
+    idx.compact(spark, max_files_per_bucket=1)
+    expired = idx.expire(keep_last=1)
+    n_reclaimed = sum(s["files_removed"] for s in expired.values())
+    assert idx.unique_docs(spark).count() > 0  # view intact post-maint
+    print(f"[9] maintenance: index at v{idx.assert_consistent()}, "
+          f"{n_reclaimed} superseded files reclaimed")
     print("PIPELINE OK", out_dir)
 
 

@@ -51,6 +51,32 @@ def _incremental_candidates_plan(spark, docs):
     return plan_df
 
 
+def _embedding_candidates_plan(spark, emb):
+    """Same shape under the r7 embedding signature: the hyperplane
+    banding's Arrow eval node must sit on the NEW-batch side only."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.operators.incremental_dedup import (
+        NearDupIndex,
+    )
+
+    path = tempfile.mkdtemp(prefix="wceb_plan_embidx_")
+    idx = NearDupIndex(
+        path, signature="embedding", emb_dim=64, num_hashes=48,
+        bands=4, jaccard_threshold=0.999,
+        id_col="vec_id", text_col="embedding",
+    )
+    idx.add_batch(emb.filter(F.col("vec_id") % 2 == 0)).unpersist()
+    new_bands = idx._band_rows(emb.filter(F.col("vec_id") % 2 == 1))
+    plan_df = NearDupIndex.candidate_pairs(
+        new_bands, idx.bands_table.read(spark)
+    )
+    atexit.register(shutil.rmtree, path, True)
+    return plan_df
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -291,6 +317,14 @@ def main() -> None:
             "Exchange); no SortMergeJoin/ShuffledHashJoin anywhere — a "
             "store-side shuffle would be corpus-sized",
             _incremental_candidates_plan(spark, docs),
+        ),
+        (
+            "incremental candidates, embedding signature (r7)",
+            "identical store-never-shuffled shape with the hyperplane "
+            "banding's ArrowEvalPython confined to the NEW-batch "
+            "lineage; the committed store still streams through "
+            "BroadcastHashJoins with no Exchange of its own",
+            _embedding_candidates_plan(spark, emb),
         ),
         (
             "bloom decontamination probe + exact verify (r6)",
