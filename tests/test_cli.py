@@ -126,3 +126,21 @@ def test_cli_dedup_append_and_export(tmp_path, spark):
     uniq = {r.doc_id for r in spark.read.json(out).collect()}
     # doc 3 near-dups doc 1 (6 of 7 words shared) -> canonical 1 kept
     assert uniq == {1, 2}
+
+
+def test_cli_dedup_maintenance_refuses_missing_index(tmp_path):
+    """compact/expire on a path with no committed index must refuse
+    (opening a typo'd path would otherwise create empty store dirs and
+    report a no-op success)."""
+    import pytest as _pytest
+
+    from web_content_extraction_benchmark_spark.cli import main
+
+    missing = str(tmp_path / "nope")
+    with _pytest.raises(SystemExit, match="no index"):
+        main(["dedup", "expire", "--index", missing])
+    with _pytest.raises(SystemExit, match="no index"):
+        main(["dedup", "compact", "--index", missing])
+    import os
+
+    assert not os.path.exists(missing)

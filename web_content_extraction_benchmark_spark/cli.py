@@ -281,15 +281,27 @@ def cmd_dedup_append(args: argparse.Namespace) -> None:
     )
 
 
+def _open_existing_index(path: str):
+    """Maintenance commands operate on an EXISTING index only — opening
+    a typo'd path would silently create empty store directories and
+    report a no-op success."""
+    from .operators.incremental_dedup import NearDupIndex
+
+    if NearDupIndex._read_meta(path) is None:
+        raise SystemExit(
+            f"no index at {path} (no index_meta.json) — maintenance "
+            "needs a committed index; create one with 'dedup append'"
+        )
+    return NearDupIndex.open(path)
+
+
 def cmd_dedup_compact(args: argparse.Namespace) -> None:
     """Maintenance: re-bound the index stores' files-per-bucket (each
     append lands one file per touched bucket, so a daily-append
     deployment otherwise grows probe open/task counts with the append
     count, not the data)."""
-    from .operators.incremental_dedup import NearDupIndex
-
     spark = _spark(args)
-    idx = NearDupIndex.open(args.index)
+    idx = _open_existing_index(args.index)
     rewritten = idx.compact(
         spark, max_files_per_bucket=args.max_files_per_bucket
     )
@@ -305,9 +317,7 @@ def cmd_dedup_expire(args: argparse.Namespace) -> None:
     delete the data files nothing retained references (superseded
     label rewrites and crashed-write orphans otherwise accumulate
     forever under daily appends)."""
-    from .operators.incremental_dedup import NearDupIndex
-
-    idx = NearDupIndex.open(args.index)
+    idx = _open_existing_index(args.index)
     stats = idx.expire(keep_last=args.keep_last)
     version = idx.assert_consistent()
     removed = {name: s["files_removed"] for name, s in stats.items()}
