@@ -552,3 +552,47 @@ def test_index_expire_reclaims_history_preserves_labels(
         _scratch_labels(base.unionByName(mutants), 0.6)
     )
     assert _labels_set(idx.labels(spark)) == want
+
+
+def test_embedding_zero_vectors_excluded_from_banding(spark, index_path):
+    """Zero-norm vectors (failed encoder outputs) must not enter the
+    band store — they would all share bucket 0 of every hyperplane
+    table (one quadratic candidate bucket whose pairs the cosine
+    verify drops anyway).  Labels must still equal from-scratch on a
+    corpus CONTAINING zero vectors, and a non-positive cosine
+    threshold (which would break the exclusion argument) refuses."""
+    import numpy as np
+
+    from web_content_extraction_benchmark_spark.operators.similarity import (
+        embedding_near_duplicates,
+    )
+
+    rng = np.random.RandomState(7)
+    rows = [(i, rng.normal(size=8).tolist()) for i in range(30)]
+    rows += [(100 + i, [0.0] * 8) for i in range(10)]    # zero vectors
+    rows += [(200 + i, rows[i][1]) for i in range(5)]    # exact copies
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    idx = NearDupIndex(
+        index_path, signature="embedding", emb_dim=8,
+        num_hashes=16, bands=2, jaccard_threshold=0.999,
+        id_col="vec_id", text_col="embedding", n_buckets=4,
+    )
+    banded_ids = {r.id for r in idx._band_rows(df).select("id").collect()}
+    assert banded_ids and all(not (100 <= i < 110) for i in banded_ids)
+    idx.add_batch(df.filter("vec_id < 100")).unpersist()
+    idx.add_batch(df.filter("vec_id >= 100")).unpersist()
+    got = _labels_set(idx.labels(spark))
+    want = _labels_set(
+        connected_components(
+            embedding_near_duplicates(
+                df, threshold=0.999, dim=8, n_planes=8, n_tables=2,
+                seed=42, id_col="vec_id", vec_col="embedding",
+            ).select("id_a", "id_b")
+        )
+    )
+    assert got == want and len(got) == 10  # the 5 copy pairs clustered
+    with pytest.raises(ValueError, match="positive"):
+        NearDupIndex(index_path + "_bad", signature="embedding",
+                     emb_dim=8, jaccard_threshold=0.0)

@@ -290,3 +290,54 @@ def test_expire_survives_mixed_path_spellings(spark, tmp_path):
         os.chdir(cwd)
     assert stats["files_removed"] == 0
     assert sorted(r.x for r in t.read(spark).collect()) == [0, 1, 2, 3]
+
+
+def test_expire_safe_when_manifest_prefix_is_foreign(spark, tmp_path):
+    """The DANGEROUS direction: manifests whose recorded file paths
+    carry a DIFFERENT prefix spelling than the expirer's open (a
+    writer's relative-cwd or symlinked spelling).  Suffix-keyed
+    liveness must keep every live file; prefix/realpath-keyed liveness
+    would resolve the recorded paths against the expirer's cwd,
+    classify everything as orphans, and delete the table."""
+    import json
+    import os
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 4).select(F.col("id").alias("x")))
+
+    def parquet_on_disk():
+        return sum(
+            1
+            for _, _, files in os.walk(t.data_dir)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    n_live = parquet_on_disk()
+    manifest_path = os.path.join(t.log_dir, "v1.json")
+    manifest = json.load(open(manifest_path))
+    # rewrite the recorded prefix to the writer's foreign spelling:
+    # 'rel/t/data/<suffix>' — unresolvable from this process's cwd
+    manifest["files"] = [
+        "rel/t/data/" + p.split("/data/", 1)[1] for p in manifest["files"]
+    ]
+    json.dump(manifest, open(manifest_path, "w"))
+    stats = t.expire_snapshots(keep_last=1)
+    assert stats["files_removed"] == 0
+    assert parquet_on_disk() == n_live
+
+
+def test_expire_refuses_when_manifests_and_data_disagree(spark, tmp_path):
+    """A retained manifest referencing files absent from data/ marks a
+    corrupt (or mis-pointed) table: expire must refuse to sweep rather
+    than compound the damage."""
+    import os
+
+    import pytest
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    t.append(spark.range(0, 4).select(F.col("id").alias("x")))
+    victim = t.committed_files()[0]
+    os.remove(victim)
+    with pytest.raises(RuntimeError, match="disagree"):
+        t.expire_snapshots(keep_last=1)

@@ -159,6 +159,13 @@ class NearDupIndex:
                 "— the seeded hyperplanes are drawn at that shape, so "
                 "it is part of the index configuration)"
             )
+        if signature == "embedding" and jaccard_threshold <= 0:
+            # the zero-norm banding exclusion relies on a positive
+            # cosine threshold (a zero vector's guarded cos is 0.0)
+            raise ValueError(
+                "embedding signature needs a positive cosine "
+                f"threshold, got {jaccard_threshold}"
+            )
         self.path = path
         self.num_hashes = num_hashes
         self.bands = bands
@@ -515,19 +522,27 @@ class NearDupIndex:
                 self.num_hashes, self.bands, self.hash_fn,
             )
         if self.signature == "embedding":
-            from .similarity import _as_double, hyperplane_bucket_udf
+            from .similarity import (
+                _as_double,
+                hyperplane_bucket_exprs,
+                norm,
+            )
 
             n_planes = self.num_hashes // self.bands
+            # zero-norm vectors excluded before banding — they all
+            # hash to bucket 0 of every table (one quadratic candidate
+            # bucket) and the cosine verify drops their pairs anyway
+            # (guarded cos 0.0; __init__ pins threshold > 0); the
+            # from-scratch operator applies the same exclusion, so
+            # candidate parity holds
             src = b.select(
                 F.col(self.id_col).alias("id"),
                 _as_double(F.col(self.text_col)).alias("_v"),
+            ).filter(norm(F.col("_v")) > 0)
+            buckets = hyperplane_bucket_exprs(
+                self.emb_dim, n_planes, self.bands, self.lsh_seed,
+                F.col("_v"),
             )
-            buckets = [
-                hyperplane_bucket_udf(
-                    self.emb_dim, n_planes, self.lsh_seed + t
-                )(F.col("_v"))
-                for t in range(self.bands)
-            ]
             return src.select(
                 "id",
                 F.posexplode(F.array(*buckets)).alias("band", "_key_long"),

@@ -122,6 +122,21 @@ def hyperplane_bucket_udf(dim: int, n_planes: int = 16, seed: int = 42):
     return _bucket
 
 
+def hyperplane_bucket_exprs(dim: int, n_planes: int, n_tables: int,
+                            seed: int, vec_col: Column) -> list:
+    """The ONE definition of the multi-table hyperplane banding chain
+    (table t buckets by ``hyperplane_bucket_udf(dim, n_planes,
+    seed + t)``), shared by the from-scratch candidate path and the
+    incremental index's embedding signature — a persisted index's
+    committed band keys must keep matching newly computed ones, so the
+    seeding/bucketing rule must not be able to drift between the two
+    call sites."""
+    return [
+        hyperplane_bucket_udf(dim, n_planes, seed + t)(vec_col)
+        for t in range(n_tables)
+    ]
+
+
 def lsh_candidate_cosines(
     corpus: DataFrame,
     queries: DataFrame,
@@ -149,10 +164,9 @@ def lsh_candidate_cosines(
             # pair, not three O(dim) aggregates
             name, f"{name}_v", norm(F.col(f"{name}_v")).alias(f"{name}_n"),
         )
-        buckets = [
-            hyperplane_bucket_udf(dim, n_planes, seed + t)(F.col(f"{name}_v"))
-            for t in range(n_tables)
-        ]
+        buckets = hyperplane_bucket_exprs(
+            dim, n_planes, n_tables, seed, F.col(f"{name}_v")
+        )
         return out.select(
             name, f"{name}_v", f"{name}_n",
             F.posexplode(F.array(*buckets)).alias("table_id", "bucket"),
@@ -362,8 +376,21 @@ def embedding_near_duplicates(
     Window node (a row_number over every candidate per query would be a
     full per-partition sort at 100 TB for a result the filter alone
     determines; tests/test_plans.py pins the Window-free plan)."""
+    if threshold <= 0:
+        # the zero-norm exclusion below relies on a positive threshold
+        # (a zero vector's guarded cosine is 0.0 against everything)
+        raise ValueError(
+            f"threshold must be positive, got {threshold}"
+        )
+    # Zero-norm vectors (failed/missing encoder outputs — routine at
+    # web scale) all hash to bucket 0 of every hyperplane table: one
+    # quadratic candidate bucket whose pairs the verify then drops
+    # anyway (guarded cos 0.0 < threshold).  Exclude them BEFORE
+    # banding — same rationale as the simhash sig!=0 guard; the
+    # thresholded result is provably unchanged.
+    nonzero = df.filter(norm(_as_double(F.col(vec_col))) > 0)
     pairs = lsh_candidate_cosines(
-        df, df, dim=dim, n_planes=n_planes,
+        nonzero, nonzero, dim=dim, n_planes=n_planes,
         n_tables=n_tables, seed=seed, id_col=id_col, vec_col=vec_col,
     )
     return (
@@ -438,40 +465,49 @@ def ivf_tune_n_probe(
     Driver-side loop, but over <= len(n_probe_grid) Spark jobs on a
     bounded sample — the corpus-side index (pass ``indexed_corpus``)
     is reused across probes, so tuning never re-assigns corpus cells."""
+    if not n_probe_grid:
+        raise ValueError("n_probe_grid must be non-empty")
     own_index = indexed_corpus is None
     if own_index:
-        # built here -> persisted here -> released here; a CALLER's
-        # prebuilt index is left alone (unpersisting it would silently
-        # drop their cache for every later probe)
+        # built here -> persisted here -> released here (finally: an
+        # exception mid-tune must not pin a corpus-sized cache for the
+        # session); a CALLER's prebuilt index is left alone
+        # (unpersisting it would silently drop their cache for every
+        # later probe)
         indexed_corpus = ivf_index(
             corpus, centroids, id_col, vec_col
         ).persist()
-    truth = {
-        (r["query_id"], r["neighbor_id"])
-        for r in cosine_topk(
-            corpus, sample_queries, k=k, id_col=id_col, vec_col=vec_col
-        ).select("query_id", "neighbor_id").collect()
-    }
-    if not truth:
-        raise ValueError("empty exact truth — sample_queries matched "
-                         "nothing in the corpus")
-    curve = []
-    best = None
-    for n_probe in sorted(n_probe_grid):
-        got = {
+    try:
+        truth = {
             (r["query_id"], r["neighbor_id"])
-            for r in ivf_cosine_topk(
-                corpus, sample_queries, k=k, n_probe=n_probe,
-                centroids=centroids, indexed_corpus=indexed_corpus,
+            for r in cosine_topk(
+                corpus, sample_queries, k=k,
                 id_col=id_col, vec_col=vec_col,
             ).select("query_id", "neighbor_id").collect()
         }
-        recall = len(got & truth) / len(truth)
-        curve.append({"n_probe": n_probe, "recall": round(recall, 6)})
-        best = curve[-1]
-        if recall >= target_recall:
-            break
-    if own_index:
-        indexed_corpus.unpersist()
+        if not truth:
+            raise ValueError("empty exact truth — sample_queries "
+                             "matched nothing in the corpus")
+        curve = []
+        best = None
+        for n_probe in sorted(n_probe_grid):
+            got = {
+                (r["query_id"], r["neighbor_id"])
+                for r in ivf_cosine_topk(
+                    corpus, sample_queries, k=k, n_probe=n_probe,
+                    centroids=centroids, indexed_corpus=indexed_corpus,
+                    id_col=id_col, vec_col=vec_col,
+                ).select("query_id", "neighbor_id").collect()
+            }
+            recall = len(got & truth) / len(truth)
+            curve.append(
+                {"n_probe": n_probe, "recall": round(recall, 6)}
+            )
+            best = curve[-1]
+            if recall >= target_recall:
+                break
+    finally:
+        if own_index:
+            indexed_corpus.unpersist()
     return {"n_probe": best["n_probe"], "recall": best["recall"],
             "curve": curve}

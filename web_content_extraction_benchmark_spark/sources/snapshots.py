@@ -193,20 +193,45 @@ class SnapshotTable:
         if latest == 0:
             return stats
         cutoff = max(1, latest - keep_last + 1)
-        # liveness compares REAL paths: manifests record whatever path
-        # spelling the writer used (relative cwd path, absolute, extra
-        # slashes) — a raw string compare against os.walk's spelling
-        # would classify every live file as an orphan and delete the
-        # table when the spellings differ
+        # Liveness is keyed on the path UNDER data/ — the trailing
+        # '<staging-uuid>[/_bucket=N]/part-*.parquet' — never on the
+        # recorded prefix: manifests record whatever spelling the
+        # WRITER's cwd produced (relative path, absolute, symlinked),
+        # and resolving that against the EXPIRER's cwd (realpath) can
+        # point somewhere else entirely — every live file would then
+        # classify as an orphan and the sweep would destroy the table.
+        # Staging components are uuid4 hex, so the suffix is unique,
+        # and no path component can itself be 'data' (uuid hex /
+        # '_bucket=N' / 'part-*' only), so splitting on the LAST
+        # '/data/' is unambiguous.
+        def _suffix(p: str) -> str:
+            return p.replace(os.sep, "/").rsplit("/data/", 1)[-1]
+
         retained: set[str] = set()
         for version in range(cutoff, latest + 1):
             manifest_path = os.path.join(self.log_dir, f"v{version}.json")
             if os.path.exists(manifest_path):
                 with open(manifest_path) as f:
                     retained.update(
-                        os.path.realpath(p)
-                        for p in json.load(f)["files"]
+                        _suffix(p) for p in json.load(f)["files"]
                     )
+        on_disk = {
+            _suffix(os.path.join(root, fname))
+            for root, _, files in os.walk(self.data_dir)
+            for fname in files
+            if fname.endswith(".parquet")
+        }
+        missing = retained - on_disk
+        if missing:
+            # a healthy table's retained manifests reference only
+            # existing files; anything else means this open points at
+            # the wrong/corrupt table — sweeping would compound it
+            raise RuntimeError(
+                f"expire_snapshots({self.path}): {len(missing)} "
+                "retained manifest files not found on disk (e.g. "
+                f"{sorted(missing)[:2]}) — refusing to sweep a table "
+                "whose manifests and data directory disagree"
+            )
         for name in os.listdir(self.log_dir):
             if not (name.startswith("v") and name.endswith(".json")):
                 continue
@@ -225,7 +250,7 @@ class SnapshotTable:
                 fpath = os.path.join(root, fname)
                 if (
                     fname.endswith(".parquet")
-                    and os.path.realpath(fpath) not in retained
+                    and _suffix(fpath) not in retained
                 ):
                     os.remove(fpath)
                     stats["files_removed"] += 1
