@@ -144,3 +144,36 @@ def test_cli_dedup_maintenance_refuses_missing_index(tmp_path):
     import os
 
     assert not os.path.exists(missing)
+
+
+def test_cli_dedup_append_embedding_signature(tmp_path, spark):
+    """`dedup append --signature embedding`: --text-col names the
+    vector column, --emb-dim pins the hyperplane shape in the index
+    config, and export keeps one canonical row per identical pair."""
+    b1 = str(tmp_path / "b1")
+    b2 = str(tmp_path / "b2")
+    vecs = [[float(i == j) for i in range(8)] for j in range(4)]
+    spark.createDataFrame(
+        [(i, vecs[i]) for i in range(4)],
+        "doc_id long, embedding array<double>",
+    ).write.parquet(b1)
+    spark.createDataFrame(
+        [(10, vecs[0])],  # identical copy of doc 0
+        "doc_id long, embedding array<double>",
+    ).write.parquet(b2)
+    index = str(tmp_path / "emb_idx")
+    out = str(tmp_path / "uniq")
+
+    from web_content_extraction_benchmark_spark.cli import main
+
+    main(["dedup", "append", "--index", index, "--batch", b1,
+          "--signature", "embedding", "--emb-dim", "8",
+          "--text-col", "embedding", "--threshold", "0.999",
+          "--num-hashes", "16", "--bands", "2"])
+    # --text-col names the INPUT batch's column (per invocation); the
+    # index's LSH config itself needs no flags on reopen
+    main(["dedup", "append", "--index", index, "--batch", b2,
+          "--text-col", "embedding"])
+    main(["dedup", "export", "--index", index, "-o", out])
+    uniq = {r.doc_id for r in spark.read.json(out).collect()}
+    assert uniq == {0, 1, 2, 3}  # copy 10 deduped against committed 0
