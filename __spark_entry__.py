@@ -962,6 +962,7 @@ def _raw_tree(sf_dir: str, kind: str) -> str:
         "readability": raw_datasets.synthesize_readability_tree,
         "scrapinghub": raw_datasets.synthesize_scrapinghub_tree,
         "googletrends": raw_datasets.synthesize_googletrends_tree,
+        "pdf": raw_datasets.synthesize_pdf_tree,
     }[kind]
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/wceb_raw/{kind}_{tag}"
@@ -1026,8 +1027,12 @@ def q_convert_raw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-case dirs, expected.html body text), ScrapingHub (gzipped pages,
     one ground-truth.json, page_id = sha256 of DECOMPRESSED bytes — the
     reference's re-hash quirk, oracled), GoogleTrends2017
-    (__boilernet_label-annotated truth).  Output one row per (format,
-    source); page_id is non-null only for scrapinghub."""
+    (__boilernet_label-annotated truth), and — r7, no reference
+    counterpart — PDF (real PDF 1.4 files: xref/FlateDecode/content
+    -stream text operators parsed from scratch, two-column layout
+    reconstructed into reading order; extractors/pdf_text.py).  Output
+    one row per (format, source); page_id is non-null only for
+    scrapinghub."""
     from web_content_extraction_benchmark_spark.sources import raw_datasets as rd
 
     null_id = F.lit(None).cast("string").alias("page_id")
@@ -1058,6 +1063,7 @@ def q_convert_raw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
                with_id=True),
         tagged("googletrends", rd.convert_googletrends(
             spark, f"{gt}/raw_html", f"{gt}/prepared_html")),
+        tagged("pdf", rd.convert_pdf(spark, _raw_tree(sf_dir, "pdf"))),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2144,7 +2150,7 @@ def oracle_sql() -> dict[str, str]:
                    {GOLD_SQL} AS plaintext
             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
         """,
-        # 7 raw formats, one row per (format, source); page_id non-null
+        # 8 raw formats, one row per (format, source); page_id non-null
         # only for scrapinghub (sha256 of the DECOMPRESSED page bytes —
         # the reference's re-hash-after-gunzip quirk,
         # dataset_readers.py:245-248)
@@ -2179,6 +2185,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'googletrends', CAST(doc_id AS VARCHAR),
                    'Article ' || source || ' ' || chr(10) || text, NULL
             FROM fx
+            UNION ALL
+            -- pdf: writer lays text.split() out as a real 2-column PDF
+            -- (sources/pdf_synth.py arms); the from-scratch parser must
+            -- recover the exact word sequence, so reading order IS the
+            -- oracle.  Fixture text is single-space normalized (guarded
+            -- below by the lockstep note), hence plaintext == text.
+            SELECT 'pdf', CAST(doc_id AS VARCHAR), text, NULL FROM fx
         """,
         "page_ids": _page_ids_sql(),
         "html_features": html_features_sql,

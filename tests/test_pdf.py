@@ -1,0 +1,180 @@
+"""PDF text + layout extraction (extractors/pdf_text.py) against the
+deterministic writer (sources/pdf_synth.py).
+
+The writer/parser pair is NOT config-shared: the parser sees only the
+bytes, so every green round trip certifies the whole chain — xref,
+FlateDecode, content-stream text operators, column/line clustering,
+reading order."""
+
+import random
+import zlib
+
+import pytest
+
+from web_content_extraction_benchmark_spark.extractors import pdf_text as P
+from web_content_extraction_benchmark_spark.sources import pdf_synth as W
+
+VOCAB = ("query scan merge window filter hash column batch table group "
+         "order vector stream row value line").split()
+
+
+def _text(rng: random.Random, n: int) -> str:
+    return " ".join(rng.choice(VOCAB) for _ in range(n))
+
+
+def test_roundtrip_all_arms():
+    """doc_ids 0..119 sweep every layout/encoding arm combination
+    (cols x flate x style x hex/split/indirect = lcm 60); the extracted
+    word sequence must be byte-identical."""
+    rng = random.Random(7)
+    for doc_id in range(120):
+        text = _text(rng, rng.randrange(1, 130))
+        payload = W.encode_pdf(doc_id, text)
+        assert P.pdf_plaintext(payload) == " ".join(text.split()), (
+            doc_id, W.pdf_layout_params(doc_id))
+
+
+def test_layout_stats_match_closed_form():
+    rng = random.Random(11)
+    for doc_id in range(0, 120, 7):
+        text = _text(rng, rng.randrange(1, 130))
+        payload = W.encode_pdf(doc_id, text)
+        n_pages, blocks = P.pdf_parse(payload)
+        want = W.expected_pdf_stats(doc_id, text)
+        got = {
+            "n_pages": n_pages,
+            "n_lines": sum(len(b.lines) for b in blocks),
+            "n_blocks": len(blocks),
+            "n_columns": max((b.column for b in blocks), default=-1) + 1,
+        }
+        assert got == want, (doc_id, W.pdf_layout_params(doc_id))
+
+
+def test_two_column_reading_order_is_column_major():
+    """Column 1 must be read completely before column 2 even though the
+    columns interleave in y — the core layout-parse property."""
+    doc_id = 21  # cols=2 (21%2=1), style 1, flate
+    words = [f"w{i:03d}" for i in range(40)]
+    payload = W.encode_pdf(doc_id, " ".join(words))
+    assert P.pdf_plaintext(payload) == " ".join(words)
+    blocks = P.pdf_blocks(payload)
+    assert max(b.column for b in blocks) == 1
+    first_page = [b for b in blocks if b.page == 0]
+    assert [b.column for b in first_page] == sorted(
+        b.column for b in first_page)
+
+
+def test_empty_text_yields_one_blank_page():
+    payload = W.encode_pdf(8, "")
+    n_pages, blocks = P.pdf_parse(payload)
+    assert n_pages == 1 and blocks == []
+    assert P.pdf_plaintext(payload) == ""
+
+
+def test_multi_page_nested_kids():
+    """3+ pages force intermediate /Pages nodes; DFS must preserve
+    document order."""
+    doc_id = 0  # cols=1, lines_per_col=4 -> 1 col x 4 lines x wpl 3
+    words = [f"w{i:03d}" for i in range(90)]  # 30 lines -> 8 pages
+    payload = W.encode_pdf(doc_id, " ".join(words))
+    n_pages, _ = P.pdf_parse(payload)
+    assert n_pages == 8
+    assert P.pdf_plaintext(payload) == " ".join(words)
+
+
+def test_xref_repair_fallback():
+    """A corrupted startxref must fall back to the N-G-obj scan and
+    still extract identical text."""
+    payload = W.encode_pdf(13, _text(random.Random(1), 40))
+    good = P.pdf_plaintext(payload)
+    broken = payload.replace(b"startxref", b"stortxref")
+    assert P.pdf_plaintext(broken) == good
+    # and a wrong offset (points mid-file, not at an xref table)
+    import re
+    broken2 = re.sub(rb"startxref\s+\d+", b"startxref\n17", payload)
+    assert P.pdf_plaintext(broken2) == good
+
+
+def test_string_escapes_octal_and_hex():
+    """Literal-string escape handling: \\( \\) \\\\ , octal, named
+    escapes, line continuation; hex strings with odd digit count."""
+    content = (rb"BT /F1 10 Tf 1 0 0 1 36 700 Tm "
+               rb"(a\(b\)c\\d \101 \net) Tj "
+               rb"1 0 0 1 36 686 Tm <616263> Tj "
+               rb"1 0 0 1 36 672 Tm <61626> Tj ET")
+    runs = P.interpret_text(content)
+    assert runs[0].text == "a(b)c\\d A \net"
+    assert runs[1].text == "abc"
+    assert runs[2].text == "ab`"  # odd hex digit pads with 0
+
+
+def test_literal_string_nested_parens_and_continuation():
+    content = b"BT (outer (inner) tail) Tj (no\\\nbreak) Tj ET"
+    runs = P.interpret_text(content)
+    assert runs[0].text == "outer (inner) tail"
+    assert runs[1].text == "nobreak"
+
+
+def test_tj_gap_heuristic_word_split():
+    content = (b"BT /F1 10 Tf 1 0 0 1 36 700 Tm "
+               b"[(foo) -278 (bar) -20 (baz)] TJ ET")
+    runs = P.interpret_text(content)
+    # -278 splits words, -20 is intra-word kerning
+    assert runs[0].text == "foo barbaz"
+
+
+def test_td_tl_tstar_and_quote_ops():
+    content = (b"BT /F1 10 Tf 1 0 0 1 50 700 Tm 0 -12 TD (l1) Tj "
+               b"(l2) ' T* (l3) Tj ET")
+    runs = P.interpret_text(content)
+    assert [(r.text, r.y) for r in runs] == [
+        ("l1", 688.0), ("l2", 676.0), ("l3", 664.0)]
+
+
+def test_malformed_inputs_raise_pdferror():
+    with pytest.raises(P.PdfError):
+        P.pdf_plaintext(b"not a pdf at all")
+    with pytest.raises(P.PdfError):
+        P.pdf_plaintext(b"%PDF-1.4\ngarbage with no objects")
+    # valid header, flate stream truncated -> PdfError from the filter
+    payload = bytearray(W.encode_pdf(1, "alpha beta gamma delta"))
+    pos = payload.find(b"stream\n") + len(b"stream\n")
+    payload[pos:pos + 8] = b"\x00" * 8
+    with pytest.raises((P.PdfError, zlib.error)):
+        P.pdf_plaintext(bytes(payload))
+
+
+def test_indirect_length_and_content_array():
+    """doc_id % 5 == 2 splits content into an array of two streams;
+    doc_id % 4 == 2 stores /Length indirectly — both must parse."""
+    for doc_id in (2, 22, 42):  # 2: both arms; 22/42: split-content
+        text = _text(random.Random(doc_id), 60)
+        assert P.pdf_plaintext(W.encode_pdf(doc_id, text)) == text
+
+
+def test_extract_pdf_spark_kernel(spark, tmp_path):
+    """Spark face: binaryFile scan -> mapInPandas kernel; one bad file
+    lands in the error column instead of failing the job, and the plan
+    has no Exchange (pure per-file map)."""
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        read_binary_dir,
+    )
+
+    rng = random.Random(3)
+    texts = {}
+    for doc_id in range(6):
+        text = _text(rng, 30 + doc_id)
+        texts[str(doc_id)] = text
+        (tmp_path / f"{doc_id}.pdf").write_bytes(W.encode_pdf(doc_id, text))
+    (tmp_path / "broken.pdf").write_bytes(b"%PDF-1.4\nnope")
+
+    df = P.extract_pdf(read_binary_dir(spark, str(tmp_path), glob="*.pdf"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
+    rows = {r["source"]: r for r in df.collect()}
+    assert rows["broken"]["plaintext"] is None
+    assert "PdfError" in rows["broken"]["error"]
+    for doc_id, text in texts.items():
+        assert rows[doc_id]["plaintext"] == text
+        assert rows[doc_id]["error"] is None

@@ -731,3 +731,37 @@ def synthesize_googletrends_tree(sf_dir: str, out_dir: str,
             f.write(googletrends_prepared_html(source, text).encode("utf-8"))
         n += 1
     return n
+
+
+def convert_pdf(spark: SparkSession, root_dir: str) -> DataFrame:
+    """PDF corpus directory -> (source, plaintext).
+
+    No reference counterpart (the reference repo ingests HTML formats
+    only); this is the "PDF/layout parse" leg of the pipeline mandate.
+    The whole parse — xref, FlateDecode, content-stream text operators,
+    column/line layout reconstruction — is the from-scratch
+    ``extractors/pdf_text`` kernel run per file inside mapInPandas;
+    the source key is the file stem, as for every other raw format."""
+    from ..extractors.pdf_text import extract_pdf
+
+    pages = read_binary_dir(spark, root_dir, glob="*.pdf")
+    return extract_pdf(pages).select("source", "plaintext")
+
+
+def synthesize_pdf_tree(sf_dir: str, out_dir: str, mod: int = 7) -> int:
+    """Write one ``{doc_id}.pdf`` per fixture doc (layout/encoding arms
+    vary by doc_id — see ``sources/pdf_synth``).  Oracle-arm lockstep:
+    ground truth per file is the documents-table ``text`` verbatim
+    (fixture text is single-space normalized; `check_oracles
+    ... convert_raw_formats` guards the contract)."""
+    import os
+
+    from .pdf_synth import encode_pdf
+
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for doc_id, _source, text in _fixture_docs(sf_dir, mod):
+        with open(os.path.join(out_dir, f"{doc_id}.pdf"), "wb") as f:
+            f.write(encode_pdf(doc_id, text))
+        n += 1
+    return n
