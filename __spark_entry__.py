@@ -945,6 +945,14 @@ def _source_fingerprint(sf_dir: str) -> str:
     return f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
 
 
+def _synthesize_warc_tree(sf_dir: str, out_dir: str) -> int:
+    from web_content_extraction_benchmark_spark.sources.warc import (
+        synthesize_warc_tree,
+    )
+
+    return synthesize_warc_tree(sf_dir, out_dir)
+
+
 def _raw_tree(sf_dir: str, kind: str) -> str:
     """Synthesize (once, cached) an on-disk raw-format dataset tree.
     The cache marker records the SOURCE fingerprint; a changed corpus
@@ -963,6 +971,7 @@ def _raw_tree(sf_dir: str, kind: str) -> str:
         "scrapinghub": raw_datasets.synthesize_scrapinghub_tree,
         "googletrends": raw_datasets.synthesize_googletrends_tree,
         "pdf": raw_datasets.synthesize_pdf_tree,
+        "warc": _synthesize_warc_tree,
     }[kind]
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/wceb_raw/{kind}_{tag}"
@@ -1030,10 +1039,13 @@ def q_convert_raw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (__boilernet_label-annotated truth), and — r7, no reference
     counterpart — PDF (real PDF 1.4 files: xref/FlateDecode/content
     -stream text operators parsed from scratch, two-column layout
-    reconstructed into reading order; extractors/pdf_text.py).  Output
-    one row per (format, source); page_id is non-null only for
-    scrapinghub."""
+    reconstructed into reading order; extractors/pdf_text.py) and WARC
+    (Common-Crawl-style .warc.gz: per-record gzip members, HTTP
+    response parse incl. chunked transfer encoding, then the standard
+    extraction kernel; sources/warc.py).  Output one row per (format,
+    source); page_id is non-null only for scrapinghub."""
     from web_content_extraction_benchmark_spark.sources import raw_datasets as rd
+    from web_content_extraction_benchmark_spark.sources.warc import read_warc
 
     null_id = F.lit(None).cast("string").alias("page_id")
 
@@ -1064,6 +1076,17 @@ def q_convert_raw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         tagged("googletrends", rd.convert_googletrends(
             spark, f"{gt}/raw_html", f"{gt}/prepared_html")),
         tagged("pdf", rd.convert_pdf(spark, _raw_tree(sf_dir, "pdf"))),
+        # warc: Common-Crawl-style container ingest (r7).  read_warc
+        # walks gzip members / dechunks HTTP inside a per-file map, then
+        # the standard extraction kernel runs on the recovered bytes —
+        # the oracle demands the same GOLD text as extract_all_models,
+        # so WARC framing must be byte-transparent end to end.
+        tagged("warc", extract_answers(
+            read_warc(spark, _raw_tree(sf_dir, "warc")), ["main_content"]
+        ).select(
+            F.regexp_extract("url", r"/(\d+)$", 1).alias("source"),
+            "plaintext",
+        )),
     ]
     out = parts[0]
     for p in parts[1:]:
@@ -2150,7 +2173,7 @@ def oracle_sql() -> dict[str, str]:
                    {GOLD_SQL} AS plaintext
             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
         """,
-        # 8 raw formats, one row per (format, source); page_id non-null
+        # 9 raw formats, one row per (format, source); page_id non-null
         # only for scrapinghub (sha256 of the DECOMPRESSED page bytes —
         # the reference's re-hash-after-gunzip quirk,
         # dataset_readers.py:245-248)
@@ -2192,6 +2215,13 @@ def oracle_sql() -> dict[str, str]:
             -- oracle.  Fixture text is single-space normalized (guarded
             -- below by the lockstep note), hence plaintext == text.
             SELECT 'pdf', CAST(doc_id AS VARCHAR), text, NULL FROM fx
+            UNION ALL
+            -- warc: the response payload carries the pages table's
+            -- exact html bytes, so after WARC/HTTP unwrapping the
+            -- main_content extraction must equal GOLD (byte identity
+            -- through gzip members + chunked transfer framing).
+            SELECT 'warc', CAST(doc_id AS VARCHAR), {GOLD_SQL}, NULL
+            FROM fx
         """,
         "page_ids": _page_ids_sql(),
         "html_features": html_features_sql,

@@ -1,0 +1,130 @@
+"""WARC container ingest (sources/warc.py): writer/reader round trip,
+HTTP framing arms, corruption handling, and byte-lockstep with the
+synthetic pages table."""
+
+from datetime import datetime, timezone
+
+import gzip
+import pytest
+
+from web_content_extraction_benchmark_spark.sources import warc as W
+
+TS = datetime(2023, 3, 4, 5, 6, 7, tzinfo=timezone.utc)
+
+
+def _pages(n: int = 3, chunked_every: int = 2):
+    return [
+        {
+            "url": f"https://h{i}.example/src/{i}",
+            "ts": TS,
+            "body": (f"<html><body>doc {i} " + "x" * (i * 700)
+                     + "</body></html>").encode(),
+            "chunked": i % chunked_every == 1,
+        }
+        for i in range(n)
+    ]
+
+
+@pytest.mark.parametrize("member_gzip", [True, False])
+def test_write_read_roundtrip(tmp_path, member_gzip):
+    pages = _pages(4)
+    path = str(tmp_path / ("a.warc.gz" if member_gzip else "a.warc"))
+    assert W.write_warc_gz(path, pages, member_gzip=member_gzip) == 4
+    recs = list(W.iter_warc_records(open(path, "rb").read()))
+    kinds = [h["warc-type"] for h, _ in recs]
+    assert kinds == ["warcinfo"] + ["request", "response"] * 4
+    responses = [(h, p) for h, p in recs if h["warc-type"] == "response"]
+    for (h, payload), pg in zip(responses, pages):
+        status, hh, body = W.parse_http_response(payload)
+        assert status == 200
+        assert body == pg["body"]
+        assert h["warc-target-uri"] == pg["url"]
+        assert h["warc-date"] == "2023-03-04T05:06:07Z"
+        framing = hh.get("transfer-encoding", "")
+        assert ("chunked" in framing) == pg["chunked"]
+
+
+def test_single_member_gzip_with_many_records(tmp_path):
+    """CC convention is member-per-record, but the spec also allows one
+    gzip member holding the whole file — the reader must drain multiple
+    records per member."""
+    path = str(tmp_path / "a.warc")
+    W.write_warc_gz(path, _pages(3), member_gzip=False)
+    blob = gzip.compress(open(path, "rb").read())
+    recs = list(W.iter_warc_records(blob))
+    assert [h["warc-type"] for h, _ in recs] == \
+        ["warcinfo"] + ["request", "response"] * 3
+
+
+def test_record_spanning_gzip_members():
+    """A record split across two gzip members (concatenated stream
+    written by a non-CC tool) must still parse."""
+    rec = W._warc_record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "u")],
+        W.build_http_response(b"<html>hi</html>"),
+    )
+    mid = len(rec) // 2
+    blob = gzip.compress(rec[:mid]) + gzip.compress(rec[mid:])
+    recs = list(W.iter_warc_records(blob))
+    assert len(recs) == 1
+    _, payload = recs[0]
+    assert W.parse_http_response(payload)[2] == b"<html>hi</html>"
+
+
+def test_dechunk_and_malformed_framing():
+    body = b"hello world " * 200
+    resp = W.build_http_response(body, chunked=True)
+    assert W.parse_http_response(resp)[2] == body
+    with pytest.raises(W.WarcError):
+        W._dechunk(b"zz\r\nhello")  # bad size token
+    with pytest.raises(W.WarcError):
+        W._dechunk(b"5\r\nhello\r\n")  # missing terminator
+    with pytest.raises(W.WarcError):
+        W.parse_http_response(b"not http at all\r\n\r\nbody")
+
+
+def test_truncated_and_corrupt_input():
+    rec = W._warc_record([("WARC-Type", "response")], b"x" * 100)
+    with pytest.raises(W.WarcError):
+        list(W.iter_warc_records(rec[:50]))  # truncated plain record
+    with pytest.raises(W.WarcError):
+        list(W.iter_warc_records(b"\x1f\x8b" + b"\x00" * 30))  # bad gzip
+    with pytest.raises(W.WarcError):
+        list(W.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))  # not WARC
+
+
+def test_header_continuation_lines():
+    rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
+           b"X-Long: part one\r\n  and two\r\n"
+           b"Content-Length: 2\r\n\r\nhi\r\n\r\n")
+    (headers, payload), = list(W.iter_warc_records(rec))
+    assert headers["x-long"] == "part one and two"
+    assert payload == b"hi"
+
+
+def test_read_warc_lockstep_with_pages_table(spark, sf_dir, tmp_path):
+    """read_warc over the synthesized tree must agree row-for-row with
+    synthesize_pages on (url, warc_ts, html bytes) for the fixture
+    docs — WARC framing is byte-transparent."""
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    n = W.synthesize_warc_tree(sf_dir, str(tmp_path))
+    df = W.read_warc(spark, str(tmp_path))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+    assert "Exchange" not in plan
+
+    got = {r["url"]: r for r in df.collect()}
+    assert len(got) == n
+    pages = synthesize_pages(spark, sf_dir).filter(
+        "doc_id % 7 = 0 AND doc_id % 101 != 0"
+    ).select("url", "warc_ts", "html").collect()
+    assert len(pages) == n
+    for row in pages:
+        w = got[row["url"]]
+        assert bytes(w["html"]) == bytes(row["html"]), row["url"]
+        assert w["warc_ts"] == row["warc_ts"], row["url"]
+        assert w["http_status"] == 200
+        assert w["content_type"].startswith("text/html")

@@ -1,0 +1,354 @@
+"""WARC ingestion: Common-Crawl-style ``.warc.gz`` -> pages table.
+
+The north rule's input is "an Iceberg table of Common-Crawl-style web
+pages"; the table's upstream on a real cluster is Common Crawl's WARC
+container (ISO 28500).  The reference repo starts from pre-extracted
+HTML trees and has no WARC code, so this module is built from the
+public WARC 1.0 / ISO 28500 spec and the Common Crawl conventions:
+
+- one gzip MEMBER per record (what makes ``.warc.gz`` seekable by
+  byte offset and lets a reader bound memory to one record);
+- records: ``warcinfo`` (file header), ``request``/``response`` pairs;
+- the response payload is a raw HTTP/1.1 message — status line,
+  headers, body — with ``Content-Length`` or chunked transfer
+  encoding, both of which `parse_http_response` handles.
+
+Reader shape at 100 TB: WARC files are ~1 GB and gzip is not
+block-splittable, so the unit of parallelism is the FILE (100 TB ≈
+10^5 files ≫ executor count).  `read_warc` scans with ``binaryFile``
+and walks members incrementally inside ``mapInPandas`` —
+decompression state is one member at a time and rows are yielded in
+bounded batches, so executor memory is O(largest record), not
+O(file).  No shuffle anywhere: scan -> per-file map.
+
+Byte-lockstep with the synthetic pages table: `synthesize_warc_tree`
+wraps exactly the bytes `sources/pages.py` puts in the ``html``
+column (``encode_page_html``), so ``read_warc(...)`` and
+``synthesize_pages(...)`` agree row-for-row on (url, warc_ts, html) —
+pinned by tests/test_warc.py."""
+
+from __future__ import annotations
+
+import gzip
+import zlib
+from datetime import datetime, timezone
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+CRLF = b"\r\n"
+
+WARC_PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("http_status", T.IntegerType(), True),
+        T.StructField("content_type", T.StringType(), True),
+        T.StructField("warc_file", T.StringType(), True),
+    ]
+)
+
+
+class WarcError(ValueError):
+    """Raised on structurally invalid WARC/HTTP input."""
+
+
+# ---------------------------------------------------------------------------
+# Record-level writer
+# ---------------------------------------------------------------------------
+
+
+def _warc_record(headers: list[tuple[str, str]], payload: bytes) -> bytes:
+    head = b"WARC/1.0" + CRLF
+    for k, v in headers:
+        head += f"{k}: {v}".encode("latin-1") + CRLF
+    head += f"Content-Length: {len(payload)}".encode() + CRLF + CRLF
+    return head + payload + CRLF + CRLF
+
+
+def _chunked(body: bytes, chunk: int = 512) -> bytes:
+    out = bytearray()
+    for i in range(0, len(body), chunk):
+        piece = body[i:i + chunk]
+        out += f"{len(piece):x}".encode() + CRLF + piece + CRLF
+    out += b"0" + CRLF + CRLF
+    return bytes(out)
+
+
+def build_http_response(body: bytes, *, charset: str = "utf-8",
+                        chunked: bool = False, status: int = 200) -> bytes:
+    """A raw HTTP/1.1 response message around ``body`` (the WARC
+    response payload).  ``chunked`` switches the framing arm."""
+    reason = {200: "OK", 404: "Not Found"}.get(status, "OK")
+    lines = [f"HTTP/1.1 {status} {reason}",
+             f"Content-Type: text/html; charset={charset}"]
+    if chunked:
+        lines.append("Transfer-Encoding: chunked")
+        payload = _chunked(body)
+    else:
+        lines.append(f"Content-Length: {len(body)}")
+        payload = body
+    head = CRLF.join(ln.encode("latin-1") for ln in lines) + CRLF + CRLF
+    return head + payload
+
+
+def _iso(ts: datetime) -> str:
+    return ts.astimezone(timezone.utc).strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+def _record_id(tag: str) -> str:
+    return f"<urn:wceb:{tag}>"
+
+
+def write_warc_gz(path: str, pages: list[dict],
+                  member_gzip: bool = True) -> int:
+    """Write one ``.warc.gz`` (or plain ``.warc``): a warcinfo record
+    followed by a request+response pair per page.  ``pages`` rows carry
+    ``url``, ``ts`` (datetime), ``body`` (bytes), optional ``chunked``.
+    Each record is its own gzip member (Common Crawl convention)."""
+    records = [
+        _warc_record(
+            [("WARC-Type", "warcinfo"),
+             ("WARC-Date", _iso(datetime.now(timezone.utc))
+              if not pages else _iso(pages[0]["ts"])),
+             ("WARC-Record-ID", _record_id("warcinfo")),
+             ("Content-Type", "application/warc-fields")],
+            b"software: wceb-spark synthetic crawler\r\n",
+        )
+    ]
+    for p in pages:
+        records.append(_warc_record(
+            [("WARC-Type", "request"),
+             ("WARC-Target-URI", p["url"]),
+             ("WARC-Date", _iso(p["ts"])),
+             ("WARC-Record-ID", _record_id(p["url"] + ":req")),
+             ("Content-Type", "application/http; msgtype=request")],
+            f"GET {p['url']} HTTP/1.1\r\nHost: x\r\n\r\n".encode(),
+        ))
+        records.append(_warc_record(
+            [("WARC-Type", "response"),
+             ("WARC-Target-URI", p["url"]),
+             ("WARC-Date", _iso(p["ts"])),
+             ("WARC-Record-ID", _record_id(p["url"] + ":resp")),
+             ("Content-Type", "application/http; msgtype=response")],
+            build_http_response(p["body"],
+                                chunked=bool(p.get("chunked"))),
+        ))
+    with open(path, "wb") as f:
+        if member_gzip:
+            for rec in records:
+                f.write(gzip.compress(rec, compresslevel=1, mtime=0))
+        else:
+            for rec in records:
+                f.write(rec)
+    return len(pages)
+
+
+def synthesize_warc_tree(sf_dir: str, out_dir: str, mod: int = 7,
+                         pages_per_file: int = 16) -> int:
+    """Fixture docs -> ``crawl-{k}.warc.gz`` files.  Page bodies are the
+    EXACT bytes of the pages table's ``html`` column (encode_page_html:
+    gzip %103 rows, BOM %107 rows), so WARC ingest and parquet synthesis
+    stay byte-lockstepped.  ``doc_id % 3 == 1`` responses use chunked
+    transfer encoding; every 5th file is a plain uncompressed .warc."""
+    import os
+
+    from .pages import EPOCH_2023, build_page_html, encode_page_html, url_for
+    from .raw_datasets import _fixture_docs
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = list(_fixture_docs(sf_dir, mod))
+    n = 0
+    for k, start in enumerate(range(0, len(docs), pages_per_file)):
+        batch = []
+        for doc_id, source, text in docs[start:start + pages_per_file]:
+            ts = (EPOCH_2023
+                  + pd.Timedelta(seconds=doc_id % 4_000_000_000))
+            batch.append({
+                "url": url_for(doc_id, source),
+                "ts": ts.to_pydatetime().replace(tzinfo=timezone.utc),
+                "body": encode_page_html(
+                    doc_id, build_page_html(doc_id, source, text)),
+                "chunked": doc_id % 3 == 1,
+            })
+        plain = k % 5 == 4
+        name = f"crawl-{k:05d}.warc" + ("" if plain else ".gz")
+        n += write_warc_gz(os.path.join(out_dir, name), batch,
+                           member_gzip=not plain)
+    return n
+
+
+# ---------------------------------------------------------------------------
+# Record-level reader (pure)
+# ---------------------------------------------------------------------------
+
+
+def _parse_headers(block: bytes) -> dict[str, str]:
+    headers: dict[str, str] = {}
+    last: str | None = None
+    for line in block.split(b"\r\n"):
+        if not line:
+            continue
+        if line[:1] in (b" ", b"\t") and last is not None:
+            headers[last] += " " + line.strip().decode("latin-1")
+            continue
+        k, _, v = line.partition(b":")
+        last = k.strip().decode("latin-1").lower()
+        headers[last] = v.strip().decode("latin-1")
+    return headers
+
+
+def _take_record(buf: bytes, pos: int) -> tuple[dict, bytes, int] | None:
+    """Parse one WARC record at ``pos``; returns (headers, payload,
+    next_pos) or None if ``buf`` holds no complete record yet."""
+    head_end = buf.find(b"\r\n\r\n", pos)
+    if head_end == -1:
+        return None
+    head = buf[pos:head_end]
+    if not head.startswith(b"WARC/"):
+        raise WarcError(
+            f"record at {pos} does not start with WARC/: {head[:20]!r}")
+    headers = _parse_headers(buf[pos + head.find(b"\r\n") + 2:head_end])
+    try:
+        length = int(headers["content-length"])
+    except (KeyError, ValueError) as e:
+        raise WarcError(f"record at {pos}: bad Content-Length") from e
+    body_start = head_end + 4
+    next_pos = body_start + length + 4  # payload + CRLF CRLF
+    if len(buf) < next_pos:
+        return None
+    return headers, buf[body_start:body_start + length], next_pos
+
+
+def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc-headers, payload) from a ``.warc`` or ``.warc.gz``
+    byte string.  Gzip input is walked MEMBER BY MEMBER so peak memory
+    is one member plus any record spanning members — never the whole
+    decompressed file."""
+    if raw[:2] == b"\x1f\x8b":
+        pos = 0
+        buf = b""
+        consumed = 0
+        while pos < len(raw):
+            d = zlib.decompressobj(wbits=31)
+            try:
+                buf += d.decompress(raw[pos:])
+            except zlib.error as e:
+                raise WarcError(f"gzip member at {pos}: {e}") from e
+            pos = len(raw) - len(d.unused_data)
+            # drain complete records; keep the (rare) spanning tail
+            while True:
+                got = _take_record(buf, consumed)
+                if got is None:
+                    break
+                headers, payload, consumed = got
+                yield headers, payload
+            buf = buf[consumed:]
+            consumed = 0
+        if buf.strip():
+            raise WarcError("trailing bytes after last gzip member")
+    else:
+        pos = 0
+        while pos < len(raw):
+            if not raw[pos:].strip():
+                break
+            got = _take_record(raw, pos)
+            if got is None:
+                raise WarcError(f"truncated record at {pos}")
+            headers, payload, pos = got
+            yield headers, payload
+
+
+def _dechunk(body: bytes) -> bytes:
+    out = bytearray()
+    pos = 0
+    while True:
+        eol = body.find(b"\r\n", pos)
+        if eol == -1:
+            raise WarcError("truncated chunked body")
+        size_tok = body[pos:eol].split(b";")[0].strip()
+        try:
+            size = int(size_tok, 16)
+        except ValueError as e:
+            raise WarcError(f"bad chunk size {size_tok!r}") from e
+        if size == 0:
+            return bytes(out)
+        start = eol + 2
+        out += body[start:start + size]
+        pos = start + size + 2  # skip chunk CRLF
+
+
+def parse_http_response(payload: bytes) -> tuple[int, dict[str, str], bytes]:
+    """(status, lowercase headers, body) from a raw HTTP response;
+    handles Content-Length framing and chunked transfer encoding."""
+    head_end = payload.find(b"\r\n\r\n")
+    if head_end == -1:
+        raise WarcError("http response without header terminator")
+    head = payload[:head_end]
+    status_line, _, header_block = head.partition(b"\r\n")
+    parts = status_line.split(None, 2)
+    if len(parts) < 2 or not parts[0].startswith(b"HTTP/"):
+        raise WarcError(f"bad status line {status_line[:30]!r}")
+    status = int(parts[1])
+    headers = _parse_headers(header_block)
+    body = payload[head_end + 4:]
+    if "chunked" in headers.get("transfer-encoding", "").lower():
+        body = _dechunk(body)
+    elif "content-length" in headers:
+        body = body[:int(headers["content-length"])]
+    return status, headers, body
+
+
+def _warc_ts(headers: dict[str, str]):
+    v = headers.get("warc-date")
+    if not v:
+        return None
+    try:
+        return datetime.strptime(v, "%Y-%m-%dT%H:%M:%SZ")
+    except ValueError:
+        return None
+
+
+# ---------------------------------------------------------------------------
+# Spark face
+# ---------------------------------------------------------------------------
+
+
+def _warc_batches(batches: Iterator[pd.DataFrame],
+                  batch_rows: int = 256) -> Iterator[pd.DataFrame]:
+    cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+    rows: list[dict] = []
+    for pdf in batches:
+        for path, raw in zip(pdf["path"], pdf["content"]):
+            for headers, payload in iter_warc_records(bytes(raw)):
+                if headers.get("warc-type") != "response":
+                    continue
+                status, http_headers, body = parse_http_response(payload)
+                rows.append({
+                    "url": headers.get("warc-target-uri"),
+                    "warc_ts": _warc_ts(headers),
+                    "html": body,
+                    "http_status": status,
+                    "content_type": http_headers.get("content-type"),
+                    "warc_file": path,
+                })
+                if len(rows) >= batch_rows:
+                    yield pd.DataFrame(rows, columns=cols)
+                    rows = []
+    if rows:
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def read_warc(spark: SparkSession, path: str,
+              glob: str = "*.warc*") -> DataFrame:
+    """``.warc`` / ``.warc.gz`` directory -> (url, warc_ts, html,
+    http_status, content_type, warc_file).  One file = one task (gzip
+    is not block-splittable; Common Crawl parallelism comes from file
+    count); rows stream out in bounded Arrow batches."""
+    files = spark.read.format("binaryFile") \
+        .option("pathGlobFilter", glob).load(path) \
+        .select("path", "content")
+    return files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA)
