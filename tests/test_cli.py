@@ -177,3 +177,37 @@ def test_cli_dedup_append_embedding_signature(tmp_path, spark):
     main(["dedup", "export", "--index", index, "-o", out])
     uniq = {r.doc_id for r in spark.read.json(out).collect()}
     assert uniq == {0, 1, 2, 3}  # copy 10 deduped against committed 0
+
+
+def test_cli_convert_pdf_and_warc(tmp_path, spark, sf_dir):
+    """The two r7 container formats ride the same convert-datasets
+    surface: PDF emits parsed plaintext keyed by file stem; WARC runs
+    the extraction kernel over unwrapped response bodies."""
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        synthesize_pdf_tree,
+    )
+    from web_content_extraction_benchmark_spark.sources.warc import (
+        synthesize_warc_tree,
+    )
+
+    pdf_raw = str(tmp_path / "pdfraw")
+    pdf_out = str(tmp_path / "pdfout")
+    n = synthesize_pdf_tree(sf_dir, pdf_raw)
+    main(["convert-datasets", "--format", "pdf", "-i", pdf_raw,
+          "-o", pdf_out, "--golden"])
+    pdf_df = spark.read.json(pdf_out)
+    assert pdf_df.count() == n
+    assert {"source", "plaintext"} <= set(pdf_df.columns)
+
+    warc_raw = str(tmp_path / "warcraw")
+    warc_out = str(tmp_path / "warcout")
+    m = synthesize_warc_tree(sf_dir, warc_raw)
+    main(["convert-datasets", "--format", "warc", "-i", warc_raw,
+          "-o", warc_out, "--golden"])
+    warc_df = spark.read.json(warc_out)
+    assert warc_df.count() == m
+    assert {"source", "url", "plaintext"} <= set(warc_df.columns)
+    # numeric-tail urls key by doc id, and plaintext is extracted text
+    row = warc_df.orderBy("source").first()
+    assert row["source"].isdigit()
+    assert row["plaintext"]

@@ -128,3 +128,32 @@ def test_read_warc_lockstep_with_pages_table(spark, sf_dir, tmp_path):
         assert w["warc_ts"] == row["warc_ts"], row["url"]
         assert w["http_status"] == 200
         assert w["content_type"].startswith("text/html")
+
+
+def test_wet_sink_roundtrip(spark, sf_dir, tmp_path):
+    """answers -> WET-style conversion records -> read back: plaintext
+    and url survive byte-identically; one file per partition."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        extract_answers,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(spark, sf_dir).filter("doc_id % 31 = 0") \
+        .select("url", "warc_ts", "html").repartition(3)
+    answers = extract_answers(pages, ["main_content"]) \
+        .join(pages.select("url", "warc_ts"), "url") \
+        .select("url", "plaintext", "warc_ts")
+    want = {r["url"]: r for r in answers.collect()}
+
+    out = str(tmp_path / "wet")
+    manifest = W.write_wet(answers, out)
+    assert sum(m["n_records"] for m in manifest) == len(want)
+    assert len(manifest) == 3  # one file per partition
+
+    got = {r["url"]: r for r in W.read_wet(spark, out).collect()}
+    assert set(got) == set(want)
+    for url, row in want.items():
+        assert got[url]["plaintext"] == row["plaintext"]
+        assert got[url]["warc_ts"] == row["warc_ts"]

@@ -51,6 +51,8 @@ RAW_FORMATS = (
     "readability",
     "scrapinghub",
     "googletrends",
+    "pdf",
+    "warc",
 )
 
 
@@ -141,11 +143,27 @@ def cmd_convert_datasets(args: argparse.Namespace) -> None:
         df = rd.convert_readability_ds(spark, f"{root}/test-pages")
     elif fmt == "scrapinghub":
         df = rd.convert_scrapinghub(spark, root)
+    elif fmt == "pdf":
+        df = rd.convert_pdf(spark, root)
+    elif fmt == "warc":
+        # container ingest -> extraction-ready plaintext through the
+        # standard kernel; the key falls back to the full url when the
+        # crawl's urls don't end in a numeric doc id
+        from pyspark.sql import functions as F
+
+        from .plans.pipeline import extract_answers
+        from .sources.warc import read_warc
+
+        src = F.regexp_extract("url", r"/(\d+)$", 1)
+        df = extract_answers(read_warc(spark, root), ["main_content"]) \
+            .select(F.when(src != "", src).otherwise(F.col("url"))
+                    .alias("source"), "url", "plaintext")
     else:  # googletrends
         df = rd.convert_googletrends(
             spark, f"{root}/raw_html", f"{root}/prepared_html"
         )
-    write_jsonl(df, args.output, sort_by=["source", "url"],
+    write_jsonl(df, args.output,
+                sort_by=[c for c in ("source", "url") if c in df.columns],
                 golden=args.golden)
     print(f"converted {fmt} -> {args.output}")
 

@@ -62,8 +62,25 @@ COLUMN_GAP_PT = 60.0
 # same baseline.
 LINE_TOL_PT = 1.0
 
-_WS = b"\x00\t\n\x0c\r "
-_DELIM = b"()<>[]{}/%"
+_WS = frozenset(b"\x00\t\n\x0c\r ")
+_DELIM = frozenset(b"()<>[]{}/%")
+# One compiled alternation classifies every token in a single C-level
+# match (the fast-parser pattern this repo already uses for HTML):
+# per-token Python dispatch, not algorithmic work, dominates a
+# token-at-a-time lexer.  Group order matters — '<<' before '<'.
+# Literal/hex strings need stateful scanning (nesting, escapes), so
+# their openers just route to the manual scanners.
+_MASTER_RE = re.compile(
+    rb"(?P<ws>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+)"
+    rb"|(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
+    rb"|(?P<delim><<|>>|[\[\]{}])"
+    rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
+    rb"|(?P<lit>\()"
+    rb"|(?P<hex><)"
+    rb"|(?P<other>.)",
+    re.DOTALL,
+)
 
 
 class PdfError(ValueError):
@@ -191,43 +208,34 @@ class _Lexer:
         return bytes.fromhex(hex_digits.decode("ascii"))
 
     def next_token(self):
-        self.skip_ws()
-        buf, n = self.buf, len(self.buf)
-        if self.pos >= n:
+        buf = self.buf
+        m = _MASTER_RE.match(buf, self.pos)
+        if m is not None and m.lastgroup == "ws":
+            self.pos = m.end()
+            m = _MASTER_RE.match(buf, self.pos)
+        if m is None:
             return None
-        c = buf[self.pos]
-        if c == 0x2F:
-            return self._name()
-        if c == 0x28:
-            return self._literal_string()
-        if c == 0x3C:
-            if self.pos + 1 < n and buf[self.pos + 1] == 0x3C:
-                self.pos += 2
-                return "<<"
-            return self._hex_string()
-        if c == 0x3E and self.pos + 1 < n and buf[self.pos + 1] == 0x3E:
-            self.pos += 2
-            return ">>"
-        if c in b"[]{}":
-            self.pos += 1
-            return chr(c)
-        if c in b"+-.0123456789":
-            m = re.match(rb"[+-]?(\d+\.\d*|\.\d+|\d+)", buf[self.pos:])
-            if not m:
-                self.pos += 1
-                return chr(c)
-            tok = m.group(0)
-            self.pos += len(tok)
+        kind = m.lastgroup
+        self.pos = m.end()
+        if kind == "num":
+            tok = m.group()
             return float(tok) if b"." in tok else int(tok)
-        # keyword / operator
-        start = self.pos
-        while self.pos < n and buf[self.pos] not in _WS \
-                and buf[self.pos] not in _DELIM:
-            self.pos += 1
-        if self.pos == start:  # stray delimiter we don't handle
-            self.pos += 1
-            return chr(c)
-        return buf[start:self.pos].decode("latin-1")
+        if kind == "kw":
+            return m.group().decode("latin-1")
+        if kind == "name":
+            raw = m.group()
+            if b"#" in raw:  # rare: #xx hex escapes in the name
+                self.pos = m.start()
+                return self._name()
+            return raw.decode("latin-1")
+        if kind == "lit":
+            self.pos = m.start()
+            return self._literal_string()
+        if kind == "hex":
+            self.pos = m.start()
+            return self._hex_string()
+        # delim ('<<' '>>' '[' ']' '{' '}') or a stray byte
+        return m.group().decode("latin-1")
 
 
 def _parse_value(lex: _Lexer, tok):

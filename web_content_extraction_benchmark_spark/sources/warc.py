@@ -352,3 +352,153 @@ def read_warc(spark: SparkSession, path: str,
         .option("pathGlobFilter", glob).load(path) \
         .select("path", "content")
     return files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WET-style sink (WARC conversion records)
+# ---------------------------------------------------------------------------
+
+
+def write_wet(df: DataFrame, out_dir: str) -> list[dict]:
+    """Extraction results -> Common-Crawl-WET-style files: one
+    ``part-{partition:05d}.warc.wet.gz`` per input partition, each a
+    warcinfo record plus one ``conversion`` record (text/plain payload)
+    per row.  Executor-side streaming writes — no driver collection,
+    no shuffle; file count == partition count, the WET convention.
+
+    ``df`` needs (url, plaintext) and optionally warc_ts.  Returns the
+    manifest [{path, n_records}] (one small row per partition)."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+    has_ts = "warc_ts" in df.columns
+    cols = ["url", "plaintext"] + (["warc_ts"] if has_ts else [])
+
+    def write_partition(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        n = 0
+        with open(path, "wb") as f:
+            f.write(gzip.compress(_warc_record(
+                [("WARC-Type", "warcinfo"),
+                 ("WARC-Record-ID", _record_id(f"wet:{pid}")),
+                 ("Content-Type", "application/warc-fields")],
+                b"format: WET-style conversion of extracted text\r\n",
+            ), compresslevel=1, mtime=0))
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    body = (row.plaintext or "").encode("utf-8")
+                    headers = [
+                        ("WARC-Type", "conversion"),
+                        ("WARC-Target-URI", row.url),
+                        ("WARC-Record-ID", _record_id(row.url + ":wet")),
+                        ("Content-Type", "text/plain"),
+                    ]
+                    if has_ts and pd.notna(row.warc_ts):
+                        headers.insert(2, ("WARC-Date", _iso(
+                            row.warc_ts.to_pydatetime().replace(
+                                tzinfo=timezone.utc))))
+                    f.write(gzip.compress(_warc_record(headers, body),
+                                          compresslevel=1, mtime=0))
+                    n += 1
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    manifest_schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+    ])
+    return [r.asDict() for r in
+            df.select(*cols).mapInPandas(
+                write_partition, schema=manifest_schema).collect()]
+
+
+def read_wet(spark: SparkSession, path: str,
+             glob: str = "*.warc.wet*") -> DataFrame:
+    """WET-style directory -> (url, warc_ts, plaintext)."""
+
+    def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out: list[dict] = []
+        for pdf in batches:
+            for raw in pdf["content"]:
+                for headers, payload in iter_warc_records(bytes(raw)):
+                    if headers.get("warc-type") != "conversion":
+                        continue
+                    out.append({
+                        "url": headers.get("warc-target-uri"),
+                        "warc_ts": _warc_ts(headers),
+                        "plaintext": payload.decode("utf-8"),
+                    })
+                    if len(out) >= 256:
+                        yield pd.DataFrame(out)
+                        out = []
+        if out:
+            yield pd.DataFrame(out)
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType(), True),
+        T.StructField("warc_ts", T.TimestampType(), True),
+        T.StructField("plaintext", T.StringType(), True),
+    ])
+    return spark.read.format("binaryFile").option("pathGlobFilter", glob) \
+        .load(path).select("content").mapInPandas(rows, schema=schema)
+
+
+def write_warc(df: DataFrame, out_dir: str,
+               chunked_every: int = 3) -> list[dict]:
+    """Pages -> ``part-{partition:05d}.warc.gz`` response records
+    (member-per-record gzip), executor-side like `write_wet` — the
+    scalable way to materialize a Common-Crawl-style corpus (the
+    driver-side `synthesize_warc_tree` is for small fixtures).  Every
+    ``chunked_every``-th record uses chunked transfer framing so a
+    volume read exercises the dechunk path.  ``df`` needs
+    (url, warc_ts, html); returns the per-partition manifest."""
+    import os
+
+    from pyspark import TaskContext
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    def write_partition(batches: Iterator[pd.DataFrame]
+                        ) -> Iterator[pd.DataFrame]:
+        pid = TaskContext.get().partitionId()
+        path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        n = 0
+        with open(path, "wb") as f:
+            f.write(gzip.compress(_warc_record(
+                [("WARC-Type", "warcinfo"),
+                 ("WARC-Record-ID", _record_id(f"warc:{pid}")),
+                 ("Content-Type", "application/warc-fields")],
+                b"software: wceb-spark synthetic crawler\r\n",
+            ), compresslevel=1, mtime=0))
+            for pdf in batches:
+                for row in pdf.itertuples(index=False):
+                    headers = [
+                        ("WARC-Type", "response"),
+                        ("WARC-Target-URI", row.url),
+                        ("WARC-Record-ID", _record_id(row.url + ":resp")),
+                        ("Content-Type",
+                         "application/http; msgtype=response"),
+                    ]
+                    if pd.notna(row.warc_ts):
+                        headers.insert(2, ("WARC-Date", _iso(
+                            row.warc_ts.to_pydatetime().replace(
+                                tzinfo=timezone.utc))))
+                    body = bytes(row.html) if row.html is not None else b""
+                    f.write(gzip.compress(_warc_record(
+                        headers,
+                        build_http_response(
+                            body, chunked=n % chunked_every == 1),
+                    ), compresslevel=1, mtime=0))
+                    n += 1
+        yield pd.DataFrame({"path": [path], "n_records": [n]})
+
+    manifest_schema = T.StructType([
+        T.StructField("path", T.StringType(), False),
+        T.StructField("n_records", T.LongType(), False),
+    ])
+    return [r.asDict() for r in
+            df.select("url", "warc_ts", "html").mapInPandas(
+                write_partition, schema=manifest_schema).collect()]
