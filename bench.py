@@ -155,7 +155,7 @@ def _pdf_corpus(spark, pages, tag: str, fingerprint: str,
                 yield pd.DataFrame({
                     "doc_id": pdf["doc_id"],
                     "payload": [
-                        encode_pdf(int(d), t or "")
+                        encode_pdf(int(d), t if isinstance(t, str) else "")
                         for d, t in zip(pdf["doc_id"], pdf["text"])
                     ],
                 })

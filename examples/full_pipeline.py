@@ -184,6 +184,28 @@ def main() -> None:
     assert idx.unique_docs(spark).count() > 0  # view intact post-maint
     print(f"[9] maintenance: index at v{idx.assert_consistent()}, "
           f"{n_reclaimed} superseded files reclaimed")
+
+    # 10. Container loop (r7): mirror the pages to Common-Crawl-style
+    #     .warc.gz from the executors, re-ingest (gzip-member walk +
+    #     HTTP/chunked parse), extract, and publish the text as
+    #     WET-style conversion records — crawl-format in, WET out.
+    from web_content_extraction_benchmark_spark.sources.warc import (
+        read_warc, read_wet, write_warc, write_wet,
+    )
+
+    warc_dir = os.path.join(out_dir, "warc")
+    wet_dir = os.path.join(out_dir, "wet")
+    write_warc(pages.select("url", "warc_ts", "html"), warc_dir)
+    crawl_pages = read_warc(spark, warc_dir)
+    wet_answers = extract_answers(
+        crawl_pages, ["main_content"]
+    ).select("url", "plaintext")
+    manifest = write_wet(wet_answers, wet_dir)
+    n_wet = read_wet(spark, wet_dir).count()
+    assert n_wet == sum(m["n_records"] for m in manifest)
+    print(f"[10] containers: {crawl_pages.count()} pages round-tripped "
+          f"through WARC; {n_wet} WET conversion records in "
+          f"{len(manifest)} files")
     print("PIPELINE OK", out_dir)
 
 

@@ -157,3 +157,40 @@ def test_wet_sink_roundtrip(spark, sf_dir, tmp_path):
     for url, row in want.items():
         assert got[url]["plaintext"] == row["plaintext"]
         assert got[url]["warc_ts"] == row["warc_ts"]
+
+
+def test_read_warc_stream_matches_batch(spark, sf_dir, tmp_path):
+    """Streaming ingest over a WARC drop directory == batch read, with
+    files arriving across micro-batches (maxFilesPerTrigger=1) and the
+    same extraction kernel running stateless in append mode."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        extract_answers,
+    )
+
+    n = W.synthesize_warc_tree(sf_dir, str(tmp_path))
+    batch = {
+        (r["url"], r["plaintext"])
+        for r in extract_answers(
+            W.read_warc(spark, str(tmp_path)), ["main_content"]
+        ).collect()
+    }
+    assert len(batch) == n
+
+    stream = extract_answers(
+        W.read_warc_stream(spark, str(tmp_path)), ["main_content"]
+    )
+    assert stream.isStreaming
+    query = (
+        stream.writeStream.format("memory").queryName("warc_stream")
+        .outputMode("append").start()
+    )
+    try:
+        query.processAllAvailable()
+    finally:
+        query.stop()
+    got = {
+        (r["url"], r["plaintext"])
+        for r in spark.sql(
+            "SELECT url, plaintext FROM warc_stream").collect()
+    }
+    assert got == batch

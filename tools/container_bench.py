@@ -1,0 +1,128 @@
+"""Container-format scaling evidence (r7): WARC ingest and PDF parse at
+local[N] vs local[4N] on the same pre-materialized inputs — the same
+two-cluster-size methodology as tools/scaling_bench.py (fresh JVM per
+level, warm-up pass inside each JVM, interleaved A/B ordering so tenant
+drift hits both levels equally).
+
+Inputs are the bench caches (run `python bench.py` once to build them):
+  /tmp/wceb_bench/<tag>/warc        200k-record .warc.gz mirror
+  /tmp/wceb_bench/<tag>/pdfs_40000  40k real PDF payloads (parquet)
+
+Usage: python tools/container_bench.py [tag] [N]   (defaults sf0.1_x40, 2)
+Appends one JSON line per run to BENCH/containers_r07.jsonl and prints a
+summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_CHILD = r"""
+import json, sys, time
+sys.path.insert(0, {repo!r})
+from pyspark.sql import functions as F
+from web_content_extraction_benchmark_spark.session import get_spark
+
+cpus = {cpus}
+spark = get_spark("container-bench", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(32, cpus))
+spark.sparkContext.setLogLevel("ERROR")
+
+op = {op!r}
+if op == "warc_ingest":
+    from web_content_extraction_benchmark_spark.sources.warc import read_warc
+
+    def run():
+        out = read_warc(spark, {path!r}).agg(
+            F.count("*").alias("n"), F.sum(F.length("html"))).collect()
+        return out[0]["n"]
+else:
+    from web_content_extraction_benchmark_spark.extractors.pdf_text import (
+        extract_pdf,
+    )
+    pdfs = spark.read.parquet({path!r}).select(
+        F.col("doc_id").cast("string").alias("source"),
+        F.col("payload").alias("content"),
+    )
+
+    def run():
+        out = extract_pdf(pdfs).agg(
+            F.count("*").alias("n"), F.sum(F.length("plaintext")),
+            F.count("error")).collect()
+        return out[0]["n"]
+
+n = run()  # warm-up: full pass (Python workers + JIT + page cache)
+best = None
+for _ in range({rounds}):
+    t0 = time.perf_counter()
+    run()
+    dt = time.perf_counter() - t0
+    best = dt if best is None else min(best, dt)
+print(json.dumps({{"op": op, "cpus": cpus, "n_docs": n,
+                   "sec": round(best, 3),
+                   "docs_per_sec": round(n / best, 1)}}))
+"""
+
+
+def run_level(op: str, path: str, cpus: int, rounds: int = 2) -> dict:
+    code = _CHILD.format(repo=REPO, cpus=cpus, op=op, path=path,
+                         rounds=rounds)
+    out = subprocess.run([sys.executable, "-c", code], cwd=REPO,
+                         capture_output=True, text=True, check=True)
+    for line in out.stdout.splitlines():
+        if line.startswith("{"):
+            return json.loads(line)
+    raise RuntimeError(f"no JSON from child: {out.stdout!r} {out.stderr!r}")
+
+
+def main() -> None:
+    tag = sys.argv[1] if len(sys.argv) > 1 else "sf0.1_x40"
+    n_small = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_big = 4 * n_small
+    cache = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/wceb_bench")
+    inputs = {
+        "warc_ingest": os.path.join(cache, tag, "warc"),
+        "pdf_parse": os.path.join(cache, tag, "pdfs_40000"),
+    }
+    for op, path in inputs.items():
+        if not os.path.exists(path):
+            raise SystemExit(
+                f"{path} missing — run `python bench.py` once to build "
+                f"the {tag} caches")
+    loadavg = float(open("/proc/loadavg").read().split()[0])
+    results: dict[str, dict[int, dict]] = {}
+    # interleaved: small,big,small,big per op so drift is shared
+    for op, path in inputs.items():
+        per_level: dict[int, dict] = {}
+        for cpus in (n_small, n_big, n_small, n_big):
+            r = run_level(op, path, cpus)
+            prev = per_level.get(cpus)
+            if prev is None or r["sec"] < prev["sec"]:
+                per_level[cpus] = r
+        results[op] = per_level
+    out = {"ts": time.time(), "tag": tag, "loadavg_at_start": loadavg,
+           "levels": [n_small, n_big], "ops": {}}
+    for op, per_level in results.items():
+        small, big = per_level[n_small], per_level[n_big]
+        speedup = small["sec"] / big["sec"]
+        out["ops"][op] = {
+            "n_docs": small["n_docs"],
+            f"docs_per_sec_x{n_small}": small["docs_per_sec"],
+            f"docs_per_sec_x{n_big}": big["docs_per_sec"],
+            "speedup": round(speedup, 3),
+            "scaling_efficiency": round(speedup / 4.0, 3),
+        }
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "containers_r07.jsonl"), "a") as f:
+        f.write(json.dumps(out) + "\n")
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

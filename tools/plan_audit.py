@@ -24,6 +24,33 @@ def _fmt(df) -> str:
     )
 
 
+def _warc_ingest_plan(spark, sf_dir):
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.sources.warc import (
+        read_warc, synthesize_warc_tree,
+    )
+
+    tree = tempfile.mkdtemp(prefix="plan_warc_")
+    synthesize_warc_tree(sf_dir, tree)
+    return read_warc(spark, tree)
+
+
+def _pdf_extract_plan(spark, sf_dir):
+    import tempfile
+
+    from web_content_extraction_benchmark_spark.extractors.pdf_text import (
+        extract_pdf,
+    )
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        read_binary_dir, synthesize_pdf_tree,
+    )
+
+    tree = tempfile.mkdtemp(prefix="plan_pdf_")
+    synthesize_pdf_tree(sf_dir, tree)
+    return extract_pdf(read_binary_dir(spark, tree, glob="*.pdf"))
+
+
 def _incremental_candidates_plan(spark, docs):
     """Build a tiny committed index so the audited plan shows the real
     stored-scan-vs-broadcast-keys join shape of add_batch."""
@@ -338,6 +365,18 @@ def main() -> None:
                 docs,
                 docs.filter(F.col("doc_id") % 25 == 0).select("text"),
             ),
+        ),
+        (
+            "WARC container ingest (r7)",
+            "binaryFile scan -> ONE mapInPandas (member walk + HTTP "
+            "parse); no Exchange — the unit of parallelism is the file",
+            _warc_ingest_plan(spark, sf_dir),
+        ),
+        (
+            "PDF text + layout extraction (r7)",
+            "parquet scan -> ONE mapInPandas (object layer + content "
+            "interpreter + layout); no Exchange, pure per-row kernel",
+            _pdf_extract_plan(spark, sf_dir),
         ),
     ]
 

@@ -502,3 +502,22 @@ def write_warc(df: DataFrame, out_dir: str,
     return [r.asDict() for r in
             df.select("url", "warc_ts", "html").mapInPandas(
                 write_partition, schema=manifest_schema).collect()]
+
+
+def read_warc_stream(spark: SparkSession, path: str,
+                     glob: str = "*.warc*",
+                     max_files_per_trigger: int = 1) -> DataFrame:
+    """Streaming twin of `read_warc`: a continuously-crawled WARC drop
+    directory as a Structured Streaming file source.  Stateless map, so
+    downstream extraction runs in append mode with no watermark; each
+    micro-batch is whole files (the WARC unit of work)."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", glob)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .load(path)
+        .select("path", "content")
+    )
+    return files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA)
