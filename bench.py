@@ -560,24 +560,37 @@ def main() -> None:
 
     # q15: WARC container ingest (r7) — gzip-member walk + HTTP parse
     # (incl. the 1-in-3 chunked rows) over the full replicated corpus;
-    # prices the container layer alone, extraction is q1's line
+    # prices the container layer alone, extraction is q1's line.
+    # Real crawl files (~1 GB) are file==task under the default
+    # maxPartitionBytes; the SYNTHETIC ~3 MB files get packed 4-per-task
+    # (only 8 parallel at 32 cores), so the conf is dropped to file
+    # granularity around this query — a small-file artifact, not a knob
+    # a production run needs.
     def q15():
         from web_content_extraction_benchmark_spark.sources.warc import (
             read_warc,
         )
 
-        read_warc(spark, warc_dir).agg(
-            F.count("*"), F.sum(F.length("html"))
-        ).collect()
+        prev = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+        try:
+            read_warc(spark, warc_dir).agg(
+                F.count("*"), F.sum(F.length("html"))
+            ).collect()
+        finally:
+            spark.conf.set("spark.sql.files.maxPartitionBytes", prev)
 
     # q16: PDF parse (r7) — full object-layer + content-interpreter +
-    # layout reconstruction over 40k real PDF payloads
+    # layout reconstruction over 40k real PDF payloads; the 20 MB
+    # payload table coalesces to ~8 scan splits, so repartition to
+    # cpus*2 first (same shape as q1's salted repartition — the
+    # shuffle is negligible next to the parse)
     def q16():
         from web_content_extraction_benchmark_spark.extractors.pdf_text import (
             extract_pdf,
         )
 
-        pdfs = spark.read.parquet(pdf_path).select(
+        pdfs = spark.read.parquet(pdf_path).repartition(cpus * 2).select(
             F.col("doc_id").cast("string").alias("source"),
             F.col("payload").alias("content"),
         )

@@ -194,3 +194,19 @@ def test_read_warc_stream_matches_batch(spark, sf_dir, tmp_path):
             "SELECT url, plaintext FROM warc_stream").collect()
     }
     assert got == batch
+
+
+def test_read_warc_skip_errors_isolates_damaged_files(spark, tmp_path):
+    """errors='skip' drops a damaged file's unread remainder but keeps
+    every other file; strict mode (the oracle posture) raises."""
+    W.write_warc_gz(str(tmp_path / "good.warc.gz"), _pages(3))
+    (tmp_path / "bad.warc.gz").write_bytes(b"\x1f\x8b" + b"\x00" * 40)
+
+    good = W.read_warc(spark, str(tmp_path), errors="skip").collect()
+    assert {r["url"] for r in good} == {p["url"] for p in _pages(3)}
+
+    with pytest.raises(Exception, match="gzip member"):
+        W.read_warc(spark, str(tmp_path), errors="strict").count()
+
+    with pytest.raises(ValueError):
+        W.read_warc(spark, str(tmp_path), errors="maybe")

@@ -38,6 +38,10 @@ op = {op!r}
 if op == "warc_ingest":
     from web_content_extraction_benchmark_spark.sources.warc import read_warc
 
+    # synthetic files are ~3 MB; drop the split size so file==task as
+    # it would be for real ~1 GB crawl files under the default conf
+    spark.conf.set("spark.sql.files.maxPartitionBytes", "2m")
+
     def run():
         out = read_warc(spark, {path!r}).agg(
             F.count("*").alias("n"), F.sum(F.length("html"))).collect()
@@ -46,7 +50,7 @@ else:
     from web_content_extraction_benchmark_spark.extractors.pdf_text import (
         extract_pdf,
     )
-    pdfs = spark.read.parquet({path!r}).select(
+    pdfs = spark.read.parquet({path!r}).repartition(cpus * 2).select(
         F.col("doc_id").cast("string").alias("source"),
         F.col("payload").alias("content"),
     )

@@ -374,7 +374,7 @@ def main() -> None:
         ),
         (
             "PDF text + layout extraction (r7)",
-            "parquet scan -> ONE mapInPandas (object layer + content "
+            "binaryFile scan -> ONE mapInPandas (object layer + content "
             "interpreter + layout); no Exchange, pure per-row kernel",
             _pdf_extract_plan(spark, sf_dir),
         ),

@@ -731,7 +731,10 @@ def _pdf_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                         "error": None,
                     }
                 )
-            except (PdfError, zlib.error) as e:
+            except Exception as e:  # noqa: BLE001 — per-row isolation:
+                # a malformed payload (PdfError, zlib.error, recursion
+                # bombs, codec errors) becomes an error ROW; one bad
+                # document must not kill a corpus-scale task
                 rows.append(
                     {
                         "source": source, "plaintext": None,

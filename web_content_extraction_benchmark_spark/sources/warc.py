@@ -317,41 +317,70 @@ def _warc_ts(headers: dict[str, str]):
 # ---------------------------------------------------------------------------
 
 
-def _warc_batches(batches: Iterator[pd.DataFrame],
-                  batch_rows: int = 256) -> Iterator[pd.DataFrame]:
-    cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
-    rows: list[dict] = []
-    for pdf in batches:
-        for path, raw in zip(pdf["path"], pdf["content"]):
-            for headers, payload in iter_warc_records(bytes(raw)):
-                if headers.get("warc-type") != "response":
-                    continue
-                status, http_headers, body = parse_http_response(payload)
-                rows.append({
-                    "url": headers.get("warc-target-uri"),
-                    "warc_ts": _warc_ts(headers),
-                    "html": body,
-                    "http_status": status,
-                    "content_type": http_headers.get("content-type"),
-                    "warc_file": path,
-                })
-                if len(rows) >= batch_rows:
-                    yield pd.DataFrame(rows, columns=cols)
-                    rows = []
-    if rows:
-        yield pd.DataFrame(rows, columns=cols)
+def _make_warc_batches(errors: str = "strict"):
+    def _warc_batches(batches: Iterator[pd.DataFrame],
+                      batch_rows: int = 256) -> Iterator[pd.DataFrame]:
+        cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
+        rows: list[dict] = []
+        for pdf in batches:
+            for path, raw in zip(pdf["path"], pdf["content"]):
+                try:
+                    for headers, payload in iter_warc_records(bytes(raw)):
+                        if headers.get("warc-type") != "response":
+                            continue
+                        status, http_headers, body = \
+                            parse_http_response(payload)
+                        rows.append({
+                            "url": headers.get("warc-target-uri"),
+                            "warc_ts": _warc_ts(headers),
+                            "html": body,
+                            "http_status": status,
+                            "content_type":
+                                http_headers.get("content-type"),
+                            "warc_file": path,
+                        })
+                        if len(rows) >= batch_rows:
+                            yield pd.DataFrame(rows, columns=cols)
+                            rows = []
+                except Exception:
+                    # errors="skip": records already drained from this
+                    # file are kept; the rest of the file is dropped —
+                    # one damaged file in a 10^5-file crawl must not
+                    # kill the job
+                    if errors != "skip":
+                        raise
+        if rows:
+            yield pd.DataFrame(rows, columns=cols)
+
+    return _warc_batches
+
+
+_warc_batches = _make_warc_batches("strict")  # default kernel
 
 
 def read_warc(spark: SparkSession, path: str,
-              glob: str = "*.warc*") -> DataFrame:
+              glob: str = "*.warc*", errors: str = "strict") -> DataFrame:
     """``.warc`` / ``.warc.gz`` directory -> (url, warc_ts, html,
     http_status, content_type, warc_file).  One file = one task (gzip
     is not block-splittable; Common Crawl parallelism comes from file
-    count); rows stream out in bounded Arrow batches."""
+    count); rows stream out in bounded Arrow batches.
+
+    ``errors``: "strict" (default — a malformed file fails the task;
+    what the byte-identity oracles want) or "skip" (a malformed file
+    contributes the records parsed before the damage and is otherwise
+    dropped — the corpus-scale posture).
+
+    Small-file note: files below ``spark.sql.files.maxPartitionBytes``
+    are packed several-per-task; real ~1 GB crawl files are file==task
+    under the default.  For many-small-file layouts lower that conf to
+    the file size to restore full parallelism."""
+    if errors not in ("strict", "skip"):
+        raise ValueError(f"errors must be strict|skip, got {errors!r}")
     files = spark.read.format("binaryFile") \
         .option("pathGlobFilter", glob).load(path) \
         .select("path", "content")
-    return files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA)
+    return files.mapInPandas(_make_warc_batches(errors),
+                             schema=WARC_PAGES_SCHEMA)
 
 
 # ---------------------------------------------------------------------------
