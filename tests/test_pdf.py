@@ -178,3 +178,41 @@ def test_extract_pdf_spark_kernel(spark, tmp_path):
     for doc_id, text in texts.items():
         assert rows[doc_id]["plaintext"] == text
         assert rows[doc_id]["error"] is None
+
+
+def test_incremental_update_prev_chain():
+    """A PDF saved with an incremental update (appended object + new
+    xref whose trailer /Prev points at the original table) must serve
+    the UPDATED object and keep everything else — PDF update
+    semantics."""
+    import re as _re
+
+    base = W.encode_pdf(1, "alpha beta gamma delta epsilon zeta")
+    assert P.pdf_plaintext(base) == "alpha beta gamma delta epsilon zeta"
+
+    # find the first content-stream object number (has /Length) and the
+    # original xref offset
+    doc = P.PdfDocument.from_bytes(base)
+    page = doc.pages()[0]
+    content_ref = page["/Contents"]
+    num = (content_ref[0] if isinstance(content_ref, list)
+           else content_ref).num
+    old_xref = int(_re.search(rb"startxref\s+(\d+)", base[-256:]).group(1))
+
+    new_ops = b"BT /F1 10 Tf 1 0 0 1 36 700 Tm (patched words) Tj ET"
+    update = bytearray(base)
+    obj_off = len(update)
+    update += (f"{num} 0 obj\n<< /Length {len(new_ops)} >>\nstream\n"
+               .encode() + new_ops + b"\nendstream\nendobj\n")
+    new_xref = len(update)
+    update += (f"xref\n{num} 1\n{obj_off:010d} 00000 n \n"
+               f"trailer\n<< /Size {num + 1} /Root 1 0 R "
+               f"/Prev {old_xref} >>\nstartxref\n{new_xref}\n%%EOF\n"
+               ).encode()
+
+    assert P.pdf_plaintext(bytes(update)) == "patched words"
+    # cyclic /Prev must error out, not loop (repair scan then recovers
+    # the newest same-numbered object by file order)
+    cyclic = bytes(update).replace(
+        f"/Prev {old_xref}".encode(), f"/Prev {new_xref}".encode())
+    assert P.pdf_plaintext(cyclic) == "patched words"

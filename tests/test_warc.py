@@ -210,3 +210,49 @@ def test_read_warc_skip_errors_isolates_damaged_files(spark, tmp_path):
 
     with pytest.raises(ValueError):
         W.read_warc(spark, str(tmp_path), errors="maybe")
+
+
+def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
+    """A mixed WARC (text/html + application/pdf responses, one PDF
+    mislabeled as html to force the magic-sniff fallback) ingested and
+    dispatched by extract_mixed: every page routes to the right parser
+    and round-trips its text."""
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        extract_mixed,
+    )
+    from web_content_extraction_benchmark_spark.sources.pdf_synth import (
+        encode_pdf,
+    )
+    from web_content_extraction_benchmark_spark.plans.pipeline import (
+        EXTRACTORS,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        build_page_html,
+    )
+
+    pages, want = [], {}
+    for i in range(4):
+        url = f"https://h/x/{i}"
+        if i % 2 == 0:
+            body = build_page_html(i + 2, f"src{i}", "alpha beta gamma")
+            pages.append({"url": url, "ts": TS,
+                          "body": body.encode("utf-8")})
+            want[url] = ("html", EXTRACTORS["main_content"](body))
+        else:
+            text = f"pdf doc {i} delta epsilon"
+            pages.append({
+                "url": url, "ts": TS, "body": encode_pdf(i, text),
+                # i==3 mislabeled as html -> magic sniff must catch it
+                "content_type": ("application/pdf" if i == 1
+                                 else "text/html"),
+            })
+            want[url] = ("pdf", text)
+    W.write_warc_gz(str(tmp_path / "mixed.warc.gz"), pages)
+
+    out = extract_mixed(W.read_warc(spark, str(tmp_path)))
+    rows = {r["url"]: r for r in out.collect()}
+    assert len(rows) == 4
+    for url, (kind, text) in want.items():
+        assert rows[url]["kind"] == kind, url
+        assert rows[url]["plaintext"] == text, url
+        assert rows[url]["error"] is None

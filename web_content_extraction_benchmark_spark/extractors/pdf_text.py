@@ -317,38 +317,54 @@ class PdfDocument:
 
     @classmethod
     def _from_xref(cls, buf: bytes) -> "PdfDocument":
+        """Follow startxref, then the trailer ``/Prev`` chain of an
+        incrementally-updated file (newest section first, so updated
+        objects shadow their originals — the PDF update semantics)."""
         tail = buf[-256:]
         m = None
         for m in re.finditer(rb"startxref\s+(\d+)", tail):
             pass
         if m is None:
             raise PdfError("no startxref")
-        xref_pos = int(m.group(1))
-        if xref_pos >= len(buf):
-            raise PdfError("startxref beyond EOF")
-        lex = _Lexer(buf, xref_pos)
-        if lex.next_token() != "xref":
-            raise PdfError("startxref does not point at an xref table")
         offsets: dict[int, int] = {}
-        while True:
-            first = lex.next_token()
-            if first == "trailer":
-                break
-            count = lex.next_token()
-            if not isinstance(first, int) or not isinstance(count, int):
-                raise PdfError("malformed xref subsection header")
-            for i in range(count):
-                off = lex.next_token()
-                gen = lex.next_token()
-                kind = lex.next_token()
-                if kind == "n":
-                    offsets.setdefault(first + i, off)
-                elif kind != "f":
-                    raise PdfError("malformed xref entry")
-                del gen
-        t = lex.next_token()
-        trailer = _parse_value(lex, t)
-        if not isinstance(trailer, dict) or "/Root" not in trailer:
+        trailer: dict | None = None
+        xref_pos: int | None = int(m.group(1))
+        seen: set[int] = set()
+        while xref_pos is not None:
+            if xref_pos in seen:
+                raise PdfError("cyclic /Prev xref chain")
+            seen.add(xref_pos)
+            if xref_pos >= len(buf):
+                raise PdfError("xref offset beyond EOF")
+            lex = _Lexer(buf, xref_pos)
+            if lex.next_token() != "xref":
+                raise PdfError("offset does not point at an xref table")
+            while True:
+                first = lex.next_token()
+                if first == "trailer":
+                    break
+                count = lex.next_token()
+                if not isinstance(first, int) or not isinstance(count, int):
+                    raise PdfError("malformed xref subsection header")
+                for i in range(count):
+                    off = lex.next_token()
+                    gen = lex.next_token()
+                    kind = lex.next_token()
+                    if kind == "n":
+                        # newest section parsed first wins
+                        offsets.setdefault(first + i, off)
+                    elif kind != "f":
+                        raise PdfError("malformed xref entry")
+                    del gen
+            t = lex.next_token()
+            tdict = _parse_value(lex, t)
+            if not isinstance(tdict, dict):
+                raise PdfError("malformed trailer")
+            if trailer is None:
+                trailer = tdict
+            prev = tdict.get("/Prev")
+            xref_pos = int(prev) if isinstance(prev, (int, float)) else None
+        if trailer is None or "/Root" not in trailer:
             raise PdfError("trailer without /Root")
         return cls(buf, offsets, trailer)
 

@@ -543,3 +543,51 @@ def aggregate_scores(scores: DataFrame,
         .unionByName(micro.select(*ordered))
         .unionByName(macro.select(*ordered))
     )
+
+
+def extract_mixed(pages: DataFrame,
+                  html_model: str = "main_content") -> DataFrame:
+    """Mixed-corpus dispatcher (r7): route each page to the right
+    parser by content type — HTML through the extraction kernel, PDF
+    through the from-scratch PDF text/layout parser — and union the
+    results as (url, kind, plaintext, error).
+
+    A real crawl (e.g. straight off ``sources/warc.read_warc``) is not
+    all HTML; the router prefers the HTTP ``content_type`` column when
+    present and falls back to the %PDF- magic so unlabeled payloads
+    still route correctly.  Both branches stay per-row Arrow kernels —
+    the filter split adds no shuffle, and Spark schedules the two
+    branches' tasks independently."""
+    from ..extractors.pdf_text import extract_pdf
+
+    magic = F.substring("html", 1, 5) == F.lit(b"%PDF-")
+    if "content_type" in pages.columns:
+        labeled_pdf = F.lower(
+            F.coalesce(F.col("content_type"), F.lit(""))
+        ).contains("application/pdf")
+        is_pdf = labeled_pdf | magic
+    else:
+        is_pdf = magic
+
+    html_part = extract_answers(
+        pages.filter(~F.coalesce(is_pdf, F.lit(False)))
+        .select("url", "html"),
+        [html_model],
+    ).select(
+        "url",
+        F.lit("html").alias("kind"),
+        "plaintext",
+        F.when(F.col("error"), F.lit("extraction error"))
+        .otherwise(F.lit(None).cast("string")).alias("error"),
+    )
+    pdf_part = extract_pdf(
+        pages.filter(F.coalesce(is_pdf, F.lit(False))).select(
+            F.col("url").alias("source"), F.col("html").alias("content")
+        )
+    ).select(
+        F.col("source").alias("url"),
+        F.lit("pdf").alias("kind"),
+        "plaintext",
+        "error",
+    )
+    return html_part.unionByName(pdf_part)

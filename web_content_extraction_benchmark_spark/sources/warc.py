@@ -79,12 +79,16 @@ def _chunked(body: bytes, chunk: int = 512) -> bytes:
 
 
 def build_http_response(body: bytes, *, charset: str = "utf-8",
-                        chunked: bool = False, status: int = 200) -> bytes:
+                        chunked: bool = False, status: int = 200,
+                        content_type: str | None = None) -> bytes:
     """A raw HTTP/1.1 response message around ``body`` (the WARC
-    response payload).  ``chunked`` switches the framing arm."""
+    response payload).  ``chunked`` switches the framing arm;
+    ``content_type`` overrides the text/html default (e.g.
+    ``application/pdf`` rows in a mixed crawl)."""
     reason = {200: "OK", 404: "Not Found"}.get(status, "OK")
+    ctype = content_type or f"text/html; charset={charset}"
     lines = [f"HTTP/1.1 {status} {reason}",
-             f"Content-Type: text/html; charset={charset}"]
+             f"Content-Type: {ctype}"]
     if chunked:
         lines.append("Transfer-Encoding: chunked")
         payload = _chunked(body)
@@ -135,7 +139,8 @@ def write_warc_gz(path: str, pages: list[dict],
              ("WARC-Record-ID", _record_id(p["url"] + ":resp")),
              ("Content-Type", "application/http; msgtype=response")],
             build_http_response(p["body"],
-                                chunked=bool(p.get("chunked"))),
+                                chunked=bool(p.get("chunked")),
+                                content_type=p.get("content_type")),
         ))
     with open(path, "wb") as f:
         if member_gzip:
