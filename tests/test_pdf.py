@@ -216,3 +216,17 @@ def test_incremental_update_prev_chain():
     cyclic = bytes(update).replace(
         f"/Prev {old_xref}".encode(), f"/Prev {new_xref}".encode())
     assert P.pdf_plaintext(cyclic) == "patched words"
+
+
+def test_jittered_baselines_never_duplicate_runs():
+    """A run within LINE_TOL_PT of TWO surviving baselines (sub-point
+    jitter: superscripts, mixed fonts) must be emitted exactly once —
+    exclusive nearest-baseline assignment, not per-baseline capture."""
+    runs = [
+        P.Run(36.0, 10.0, "alpha", 10.0),
+        P.Run(80.0, 9.5, "beta", 10.0),   # within 1.0 of both baselines
+        P.Run(36.0, 8.9, "gamma", 10.0),
+    ]
+    blocks = P.layout_pages([runs])
+    words = [w for b in blocks for ln in b.lines for w in ln.split()]
+    assert words == ["alpha", "beta", "gamma"]

@@ -146,18 +146,20 @@ def cmd_convert_datasets(args: argparse.Namespace) -> None:
     elif fmt == "pdf":
         df = rd.convert_pdf(spark, root)
     elif fmt == "warc":
-        # container ingest -> extraction-ready plaintext through the
-        # standard kernel; the key falls back to the full url when the
-        # crawl's urls don't end in a numeric doc id
+        # container ingest -> content-type-routed extraction (a crawl
+        # is not all HTML: application/pdf responses go through the PDF
+        # parser, everything else through the HTML kernel); the key
+        # falls back to the full url when the crawl's urls don't end in
+        # a numeric doc id
         from pyspark.sql import functions as F
 
-        from .plans.pipeline import extract_answers
+        from .plans.pipeline import extract_mixed
         from .sources.warc import read_warc
 
         src = F.regexp_extract("url", r"/(\d+)$", 1)
-        df = extract_answers(read_warc(spark, root), ["main_content"]) \
+        df = extract_mixed(read_warc(spark, root)) \
             .select(F.when(src != "", src).otherwise(F.col("url"))
-                    .alias("source"), "url", "plaintext")
+                    .alias("source"), "url", "kind", "plaintext")
     else:  # googletrends
         df = rd.convert_googletrends(
             spark, f"{root}/raw_html", f"{root}/prepared_html"

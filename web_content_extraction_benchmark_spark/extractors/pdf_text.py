@@ -116,23 +116,8 @@ class _Lexer:
         self.buf = buf
         self.pos = pos
 
-    def skip_ws(self) -> None:
-        buf, n = self.buf, len(self.buf)
-        while self.pos < n:
-            c = buf[self.pos]
-            if c in _WS:
-                self.pos += 1
-            elif c == 0x25:  # '%' comment to EOL
-                nl = buf.find(b"\n", self.pos)
-                cr = buf.find(b"\r", self.pos)
-                end = min(x for x in (nl, cr, n) if x != -1)
-                self.pos = end
-            else:
-                return
-
     def _name(self) -> str:
         buf, n = self.buf, len(self.buf)
-        start = self.pos
         self.pos += 1  # consume '/'
         out = []
         while self.pos < n:
@@ -145,7 +130,6 @@ class _Lexer:
             else:
                 out.append(c)
                 self.pos += 1
-        del start
         return "/" + bytes(out).decode("latin-1")
 
     def _literal_string(self) -> bytes:
@@ -292,7 +276,9 @@ def _fold_refs(items: list) -> list:
     return out
 
 
-_OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b")
+# line-anchored: repair-scan matches must start a line, which filters
+# most same-shaped byte runs inside compressed stream payloads
+_OBJ_RE = re.compile(rb"(?m)^(\d+)[ \t]+(\d+)[ \t]+obj\b")
 
 
 class PdfDocument:
@@ -312,7 +298,11 @@ class PdfDocument:
             raise PdfError("missing %PDF header")
         try:
             return cls._from_xref(buf)
-        except PdfError:
+        except ValueError:
+            # PdfError subclasses ValueError, and the lexer's
+            # bytes.fromhex / int(...) raise bare ValueError on corrupt
+            # hex strings — every xref-side parse failure must reach
+            # the repair scan
             return cls._from_scan(buf)
 
     @classmethod
@@ -348,14 +338,13 @@ class PdfDocument:
                     raise PdfError("malformed xref subsection header")
                 for i in range(count):
                     off = lex.next_token()
-                    gen = lex.next_token()
+                    lex.next_token()  # generation (unused)
                     kind = lex.next_token()
                     if kind == "n":
                         # newest section parsed first wins
                         offsets.setdefault(first + i, off)
                     elif kind != "f":
                         raise PdfError("malformed xref entry")
-                    del gen
             t = lex.next_token()
             tdict = _parse_value(lex, t)
             if not isinstance(tdict, dict):
@@ -370,13 +359,21 @@ class PdfDocument:
 
     @classmethod
     def _from_scan(cls, buf: bytes) -> "PdfDocument":
-        """Repair path: index every ``N G obj`` in the file, then find
-        the catalog by type."""
-        offsets: dict[int, int] = {}
+        """Repair path: index every line-anchored ``N G obj`` in the
+        file (anchoring skips most same-shaped byte runs inside
+        compressed stream payloads), keep EARLIER same-numbered
+        positions as fallbacks, then find the catalog by type.  Latest
+        position wins first (incremental-update semantics); if parsing
+        it fails — e.g. a stream payload that happened to contain an
+        anchored ``N G obj`` — `object` retries the earlier ones."""
+        candidates: dict[int, list[int]] = {}
         for m in _OBJ_RE.finditer(buf):
-            offsets[int(m.group(1))] = m.start()
-        doc = cls(buf, offsets, {})
-        for num in offsets:
+            candidates.setdefault(int(m.group(1)), []).append(m.start())
+        doc = cls(buf, {num: offs[-1] for num, offs in candidates.items()},
+                  {})
+        doc._fallbacks = {num: offs[:-1] for num, offs in
+                          candidates.items() if len(offs) > 1}
+        for num in doc.offsets:
             try:
                 obj = doc.object(num)
             except PdfError:
@@ -393,9 +390,22 @@ class PdfDocument:
             return self._cache[num]
         if num not in self.offsets:
             raise PdfError(f"object {num} not in xref")
-        lex = _Lexer(self.buf, self.offsets[num])
+        while True:
+            try:
+                val = self._parse_object_at(num, self.offsets[num])
+                break
+            except PdfError:
+                fallbacks = getattr(self, "_fallbacks", {}).get(num)
+                if not fallbacks:
+                    raise
+                self.offsets[num] = fallbacks.pop()
+        self._cache[num] = val
+        return val
+
+    def _parse_object_at(self, num: int, offset: int):
+        lex = _Lexer(self.buf, offset)
         header = [lex.next_token(), lex.next_token(), lex.next_token()]
-        if header[2] != "obj":
+        if header[0] != num or header[2] != "obj":
             raise PdfError(f"object {num}: bad header {header!r}")
         tok = lex.next_token()
         val = _parse_value(lex, tok)
@@ -411,7 +421,6 @@ class PdfDocument:
             if not isinstance(length, int):
                 raise PdfError(f"object {num}: bad /Length")
             val = Stream(val, self.buf[p:p + length])
-        self._cache[num] = val
         return val
 
     def resolve(self, v):
@@ -663,14 +672,21 @@ def layout_pages(pages_runs: list[list[Run]]) -> list[Block]:
             for y in ys:
                 if not lines_y or abs(lines_y[-1] - y) > LINE_TOL_PT:
                     lines_y.append(y)
+            # EXCLUSIVE nearest-baseline assignment: a run with
+            # sub-point jitter can sit within tolerance of two
+            # baselines, and emitting it on both duplicates its words
+            per_line: dict[int, list[Run]] = {}
+            for r in col_runs:
+                li = min(range(len(lines_y)),
+                         key=lambda i: abs(lines_y[i] - r.y))
+                per_line.setdefault(li, []).append(r)
             block = Block(page=pno, column=cno, x=edges[cno],
                           y_top=max(r.y for r in col_runs),
                           y_bottom=min(r.y for r in col_runs))
-            for ly in lines_y:
-                on_line = sorted(
-                    (r for r in col_runs if abs(r.y - ly) <= LINE_TOL_PT),
-                    key=lambda r: r.x,
-                )
+            for li in range(len(lines_y)):
+                on_line = sorted(per_line.get(li, ()), key=lambda r: r.x)
+                if not on_line:
+                    continue
                 text = " ".join(r.text for r in on_line)
                 block.lines.append(" ".join(text.split()))
             blocks.append(block)

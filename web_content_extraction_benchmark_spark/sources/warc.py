@@ -39,6 +39,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 CRLF = b"\r\n"
+_WS_BYTES = frozenset(b" \t\r\n")
 
 WARC_PAGES_SCHEMA = T.StructType(
     [
@@ -234,16 +235,38 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
     is one member plus any record spanning members — never the whole
     decompressed file."""
     if raw[:2] == b"\x1f\x8b":
+        # Feed each member in bounded chunks off a memoryview: slicing
+        # bytes per member (or letting a one-shot decompress build
+        # unused_data) memcpys the whole remaining tail each time —
+        # O(members x file_size) on member-per-record crawl files.
+        # Chunked feeding bounds per-member copy work to one chunk.
+        view = memoryview(raw)
+        n = len(raw)
         pos = 0
         buf = b""
         consumed = 0
-        while pos < len(raw):
+        while pos < n:
             d = zlib.decompressobj(wbits=31)
-            try:
-                buf += d.decompress(raw[pos:])
-            except zlib.error as e:
-                raise WarcError(f"gzip member at {pos}: {e}") from e
-            pos = len(raw) - len(d.unused_data)
+            member_start = pos
+            parts = []
+            # grow the feed per member: typical records finish inside
+            # the first small chunk (so unused_data — which IS a copy —
+            # stays small), while giant members ramp up geometrically
+            chunk_size = 1 << 14
+            while not d.eof:
+                if pos >= n:
+                    raise WarcError(
+                        f"truncated gzip member at {member_start}")
+                chunk = view[pos:pos + chunk_size]
+                try:
+                    parts.append(d.decompress(chunk))
+                except zlib.error as e:
+                    raise WarcError(
+                        f"gzip member at {member_start}: {e}") from e
+                pos += len(chunk)
+                chunk_size = min(chunk_size * 4, 1 << 22)
+            pos -= len(d.unused_data)  # <= one chunk re-scanned
+            buf += b"".join(parts)
             # drain complete records; keep the (rare) spanning tail
             while True:
                 got = _take_record(buf, consumed)
@@ -256,9 +279,12 @@ def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
         if buf.strip():
             raise WarcError("trailing bytes after last gzip member")
     else:
+        n = len(raw)
         pos = 0
-        while pos < len(raw):
-            if not raw[pos:].strip():
+        while pos < n:
+            while pos < n and raw[pos] in _WS_BYTES:  # skip inter-record ws
+                pos += 1
+            if pos >= n:
                 break
             got = _take_record(raw, pos)
             if got is None:
