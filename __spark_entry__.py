@@ -51,6 +51,7 @@ from web_content_extraction_benchmark_spark.operators.multimodal import (
 from web_content_extraction_benchmark_spark.plans.pipeline import (
     aggregate_scores,
     extract_answers,
+    extract_mixed,
     score_answers,
 )
 from web_content_extraction_benchmark_spark.sources.pages import (
@@ -953,6 +954,14 @@ def _synthesize_warc_tree(sf_dir: str, out_dir: str) -> int:
     return synthesize_warc_tree(sf_dir, out_dir)
 
 
+def _synthesize_mixed_tree(sf_dir: str, out_dir: str) -> int:
+    from web_content_extraction_benchmark_spark.sources.warc import (
+        synthesize_mixed_warc_tree,
+    )
+
+    return synthesize_mixed_warc_tree(sf_dir, out_dir)
+
+
 def _raw_tree(sf_dir: str, kind: str) -> str:
     """Synthesize (once, cached) an on-disk raw-format dataset tree.
     The cache marker records the SOURCE fingerprint; a changed corpus
@@ -972,6 +981,7 @@ def _raw_tree(sf_dir: str, kind: str) -> str:
         "googletrends": raw_datasets.synthesize_googletrends_tree,
         "pdf": raw_datasets.synthesize_pdf_tree,
         "warc": _synthesize_warc_tree,
+        "mixed": _synthesize_mixed_tree,
     }[kind]
     tag = os.path.basename(sf_dir.rstrip("/"))
     out = f"/tmp/wceb_raw/{kind}_{tag}"
@@ -1083,6 +1093,16 @@ def q_convert_raw_formats(spark: SparkSession, sf_dir: str) -> DataFrame:
         # so WARC framing must be byte-transparent end to end.
         tagged("warc", extract_answers(
             read_warc(spark, _raw_tree(sf_dir, "warc")), ["main_content"]
+        ).select(
+            F.regexp_extract("url", r"/(\d+)$", 1).alias("source"),
+            "plaintext",
+        )),
+        # mixed: content-type-routed dispatch (r7) — PDF rows (half of
+        # them MISLABELED text/html, so the %PDF- magic sniff is
+        # oracle-gated) through the PDF parser, html rows through the
+        # extraction kernel, in one crawl
+        tagged("mixed", extract_mixed(
+            read_warc(spark, _raw_tree(sf_dir, "mixed"))
         ).select(
             F.regexp_extract("url", r"/(\d+)$", 1).alias("source"),
             "plaintext",
@@ -2173,7 +2193,7 @@ def oracle_sql() -> dict[str, str]:
                    {GOLD_SQL} AS plaintext
             FROM documents WHERE doc_id % 7 = 0 AND doc_id % 101 != 0
         """,
-        # 9 raw formats, one row per (format, source); page_id non-null
+        # 10 format arms, one row per (format, source); page_id non-null
         # only for scrapinghub (sha256 of the DECOMPRESSED page bytes —
         # the reference's re-hash-after-gunzip quirk,
         # dataset_readers.py:245-248)
@@ -2221,6 +2241,16 @@ def oracle_sql() -> dict[str, str]:
             -- main_content extraction must equal GOLD (byte identity
             -- through gzip members + chunked transfer framing).
             SELECT 'warc', CAST(doc_id AS VARCHAR), {GOLD_SQL}, NULL
+            FROM fx
+            UNION ALL
+            -- mixed: content-type-routed dispatch over one crawl —
+            -- doc_id % 4 < 2 rows are PDF payloads (plaintext = text,
+            -- half mislabeled text/html to gate the magic sniff), the
+            -- rest html (plaintext = GOLD); predicate mirrors
+            -- synthesize_mixed_warc_tree
+            SELECT 'mixed', CAST(doc_id AS VARCHAR),
+                   CASE WHEN doc_id % 4 < 2 THEN text
+                        ELSE {GOLD_SQL} END, NULL
             FROM fx
         """,
         "page_ids": _page_ids_sql(),

@@ -581,3 +581,43 @@ def read_warc_stream(spark: SparkSession, path: str,
         .select("path", "content")
     )
     return files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA)
+
+
+def synthesize_mixed_warc_tree(sf_dir: str, out_dir: str,
+                               mod: int = 7,
+                               pages_per_file: int = 16) -> int:
+    """Fixture docs as a MIXED crawl: ``doc_id % 4 < 2`` rows are real
+    PDF payloads, the rest the standard HTML page bytes — the
+    extract_mixed dispatcher's oracle input.  Half the PDF rows
+    (``doc_id % 8 >= 4``) are MISLABELED text/html so the %PDF- magic
+    sniff is part of the oracle gate, not just pytest.  Lockstep: the
+    oracle arm picks ``text`` for pdf rows and GOLD_SQL for html rows
+    on the same ``doc_id % 4 < 2`` predicate."""
+    import os
+
+    from .pages import EPOCH_2023, build_page_html, encode_page_html, url_for
+    from .pdf_synth import encode_pdf
+    from .raw_datasets import _fixture_docs
+
+    os.makedirs(out_dir, exist_ok=True)
+    docs = list(_fixture_docs(sf_dir, mod))
+    n = 0
+    for k, start in enumerate(range(0, len(docs), pages_per_file)):
+        batch = []
+        for doc_id, source, text in docs[start:start + pages_per_file]:
+            ts = (EPOCH_2023
+                  + pd.Timedelta(seconds=doc_id % 4_000_000_000))
+            is_pdf = doc_id % 4 < 2
+            labeled = is_pdf and doc_id % 8 < 4
+            batch.append({
+                "url": url_for(doc_id, source),
+                "ts": ts.to_pydatetime().replace(tzinfo=timezone.utc),
+                "body": encode_pdf(doc_id, text) if is_pdf
+                else encode_page_html(
+                    doc_id, build_page_html(doc_id, source, text)),
+                "content_type": "application/pdf" if labeled else None,
+                "chunked": doc_id % 3 == 1,
+            })
+        n += write_warc_gz(
+            os.path.join(out_dir, f"crawl-{k:05d}.warc.gz"), batch)
+    return n
