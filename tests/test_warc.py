@@ -250,6 +250,13 @@ def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
     W.write_warc_gz(str(tmp_path / "mixed.warc.gz"), pages)
 
     out = extract_mixed(W.read_warc(spark, str(tmp_path)))
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted")
+    # single-pass dispatch: one routing kernel over one ingest kernel,
+    # no Exchange, no Union re-running the container walk per branch
+    assert "Exchange" not in plan and "Union" not in plan
+    tree = plan.split("\n\n")[0]  # the operator tree section
+    assert tree.count("MapInPandas") == 2  # ingest + route kernels only
     rows = {r["url"]: r for r in out.collect()}
     assert len(rows) == 4
     for url, (kind, text) in want.items():

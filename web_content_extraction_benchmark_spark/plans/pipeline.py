@@ -545,49 +545,67 @@ def aggregate_scores(scores: DataFrame,
     )
 
 
+MIXED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), True),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("plaintext", T.StringType(), True),
+        T.StructField("error", T.StringType(), True),
+    ]
+)
+
+
 def extract_mixed(pages: DataFrame,
                   html_model: str = "main_content") -> DataFrame:
     """Mixed-corpus dispatcher (r7): route each page to the right
-    parser by content type — HTML through the extraction kernel, PDF
-    through the from-scratch PDF text/layout parser — and union the
-    results as (url, kind, plaintext, error).
+    parser — HTML through the extraction kernel's pure path, PDF
+    through the from-scratch PDF text/layout parser — in ONE
+    mapInPandas pass, emitting (url, kind, plaintext, error).
 
     A real crawl (e.g. straight off ``sources/warc.read_warc``) is not
     all HTML; the router prefers the HTTP ``content_type`` column when
-    present and falls back to the %PDF- magic so unlabeled payloads
-    still route correctly.  Both branches stay per-row Arrow kernels —
-    the filter split adds no shuffle, and Spark schedules the two
-    branches' tasks independently."""
-    from ..extractors.pdf_text import extract_pdf
+    present and falls back to the %PDF- magic so mislabeled payloads
+    still route correctly.  Single-pass matters at scale: a
+    filter-split formulation re-evaluates the upstream lineage (the
+    whole WARC ingest kernel) once per branch — 2x container work;
+    here the scan and any upstream Python stage run exactly once and
+    the plan stays shuffle-free."""
+    from ..extractors.pdf_text import pdf_blocks
 
-    magic = F.substring("html", 1, 5) == F.lit(b"%PDF-")
-    if "content_type" in pages.columns:
-        labeled_pdf = F.lower(
-            F.coalesce(F.col("content_type"), F.lit(""))
-        ).contains("application/pdf")
-        is_pdf = labeled_pdf | magic
-    else:
-        is_pdf = magic
+    if html_model not in EXTRACTORS:
+        raise ValueError(f"unknown extractor {html_model!r}")
+    needs_tree = html_model in TREE_EXTRACTORS
+    has_ctype = "content_type" in pages.columns
+    cols = ["url", "html"] + (["content_type"] if has_ctype else [])
 
-    html_part = extract_answers(
-        pages.filter(~F.coalesce(is_pdf, F.lit(False)))
-        .select("url", "html"),
-        [html_model],
-    ).select(
-        "url",
-        F.lit("html").alias("kind"),
-        "plaintext",
-        F.when(F.col("error"), F.lit("extraction error"))
-        .otherwise(F.lit(None).cast("string")).alias("error"),
-    )
-    pdf_part = extract_pdf(
-        pages.filter(F.coalesce(is_pdf, F.lit(False))).select(
-            F.col("url").alias("source"), F.col("html").alias("content")
-        )
-    ).select(
-        F.col("source").alias("url"),
-        F.lit("pdf").alias("kind"),
-        "plaintext",
-        "error",
-    )
-    return html_part.unionByName(pdf_part)
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("url", "kind", "plaintext", "error")}
+            ctypes = (pdf["content_type"] if has_ctype
+                      else [None] * len(pdf))
+            for url, blob, ctype in zip(pdf["url"], pdf["html"], ctypes):
+                raw = bytes(blob) if blob is not None else b""
+                is_pdf = (isinstance(ctype, str)
+                          and "application/pdf" in ctype.lower()) \
+                    or raw[:5] == b"%PDF-"
+                out["url"].append(url)
+                out["kind"].append("pdf" if is_pdf else "html")
+                try:
+                    if is_pdf:
+                        text = " ".join(
+                            w for b in pdf_blocks(raw)
+                            for ln in b.lines for w in ln.split())
+                    else:
+                        # the exact kernel path of extract_answers, so
+                        # mixed html text is byte-identical to it
+                        html = decode_html(raw)
+                        root = parse_html(html) if needs_tree else None
+                        text, _ = _extract_one(html_model, html, root)
+                    out["plaintext"].append(text)
+                    out["error"].append(None)
+                except Exception as e:  # noqa: BLE001 — per-row isolation
+                    out["plaintext"].append(None)
+                    out["error"].append(f"{type(e).__name__}: {e}")
+            yield pd.DataFrame(out)
+
+    return pages.select(*cols).mapInPandas(run, schema=MIXED_SCHEMA)
