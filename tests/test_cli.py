@@ -211,3 +211,20 @@ def test_cli_convert_pdf_and_warc(tmp_path, spark, sf_dir):
     row = warc_df.orderBy("source").first()
     assert row["source"].isdigit()
     assert row["plaintext"]
+
+
+def test_cli_extract_wet_output(tmp_path, spark, sf_dir):
+    """--wet publishes one model's answers as WET conversion records,
+    readable back through read_wet; multi-model --wet refuses."""
+    from web_content_extraction_benchmark_spark.sources.warc import read_wet
+
+    out = str(tmp_path / "wet")
+    main(["extract", "--sf-dir", sf_dir, "-m", "main_content",
+          "-o", out, "--wet"])
+    got = read_wet(spark, out)
+    assert got.count() == 500
+    assert got.filter("plaintext IS NULL").count() == 0
+
+    with pytest.raises(SystemExit):
+        main(["extract", "--sf-dir", sf_dir, "-m", "main_content",
+              "-m", "plain", "-o", str(tmp_path / "x"), "--wet"])

@@ -112,6 +112,19 @@ def cmd_extract(args: argparse.Namespace) -> None:
     answers = parts[0]
     for p in parts[1:]:
         answers = answers.unionByName(p)
+    if getattr(args, "wet", False):
+        # publish as Common-Crawl-WET-style conversion records (one
+        # model only — WET has no model axis)
+        if len(models) != 1:
+            raise SystemExit("--wet requires exactly one -m model")
+        from .sources.warc import write_wet
+
+        manifest = write_wet(answers.select("url", "plaintext"),
+                             args.output)
+        n = sum(m["n_records"] for m in manifest)
+        print(f"wrote {n} WET conversion records "
+              f"({len(manifest)} files) -> {args.output}")
+        return
     write_jsonl(answers.select("url", "model", "plaintext"), args.output,
                 sort_by=["url", "model"], golden=args.golden)
     print(f"wrote answers for models={models} -> {args.output}")
@@ -378,6 +391,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="salted repartition width (0 = keep input layout)")
     p.add_argument("--golden", action="store_true",
                    help="single sorted file (test/golden mode)")
+    p.add_argument("--wet", action="store_true",
+                   help="write WET-style WARC conversion records "
+                        "instead of JSONL (one model only)")
     p.set_defaults(fn=cmd_extract)
 
     p = sub.add_parser("convert-datasets",
