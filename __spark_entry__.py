@@ -2244,12 +2244,26 @@ def oracle_sql() -> dict[str, str]:
             FROM fx
             UNION ALL
             -- mixed: content-type-routed dispatch over one crawl —
-            -- doc_id % 4 < 2 rows are PDF payloads (plaintext = text,
-            -- half mislabeled text/html to gate the magic sniff), the
-            -- rest html (plaintext = GOLD); predicate mirrors
-            -- synthesize_mixed_warc_tree
+            -- doc_id % 4 < 2 rows are PDF payloads (half mislabeled
+            -- text/html to gate the magic sniff), the rest html
+            -- (plaintext = GOLD); predicate mirrors
+            -- synthesize_mixed_warc_tree.  PDF plaintext keeps LINE
+            -- structure (r8): pdf_structured_text joins layout lines
+            -- with chr(10), and the synth lays wpl = 3 + doc_id % 3
+            -- words per line (pdf_synth.pdf_layout_params) — block and
+            -- page boundaries always fall on line boundaries, so the
+            -- mirror regroups text.split() into wpl-word lines.
             SELECT 'mixed', CAST(doc_id AS VARCHAR),
-                   CASE WHEN doc_id % 4 < 2 THEN text
+                   CASE WHEN doc_id % 4 < 2 THEN
+                       array_to_string(
+                         list_transform(
+                           range(0, CAST(len(string_split(text, ' '))
+                                         AS BIGINT),
+                                 CAST(3 + doc_id % 3 AS BIGINT)),
+                           i -> array_to_string(
+                                  string_split(text, ' ')
+                                      [i+1 : i + 3 + doc_id % 3], ' ')
+                         ), chr(10))
                         ELSE {GOLD_SQL} END, NULL
             FROM fx
         """,

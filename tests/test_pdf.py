@@ -230,3 +230,182 @@ def test_jittered_baselines_never_duplicate_runs():
     blocks = P.layout_pages([runs])
     words = [w for b in blocks for ln in b.lines for w in ln.split()]
     assert words == ["alpha", "beta", "gamma"]
+
+
+# ---------------------------------------------------------------------------
+# r8 surface: filters, fonts, encryption, update semantics
+# ---------------------------------------------------------------------------
+
+
+def test_lzw_codec_roundtrip_fuzz():
+    """Writer LZW encoder and parser decoder are exact inverses across
+    width growth (9->12 bits) and the 12-bit table reset."""
+    rng = random.Random(42)
+    for _ in range(20):
+        n = rng.choice([0, 1, 17, 800, 5000, 60000])
+        if rng.random() < 0.5:
+            data = bytes(rng.randrange(256) for _ in range(n))
+        else:
+            data = bytes(rng.choice(b"abcab ") for _ in range(n))
+        assert P.lzw_decode(W.lzw_encode(data)) == data, n
+    with pytest.raises(P.PdfError):
+        P.lzw_decode(b"\xff\xff\xff\xff")  # code beyond table
+
+
+def test_ascii_hex_codec():
+    for data in (b"", b"\x00\xff", bytes(range(256))):
+        assert P.ascii_hex_decode(W.ascii_hex_encode(data)) == data
+    assert P.ascii_hex_decode(b"4 86\n9>junk after eod") == b"Hi"
+    assert P.ascii_hex_decode(b"48f>") == b"H\xf0"  # odd digit pads 0
+
+
+def test_encoding_arms_roundtrip():
+    """The doc_id % 11 arms: ASCIIHex / LZW streams, /Differences
+    fonts, 1-byte and 2-byte (CID) ToUnicode CMaps — every one must
+    invert to the exact word sequence."""
+    rng = random.Random(5)
+    for base in (0, 1, 2, 3, 4, 5, 6):
+        for doc_id in (base, base + 11, base + 44):
+            text = _text(rng, rng.randrange(5, 90))
+            p = W.pdf_layout_params(doc_id)
+            payload = W.encode_pdf(doc_id, text)
+            assert P.pdf_plaintext(payload) == text, (doc_id, p)
+            # the arm actually engaged (bytes differ from plain latin-1)
+            if p["font_enc"] or p["stream_filter"]:
+                plain_marker = text.split()[0].encode()
+                if p["font_enc"] == "diff":
+                    assert b"/Differences" in payload
+                elif p["font_enc"] in ("cmap1", "cmap2"):
+                    assert b"/ToUnicode" in payload and \
+                        b"beginbfrange" in payload or b"beginbfchar" in payload
+                if p["stream_filter"] == "lzw":
+                    assert b"/LZWDecode" in payload
+                elif p["stream_filter"] == "ahx":
+                    assert b"/ASCIIHexDecode" in payload
+                del plain_marker
+
+
+def test_cmap_parse_all_three_forms():
+    """bfchar, incrementing bfrange, and array-form bfrange."""
+    cmap = b"""
+    /CIDInit /ProcSet findresource begin
+    begincmap
+    1 begincodespacerange
+    <00> <ff>
+    endcodespacerange
+    2 beginbfrange
+    <41> <43> <0061>
+    <50> <51> [<0078> <0079>]
+    endbfrange
+    1 beginbfchar
+    <20> <0020>
+    endbfchar
+    endcmap end
+    """
+    code_len, m = P.parse_cmap(cmap)
+    assert code_len == 1
+    assert m[0x41] == "a" and m[0x43] == "c"
+    assert m[0x50] == "x" and m[0x51] == "y"
+    assert m[0x20] == " "
+    # 2-byte codespace
+    code_len2, m2 = P.parse_cmap(
+        b"1 begincodespacerange <0000> <ffff> endcodespacerange\n"
+        b"1 beginbfchar <0141> <0041> endbfchar")
+    assert code_len2 == 2 and m2[0x0141] == "A"
+
+
+def test_glyph_names():
+    assert P._glyph_char("space") == " "
+    assert P._glyph_char("nine") == "9"
+    assert P._glyph_char("q") == "q"
+    assert P._glyph_char("uni0042") == "B"
+    assert P._glyph_char("nonsenseglyph") == "\N{REPLACEMENT CHARACTER}"
+
+
+def test_encrypted_pdf_typed_error(spark, tmp_path):
+    """Trailer /Encrypt -> PdfEncryptedError, detected on BOTH the
+    xref path and the repair-scan path, and surfaced as one typed
+    error row by the Spark kernel."""
+    text = "secret words here"
+    enc = W.encode_pdf(14, text, encrypted=True)
+    with pytest.raises(P.PdfEncryptedError):
+        P.pdf_plaintext(enc)
+    # xref damaged: the repair scan must still refuse, not garble
+    with pytest.raises(P.PdfEncryptedError):
+        P.pdf_plaintext(enc.replace(b"xref\n0 ", b"xrEf\n0 ", 1))
+
+    from web_content_extraction_benchmark_spark.sources.raw_datasets import (
+        read_binary_dir,
+    )
+
+    (tmp_path / "enc.pdf").write_bytes(enc)
+    (tmp_path / "ok.pdf").write_bytes(W.encode_pdf(7, text))
+    rows = {r["source"]: r for r in P.extract_pdf(
+        read_binary_dir(spark, str(tmp_path), glob="*.pdf")).collect()}
+    assert rows["ok"]["plaintext"] == text
+    assert rows["enc"]["plaintext"] is None
+    assert rows["enc"]["error"].startswith("PdfEncryptedError")
+
+
+def test_xref_free_entry_tombstones_deleted_object():
+    """An incremental update that FREES an object must not resurrect
+    it from the older section (PDF deletion semantics)."""
+    base = W.encode_pdf(8, "alpha beta gamma delta epsilon zeta")
+    prev = base.rfind(b"\nxref\n") + 1
+    upd = base + (
+        b"xref\n0 1\n0000000000 65535 f \n4 1\n0000000000 00001 f \n"
+        b"trailer\n<< /Size 99 /Root 1 0 R /Prev "
+        + str(prev).encode() + b" >>\n"
+        b"startxref\n" + str(len(base)).encode() + b"\n%%EOF\n"
+    )
+    doc = P.PdfDocument._from_xref(upd)
+    assert 4 not in doc.offsets  # freed, not inherited from /Prev
+    with pytest.raises(P.PdfError, match="object 4"):
+        P.pdf_plaintext(upd)
+
+
+def test_junk_prefix_before_header():
+    """Spec allows up to 1024 junk bytes before %PDF-; offsets are
+    relative to the header."""
+    text = "alpha beta gamma delta"
+    payload = b"HTTP noise\r\n\r\n" + b"x" * 64 + W.encode_pdf(7, text)
+    assert P.pdf_plaintext(payload) == text
+    with pytest.raises(P.PdfError, match="missing %PDF header"):
+        P.pdf_plaintext(b"y" * 2000 + W.encode_pdf(7, text))
+
+
+def test_structured_text_keeps_line_breaks():
+    """pdf_structured_text = reading-order lines joined with newline —
+    what extract_mixed feeds paragraph-sensitive downstream stats."""
+    text = " ".join(f"w{i}" for i in range(11))
+    for doc_id in (0, 7, 33, 5):
+        wpl = W.pdf_layout_params(doc_id)["wpl"]
+        words = text.split()
+        want = "\n".join(" ".join(words[i:i + wpl])
+                         for i in range(0, len(words), wpl))
+        assert P.pdf_structured_text(W.encode_pdf(doc_id, text)) == want
+
+
+def test_resources_inherited_from_pages_node():
+    """/Resources on an ancestor /Pages node (spec-inheritable) must
+    reach the page's font lookup: a handcrafted file whose PAGE has no
+    /Resources of its own, strings shifted +1 and mapped back by an
+    inherited /Differences font."""
+    ops = b"BT /F1 10 Tf 1 0 0 1 36 700 Tm (ifmmp!xpsme) Tj ET"
+    diffs = " ".join(
+        f"{ord(c) + 1} /{W._glyph_name(c)}" for c in sorted("helo wrd"))
+    body = (
+        b"%PDF-1.4\n"
+        b"1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        b"2 0 obj\n<< /Type /Pages /Kids [4 0 R] /Count 1 "
+        b"/Resources << /Font << /F1 3 0 R >> >> >>\nendobj\n"
+        + (f"3 0 obj\n<< /Type /Font /Subtype /Type1 /Encoding "
+           f"<< /Differences [ {diffs} ] >> >>\nendobj\n").encode()
+        + b"4 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+        b" /Contents 5 0 R >>\nendobj\n"
+        + (f"5 0 obj\n<< /Length {len(ops)} >>\nstream\n").encode()
+        + ops + b"\nendstream\nendobj\n"
+    )
+    # no xref at all: the repair scan builds the object map, then
+    # pages() must carry /Resources down from the /Pages node
+    assert P.pdf_plaintext(body) == "hello world"

@@ -93,6 +93,32 @@ def test_truncated_and_corrupt_input():
         list(W.iter_warc_records(b"HTTP/1.1 200 OK\r\n\r\n"))  # not WARC
 
 
+def test_gzip_path_tolerates_inter_record_whitespace():
+    """Spec-valid files may pad CRLFs between records; the gzip drain
+    must skip them exactly like the plain path (r8 advisory fix)."""
+    rec = W._warc_record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "u")],
+        W.build_http_response(b"<html>hi</html>"),
+    )
+    # extra ws inside one member AND between members
+    blob = (gzip.compress(rec + b"\r\n\r\n" + rec)
+            + gzip.compress(b"\r\n" + rec))
+    assert len(list(W.iter_warc_records(blob))) == 3
+
+
+def test_chunk_fed_iterator_matches_in_memory(tmp_path):
+    """iter_warc_records_chunks over tiny file chunks == the in-memory
+    reader, for both framings — the path-streamed kernel's contract."""
+    for gz in (True, False):
+        path = str(tmp_path / ("c.warc.gz" if gz else "c.warc"))
+        W.write_warc_gz(path, _pages(4), member_gzip=gz)
+        raw = open(path, "rb").read()
+        whole = [(h, bytes(p)) for h, p in W.iter_warc_records(raw)]
+        chunked = [(h, bytes(p)) for h, p in W.iter_warc_records_chunks(
+            W._file_chunks(path, chunk_size=113))]
+        assert whole == chunked
+
+
 def test_header_continuation_lines():
     rec = (b"WARC/1.0\r\nWARC-Type: response\r\n"
            b"X-Long: part one\r\n  and two\r\n"
@@ -214,14 +240,16 @@ def test_read_warc_skip_errors_isolates_damaged_files(spark, tmp_path):
 
 def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
     """A mixed WARC (text/html + application/pdf responses, one PDF
-    mislabeled as html to force the magic-sniff fallback) ingested and
-    dispatched by extract_mixed: every page routes to the right parser
-    and round-trips its text."""
+    mislabeled as html to force the magic-sniff fallback, one with a
+    spec-allowed junk prefix before %PDF-) ingested and dispatched by
+    extract_mixed: every page routes to the right parser and
+    round-trips its text WITH line structure (pdf_structured_text)."""
     from web_content_extraction_benchmark_spark.plans.pipeline import (
         extract_mixed,
     )
     from web_content_extraction_benchmark_spark.sources.pdf_synth import (
         encode_pdf,
+        pdf_layout_params,
     )
     from web_content_extraction_benchmark_spark.plans.pipeline import (
         EXTRACTORS,
@@ -230,8 +258,14 @@ def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
         build_page_html,
     )
 
+    def structured(doc_id: int, text: str) -> str:
+        wpl = pdf_layout_params(doc_id)["wpl"]
+        w = text.split()
+        return "\n".join(" ".join(w[i:i + wpl])
+                         for i in range(0, len(w), wpl))
+
     pages, want = [], {}
-    for i in range(4):
+    for i in range(6):
         url = f"https://h/x/{i}"
         if i % 2 == 0:
             body = build_page_html(i + 2, f"src{i}", "alpha beta gamma")
@@ -240,13 +274,18 @@ def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
             want[url] = ("html", EXTRACTORS["main_content"](body))
         else:
             text = f"pdf doc {i} delta epsilon"
+            body = encode_pdf(i, text)
+            if i == 5:
+                # spec allows up to 1024 junk bytes before the header:
+                # the sniff and the parser must both tolerate it
+                body = b"\r\n<!-- proxy banner -->\r\n" + body
             pages.append({
-                "url": url, "ts": TS, "body": encode_pdf(i, text),
-                # i==3 mislabeled as html -> magic sniff must catch it
+                "url": url, "ts": TS, "body": body,
+                # i==3,5 mislabeled as html -> magic sniff must catch
                 "content_type": ("application/pdf" if i == 1
                                  else "text/html"),
             })
-            want[url] = ("pdf", text)
+            want[url] = ("pdf", structured(i, text))
     W.write_warc_gz(str(tmp_path / "mixed.warc.gz"), pages)
 
     out = extract_mixed(W.read_warc(spark, str(tmp_path)))
@@ -258,8 +297,44 @@ def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
     tree = plan.split("\n\n")[0]  # the operator tree section
     assert tree.count("MapInPandas") == 2  # ingest + route kernels only
     rows = {r["url"]: r for r in out.collect()}
-    assert len(rows) == 4
+    assert len(rows) == 6
     for url, (kind, text) in want.items():
         assert rows[url]["kind"] == kind, url
         assert rows[url]["plaintext"] == text, url
         assert rows[url]["error"] is None
+
+
+def test_read_warc_skips_revisit_and_metadata_records(spark, tmp_path):
+    """Real CC crawls interleave revisit (dedup pointer, headers-only
+    payload) and metadata records with responses; ingest must yield
+    exactly the response rows and never try to HTTP-parse the others."""
+    resp = W._warc_record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://h/r/1"),
+         ("WARC-Date", "2023-03-04T05:06:07Z"),
+         ("Content-Type", "application/http; msgtype=response")],
+        W.build_http_response(b"<html>real</html>"),
+    )
+    revisit = W._warc_record(
+        [("WARC-Type", "revisit"), ("WARC-Target-URI", "https://h/r/2"),
+         ("WARC-Profile",
+          "http://netpreserve.org/warc/1.0/revisit/identical-payload-digest"),
+         ("WARC-Refers-To", "<urn:wceb:orig>")],
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n",
+    )
+    meta = W._warc_record(
+        [("WARC-Type", "metadata"), ("WARC-Target-URI", "https://h/r/1"),
+         ("Content-Type", "application/warc-fields")],
+        b"fetchTimeMs: 120\r\n",
+    )
+    resource = W._warc_record(
+        [("WARC-Type", "resource"), ("WARC-Target-URI", "https://h/r/3")],
+        b"raw resource bytes, not an http message",
+    )
+    blob = b"".join(gzip.compress(r, mtime=0)
+                    for r in (revisit, resp, meta, resource))
+    (tmp_path / "cc.warc.gz").write_bytes(blob)
+
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert [(r["url"], bytes(r["html"])) for r in rows] == [
+        ("https://h/r/1", b"<html>real</html>")
+    ]

@@ -170,9 +170,12 @@ def cmd_convert_datasets(args: argparse.Namespace) -> None:
         from .sources.warc import read_warc
 
         src = F.regexp_extract("url", r"/(\d+)$", 1)
+        # keep the error column: with skip-style crawls a per-row parse
+        # failure (plaintext null, error set) must stay distinguishable
+        # from a genuinely empty extraction in the JSONL output
         df = extract_mixed(read_warc(spark, root)) \
             .select(F.when(src != "", src).otherwise(F.col("url"))
-                    .alias("source"), "url", "kind", "plaintext")
+                    .alias("source"), "url", "kind", "plaintext", "error")
     else:  # googletrends
         df = rd.convert_googletrends(
             spark, f"{root}/raw_html", f"{root}/prepared_html"

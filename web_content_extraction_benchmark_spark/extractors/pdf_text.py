@@ -11,9 +11,19 @@ from the public PDF spec (ISO 32000-1 / Adobe PDF 1.4 reference):
   hex strings, dicts ``<< >>``, arrays, comments, keywords.
 - **Object layer** (`PdfDocument`): startxref -> xref table -> trailer
   ``/Root``; indirect-reference resolution; stream payloads with
-  (possibly indirect) ``/Length`` and ``/FlateDecode`` (zlib).  A
+  (possibly indirect) ``/Length`` and chained stream filters —
+  ``/FlateDecode`` (zlib), ``/LZWDecode`` (the spec's variable-width
+  9-12 bit MSB-first LZW with EarlyChange), ``/ASCIIHexDecode``.  A
   damaged or missing xref falls back to a whole-file ``N G obj`` scan,
-  the standard repair strategy of real readers.
+  the standard repair strategy of real readers.  Encrypted files
+  (trailer ``/Encrypt``) are detected and raise the typed
+  `PdfEncryptedError` — one error ROW downstream, never a garbled one.
+- **Fonts / text decoding**: ``Tf`` selects the page-resource font
+  (``/Resources`` inherited down the page tree per spec); each font
+  decodes its show-strings via, in precedence order, its ``/ToUnicode``
+  CMap (``bfchar``/``bfrange``, 1- or 2-byte codes — the latter is the
+  Identity-H CID shape), its ``/Encoding`` ``/Differences`` array over
+  an Adobe-Glyph-List subset, or the PDFDocEncoding≈latin-1 fallback.
 - **Page tree**: DFS over ``/Pages`` ``/Kids`` (arbitrary nesting),
   per-page ``/Contents`` as a single stream or an array of streams
   (concatenated with a whitespace boundary, per spec).
@@ -85,6 +95,12 @@ _MASTER_RE = re.compile(
 
 class PdfError(ValueError):
     """Raised on structurally invalid PDF input."""
+
+
+class PdfEncryptedError(PdfError):
+    """Raised on encrypted files (trailer ``/Encrypt``): decryption is
+    out of scope, and the typed error lets a corpus pipeline count /
+    route encrypted documents instead of emitting garbled text."""
 
 
 @dataclass
@@ -276,6 +292,67 @@ def _fold_refs(items: list) -> list:
     return out
 
 
+# ---------------------------------------------------------------------------
+# Stream filters
+# ---------------------------------------------------------------------------
+
+
+def lzw_decode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode (ISO 32000-1 §7.4.4): MSB-first variable-width
+    codes starting at 9 bits, growing to 12; code 256 clears the
+    table, 257 is EOD.  ``early_change=1`` (the default) widens the
+    code size one entry EARLY — the quirk that distinguishes PDF/TIFF
+    LZW from GIF."""
+    CLEAR, EOD = 256, 257
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    out = bytearray()
+    prev: bytes | None = None
+    acc = 0
+    nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            nbits -= width
+            code = (acc >> nbits) & ((1 << width) - 1)
+            if code == CLEAR:
+                table = table[:258]
+                width = 9
+                prev = None
+                continue
+            if code == EOD:
+                return bytes(out)
+            if code < len(table):
+                entry = table[code]
+            elif code == len(table) and prev is not None:
+                entry = prev + prev[:1]  # the KwKwK case
+            else:
+                raise PdfError(f"LZW: invalid code {code}")
+            out += entry
+            if prev is not None:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) + early_change >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)  # EOD-less streams end at input exhaustion
+
+
+def ascii_hex_decode(data: bytes) -> bytes:
+    """PDF ASCIIHexDecode: whitespace-tolerant hex pairs, terminated
+    by ``>``; an odd final digit is padded with 0."""
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    digits = re.sub(rb"\s+", b"", data)
+    if len(digits) % 2:
+        digits += b"0"
+    try:
+        return bytes.fromhex(digits.decode("ascii"))
+    except (ValueError, UnicodeDecodeError) as e:
+        raise PdfError(f"ASCIIHexDecode: {e}") from e
+
+
 # line-anchored: repair-scan matches must start a line, which filters
 # most same-shaped byte runs inside compressed stream payloads
 _OBJ_RE = re.compile(rb"(?m)^(\d+)[ \t]+(\d+)[ \t]+obj\b")
@@ -295,9 +372,17 @@ class PdfDocument:
     @classmethod
     def from_bytes(cls, buf: bytes) -> "PdfDocument":
         if not buf.startswith(b"%PDF-"):
-            raise PdfError("missing %PDF header")
+            # spec (ISO 32000-1 §7.5.2 note / Acrobat behavior): up to
+            # 1024 bytes of junk may precede the header; offsets are
+            # then relative to the header, so trim the prefix
+            at = buf.find(b"%PDF-", 0, 1024 + 5)
+            if at == -1:
+                raise PdfError("missing %PDF header")
+            buf = buf[at:]
         try:
             return cls._from_xref(buf)
+        except PdfEncryptedError:
+            raise  # encryption is a verdict, not damage — never "repair"
         except ValueError:
             # PdfError subclasses ValueError, and the lexer's
             # bytes.fromhex / int(...) raise bare ValueError on corrupt
@@ -317,6 +402,10 @@ class PdfDocument:
         if m is None:
             raise PdfError("no startxref")
         offsets: dict[int, int] = {}
+        # an object number decided by a NEWER section — whether 'n'
+        # (updated) or 'f' (deleted) — must not be resurrected from an
+        # older section's entry: 'f' tombstones, it doesn't fall through
+        decided: set[int] = set()
         trailer: dict | None = None
         xref_pos: int | None = int(m.group(1))
         seen: set[int] = set()
@@ -340,11 +429,14 @@ class PdfDocument:
                     off = lex.next_token()
                     lex.next_token()  # generation (unused)
                     kind = lex.next_token()
-                    if kind == "n":
-                        # newest section parsed first wins
-                        offsets.setdefault(first + i, off)
-                    elif kind != "f":
+                    if kind not in ("n", "f"):
                         raise PdfError("malformed xref entry")
+                    num = first + i
+                    if num in decided:
+                        continue  # newest section parsed first wins
+                    decided.add(num)
+                    if kind == "n":
+                        offsets[num] = off
             t = lex.next_token()
             tdict = _parse_value(lex, t)
             if not isinstance(tdict, dict):
@@ -355,6 +447,9 @@ class PdfDocument:
             xref_pos = int(prev) if isinstance(prev, (int, float)) else None
         if trailer is None or "/Root" not in trailer:
             raise PdfError("trailer without /Root")
+        if "/Encrypt" in trailer:
+            raise PdfEncryptedError(
+                "encrypted PDF (trailer /Encrypt): decryption unsupported")
         return cls(buf, offsets, trailer)
 
     @classmethod
@@ -366,6 +461,19 @@ class PdfDocument:
         position wins first (incremental-update semantics); if parsing
         it fails — e.g. a stream payload that happened to contain an
         anchored ``N G obj`` — `object` retries the earlier ones."""
+        # an encrypted file with a damaged xref must still be detected,
+        # not "repaired" into garbled output: any parseable trailer
+        # dict carrying /Encrypt is the verdict
+        for tm in re.finditer(rb"trailer\b", buf):
+            try:
+                lex = _Lexer(buf, tm.end())
+                tdict = _parse_value(lex, lex.next_token())
+            except ValueError:
+                continue
+            if isinstance(tdict, dict) and "/Encrypt" in tdict:
+                raise PdfEncryptedError(
+                    "encrypted PDF (trailer /Encrypt): "
+                    "decryption unsupported")
         candidates: dict[int, list[int]] = {}
         for m in _OBJ_RE.finditer(buf):
             candidates.setdefault(int(m.group(1)), []).append(m.start())
@@ -437,13 +545,24 @@ class PdfDocument:
         if filt is None:
             return s.raw
         filters = filt if isinstance(filt, list) else [filt]
+        parms = self.resolve(s.dict.get("/DecodeParms"))
+        if not isinstance(parms, list):
+            parms = [parms] * len(filters)
         data = s.raw
-        for f in filters:
+        for f, parm in zip(filters, parms):
+            parm = self.resolve(parm)
             if f == "/FlateDecode":
                 try:
                     data = zlib.decompress(data)
                 except zlib.error as e:
                     raise PdfError(f"FlateDecode failed: {e}") from e
+            elif f == "/LZWDecode":
+                ec = 1
+                if isinstance(parm, dict):
+                    ec = int(self.resolve(parm.get("/EarlyChange", 1)))
+                data = lzw_decode(data, early_change=ec)
+            elif f == "/ASCIIHexDecode":
+                data = ascii_hex_decode(data)
             else:
                 raise PdfError(f"unsupported filter {f}")
         return data
@@ -455,21 +574,27 @@ class PdfDocument:
         if not isinstance(root, dict):
             raise PdfError("bad /Root")
         out: list[dict] = []
-        stack = [root.get("/Pages")]
+        # /Resources is an inheritable page-tree attribute (spec
+        # table 30): a /Page without one uses the nearest ancestor's
+        stack: list[tuple[object, object]] = [(root.get("/Pages"), None)]
         guard = 0
         while stack:
             guard += 1
             if guard > 100_000:
                 raise PdfError("page tree too deep / cyclic")
-            node = self.resolve(stack.pop())
+            ref, inherited_res = stack.pop()
+            node = self.resolve(ref)
             if not isinstance(node, dict):
                 raise PdfError("bad page-tree node")
+            res = node.get("/Resources", inherited_res)
             if node.get("/Type") == "/Page":
+                if "/Resources" not in node and res is not None:
+                    node = {**node, "/Resources": res}
                 out.append(node)
             else:  # /Pages: push kids in reverse for document order
                 kids = self.resolve(node.get("/Kids")) or []
                 for kid in reversed(kids):
-                    stack.append(kid)
+                    stack.append((kid, res))
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -486,6 +611,196 @@ class PdfDocument:
         # spec: multiple content streams behave as one with whitespace
         # boundaries between them
         return b"\n".join(chunks)
+
+    # -- fonts ---------------------------------------------------------
+
+    def _build_font(self, fdict: dict) -> Font:
+        tu = self.resolve(fdict.get("/ToUnicode"))
+        if isinstance(tu, Stream):
+            return Font(cmap=parse_cmap(self.stream_data(tu)))
+        enc = self.resolve(fdict.get("/Encoding"))
+        base = "latin-1"
+        diffs: dict[int, str] | None = None
+        if isinstance(enc, str):
+            base = "cp1252" if enc == "/WinAnsiEncoding" else "latin-1"
+        elif isinstance(enc, dict):
+            if enc.get("/BaseEncoding") == "/WinAnsiEncoding":
+                base = "cp1252"
+            darr = self.resolve(enc.get("/Differences"))
+            if isinstance(darr, list):
+                diffs = {}
+                code = 0
+                for item in darr:
+                    if isinstance(item, (int, float)):
+                        code = int(item)
+                    elif isinstance(item, str) and item.startswith("/"):
+                        diffs[code] = _glyph_char(item[1:])
+                        code += 1
+                    else:
+                        raise PdfError(
+                            f"bad /Differences item {item!r}")
+        return Font(diff=diffs, base=base)
+
+    def page_fonts(self, page: dict) -> dict[str, Font]:
+        """Font-resource name (``/F1`` ...) -> `Font` decoder for one
+        page; empty when the page declares no fonts (the interpreter
+        then falls back to PDFDocEncoding)."""
+        res = self.resolve(page.get("/Resources"))
+        if not isinstance(res, dict):
+            return {}
+        fdict = self.resolve(res.get("/Font"))
+        if not isinstance(fdict, dict):
+            return {}
+        out: dict[str, Font] = {}
+        for name, ref in fdict.items():
+            fd = self.resolve(ref)
+            if isinstance(fd, dict):
+                out[name] = self._build_font(fd)
+        return out
+
+
+# ---------------------------------------------------------------------------
+# Fonts: ToUnicode CMaps, /Differences encodings, glyph names
+# ---------------------------------------------------------------------------
+
+# Adobe Glyph List subset covering printable ASCII — what /Differences
+# arrays of Latin simple fonts reference.  Letters map to themselves
+# (AGL: /a -> U+0061 etc.); ``uniXXXX`` names are handled in
+# `_glyph_char`.  sources/pdf_synth.py's Differences arm writes names
+# from this same table (lockstep).
+_AGL: dict[str, str] = {
+    "space": " ", "exclam": "!", "quotedbl": '"', "numbersign": "#",
+    "dollar": "$", "percent": "%", "ampersand": "&", "quotesingle": "'",
+    "parenleft": "(", "parenright": ")", "asterisk": "*", "plus": "+",
+    "comma": ",", "hyphen": "-", "period": ".", "slash": "/",
+    "zero": "0", "one": "1", "two": "2", "three": "3", "four": "4",
+    "five": "5", "six": "6", "seven": "7", "eight": "8", "nine": "9",
+    "colon": ":", "semicolon": ";", "less": "<", "equal": "=",
+    "greater": ">", "question": "?", "at": "@", "bracketleft": "[",
+    "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+    "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+    "braceright": "}", "asciitilde": "~",
+}
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _AGL[_c] = _c
+del _c
+
+
+def _glyph_char(name: str) -> str:
+    """Glyph name (no leading slash) -> character: AGL subset, then
+    ``uniXXXX`` / ``uXXXX[XX]``, else U+FFFD (deterministic unknown)."""
+    got = _AGL.get(name)
+    if got is not None:
+        return got
+    if name.startswith("uni") and len(name) == 7:
+        try:
+            return chr(int(name[3:], 16))
+        except ValueError:
+            pass
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    return "�"
+
+
+def _utf16be(raw: bytes) -> str:
+    try:
+        return raw.decode("utf-16-be")
+    except UnicodeDecodeError as e:
+        raise PdfError(f"bad UTF-16BE in CMap: {e}") from e
+
+
+def parse_cmap(data: bytes) -> tuple[int, dict[int, str]]:
+    """Parse a ToUnicode CMap stream: (code byte-length, code ->
+    unicode string).  Handles ``bfchar`` pairs and ``bfrange`` triples
+    (both the incrementing-destination and explicit-array forms); the
+    code length comes from the first ``codespacerange`` entry (1 byte
+    for simple fonts, 2 for Identity-H-style CID fonts)."""
+    lex = _Lexer(data)
+    code_len = 1
+    mapping: dict[int, str] = {}
+    while True:
+        tok = lex.next_token()
+        if tok is None:
+            break
+        if tok == "begincodespacerange":
+            lo = lex.next_token()
+            if isinstance(lo, bytes) and lo:
+                code_len = len(lo)
+            while tok is not None and tok != "endcodespacerange":
+                tok = lex.next_token()
+        elif tok == "beginbfchar":
+            while True:
+                src = lex.next_token()
+                if src is None or src == "endbfchar":
+                    break
+                dst = lex.next_token()
+                if not isinstance(src, bytes) or not isinstance(dst, bytes):
+                    raise PdfError("malformed bfchar entry")
+                mapping[int.from_bytes(src, "big")] = _utf16be(dst)
+        elif tok == "beginbfrange":
+            while True:
+                lo = lex.next_token()
+                if lo is None or lo == "endbfrange":
+                    break
+                hi = lex.next_token()
+                dst = lex.next_token()
+                if dst == "[":
+                    dst = _parse_value(lex, "[")
+                if not isinstance(lo, bytes) or not isinstance(hi, bytes):
+                    raise PdfError("malformed bfrange entry")
+                lo_i = int.from_bytes(lo, "big")
+                hi_i = int.from_bytes(hi, "big")
+                if isinstance(dst, list):
+                    if len(dst) != hi_i - lo_i + 1:
+                        raise PdfError("bfrange array length mismatch")
+                    for k, d in enumerate(dst):
+                        mapping[lo_i + k] = _utf16be(d)
+                elif isinstance(dst, bytes):
+                    base = int.from_bytes(dst, "big")
+                    width = len(dst)
+                    for k in range(hi_i - lo_i + 1):
+                        mapping[lo_i + k] = _utf16be(
+                            (base + k).to_bytes(width, "big"))
+                else:
+                    raise PdfError("malformed bfrange destination")
+    return code_len, mapping
+
+
+@dataclass
+class Font:
+    """One page-resource font's string-decoding behavior.  Precedence:
+    ToUnicode CMap > /Differences over the base encoding > base
+    encoding alone (PDFDocEncoding≈latin-1, or cp1252 for
+    /WinAnsiEncoding)."""
+
+    cmap: tuple[int, dict[int, str]] | None = None
+    diff: dict[int, str] | None = None
+    base: str = "latin-1"
+
+    def decode(self, raw: bytes) -> str:
+        if self.cmap is not None:
+            code_len, m = self.cmap
+            out: list[str] = []
+            for i in range(0, len(raw), code_len):
+                chunk = raw[i:i + code_len]
+                got = m.get(int.from_bytes(chunk, "big"))
+                out.append(got if got is not None
+                           else chunk.decode(self.base, "replace"))
+            return "".join(out)
+        if self.diff is not None:
+            diff = self.diff
+            return "".join(
+                diff.get(b) or bytes([b]).decode(self.base, "replace")
+                for b in raw)
+        if self.base == "latin-1":
+            return raw.decode("latin-1")
+        return raw.decode(self.base, "replace")
+
+
+_DEFAULT_FONT = Font()
 
 
 # ---------------------------------------------------------------------------
@@ -527,24 +842,28 @@ class _TextState:
         return self.tm[4], self.tm[5]
 
 
-def _decode_pdf_string(raw: bytes) -> str:
-    """PDFDocEncoding ~ latin-1 for the printable range this corpus
-    uses; real CMap handling is out of scope (no composite fonts)."""
-    return raw.decode("latin-1")
 
 
-def interpret_text(content: bytes) -> list[Run]:
+def interpret_text(content: bytes,
+                   fonts: dict[str, Font] | None = None) -> list[Run]:
     """Run the text operators of one page's content stream; return
     positioned text runs.  Non-text operators are ignored (graphics
-    state does not affect translation-only text placement)."""
+    state does not affect translation-only text placement).  ``fonts``
+    (from `PdfDocument.page_fonts`) supplies per-font string decoding;
+    absent or unknown fonts fall back to PDFDocEncoding≈latin-1."""
     lex = _Lexer(content)
     stack: list = []
     st = _TextState()
     runs: list[Run] = []
+    fonts = fonts or {}
+    font = _DEFAULT_FONT
+
+    def show_text(s: str) -> None:
+        x, y = st.origin()
+        runs.append(Run(x, y, s, st.font_size))
 
     def show(raw: bytes) -> None:
-        x, y = st.origin()
-        runs.append(Run(x, y, _decode_pdf_string(raw), st.font_size))
+        show_text(font.decode(raw))
 
     while True:
         tok = lex.next_token()
@@ -574,6 +893,8 @@ def interpret_text(content: bytes) -> list[Run]:
                 pass
             elif tok == "Tf":
                 st.font_size = float(stack[-1])
+                if len(stack) >= 2 and isinstance(stack[-2], str):
+                    font = fonts.get(stack[-2], _DEFAULT_FONT)
             elif tok == "TL":
                 st.leading = float(stack[-1])
             elif tok == "Td":
@@ -598,11 +919,11 @@ def interpret_text(content: bytes) -> list[Run]:
                 parts: list[str] = []
                 for el in arr:
                     if isinstance(el, bytes):
-                        parts.append(_decode_pdf_string(el))
+                        parts.append(font.decode(el))
                     elif isinstance(el, (int, float)):
                         if float(el) <= TJ_WORD_GAP:
                             parts.append(" ")
-                show(("".join(parts)).encode("latin-1"))
+                show_text("".join(parts))
         except (IndexError, TypeError, ValueError) as e:
             raise PdfError(f"bad operand stack for {tok}: {e}") from e
         stack.clear()
@@ -703,7 +1024,8 @@ def pdf_parse(payload: bytes) -> tuple[int, list[Block]]:
     doc = PdfDocument.from_bytes(payload)
     pages = doc.pages()
     return len(pages), layout_pages(
-        [interpret_text(doc.page_content(p)) for p in pages]
+        [interpret_text(doc.page_content(p), doc.page_fonts(p))
+         for p in pages]
     )
 
 
@@ -723,6 +1045,16 @@ def pdf_plaintext(payload: bytes) -> str:
         for ln in b.lines:
             words.extend(ln.split())
     return " ".join(words)
+
+
+def pdf_structured_text(payload: bytes) -> str:
+    """Reading-order text with LINE STRUCTURE kept (one ``\\n`` per
+    layout line) — what a mixed-corpus pipeline feeds downstream
+    quality/repetition stats, which are paragraph-sensitive; the HTML
+    extractors keep their paragraph newlines the same way.  Block
+    boundaries always fall on line boundaries, so this equals the
+    newline-join of all lines in reading order."""
+    return "\n".join(ln for b in pdf_blocks(payload) for ln in b.lines)
 
 
 # ---------------------------------------------------------------------------

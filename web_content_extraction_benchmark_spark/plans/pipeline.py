@@ -565,12 +565,17 @@ def extract_mixed(pages: DataFrame,
     A real crawl (e.g. straight off ``sources/warc.read_warc``) is not
     all HTML; the router prefers the HTTP ``content_type`` column when
     present and falls back to the %PDF- magic so mislabeled payloads
-    still route correctly.  Single-pass matters at scale: a
+    still route correctly.  The magic is sniffed anywhere in the first
+    1024 bytes (the PDF spec allows that much junk before the header;
+    `PdfDocument.from_bytes` trims the same prefix).  PDF text keeps
+    its LINE structure (`pdf_structured_text`) just as the HTML
+    extractors keep paragraph newlines — downstream quality/repetition
+    stats are paragraph-sensitive.  Single-pass matters at scale: a
     filter-split formulation re-evaluates the upstream lineage (the
     whole WARC ingest kernel) once per branch — 2x container work;
     here the scan and any upstream Python stage run exactly once and
     the plan stays shuffle-free."""
-    from ..extractors.pdf_text import pdf_blocks
+    from ..extractors.pdf_text import pdf_structured_text
 
     if html_model not in EXTRACTORS:
         raise ValueError(f"unknown extractor {html_model!r}")
@@ -587,14 +592,12 @@ def extract_mixed(pages: DataFrame,
                 raw = bytes(blob) if blob is not None else b""
                 is_pdf = (isinstance(ctype, str)
                           and "application/pdf" in ctype.lower()) \
-                    or raw[:5] == b"%PDF-"
+                    or b"%PDF-" in raw[:1024]
                 out["url"].append(url)
                 out["kind"].append("pdf" if is_pdf else "html")
                 try:
                     if is_pdf:
-                        text = " ".join(
-                            w for b in pdf_blocks(raw)
-                            for ln in b.lines for w in ln.split())
+                        text = pdf_structured_text(raw)
                     else:
                         # the exact kernel path of extract_answers, so
                         # mixed html text is byte-identical to it

@@ -22,6 +22,17 @@ arms use mod 2/3/4/5 — all full-period over multiples of 7):
 - ``doc_id % 5 == 0``: strings written as hex ``<...>`` instead of
   literals; ``% 5 == 2``: page content split across an ARRAY of two
   streams; ``% 4 == 2``: stream /Length stored as an INDIRECT object
+- ``doc_id % 11`` (r8 encoding arms — the real-crawl surface):
+  0 = content streams ASCIIHexDecode-filtered; 1/2 = LZWDecode
+  (spec LZW: MSB-first 9-12 bit codes, EarlyChange); 3/4 = font with
+  an /Encoding /Differences array — string bytes are written SHIFTED
+  by +1 and the Differences glyph names (AGL: /space /zero../nine,
+  letters as themselves) map them back; 5 = 1-byte /ToUnicode CMap
+  (bytes shifted +3, bfchar + incrementing and array-form bfrange all
+  exercised); 6 = 2-byte Identity-H-style CID codes (0x0100 + char)
+  with a 2-byte-codespace /ToUnicode CMap, strings forced hex;
+  7-10 = plain latin-1.  Truth is unchanged by every arm — the parser
+  must invert the encoding exactly.
 - 3+ pages: pages grouped under nested intermediate /Pages nodes
 
 Geometry: US-Letter, columns at x = 36 / 306 (gutter 110 pt >
@@ -42,6 +53,7 @@ TJ_SPACE = -278
 
 
 def pdf_layout_params(doc_id: int) -> dict:
+    enc_arm = doc_id % 11
     return {
         "cols": 1 + doc_id % 2,
         "wpl": 3 + doc_id % 3,
@@ -49,10 +61,176 @@ def pdf_layout_params(doc_id: int) -> dict:
         "font_size": 9 + doc_id % 4,
         "flate": doc_id % 3 != 0,
         "style": doc_id % 4,
-        "hex_strings": doc_id % 5 == 0,
+        # cmap2 strings are 2-byte CID codes — always written hex (the
+        # real-world convention for CID show strings)
+        "hex_strings": doc_id % 5 == 0 or enc_arm == 6,
         "split_content": doc_id % 5 == 2,
         "indirect_length": doc_id % 4 == 2,
+        # r8 encoding arms (doc_id % 11; full-period over the mod-7
+        # fixture ids since gcd(7, 11) = 1)
+        "stream_filter": {0: "ahx", 1: "lzw", 2: "lzw"}.get(enc_arm),
+        "font_enc": {3: "diff", 4: "diff", 5: "cmap1",
+                     6: "cmap2"}.get(enc_arm),
     }
+
+
+# reverse glyph-name table (mirror of the parser's AGL subset — the
+# Differences arm's lockstep surface; chars outside it fall back to
+# /uniXXXX names, which the parser also resolves)
+_GLYPH_NAMES = {
+    " ": "space", "!": "exclam", '"': "quotedbl", "#": "numbersign",
+    "$": "dollar", "%": "percent", "&": "ampersand", "'": "quotesingle",
+    "(": "parenleft", ")": "parenright", "*": "asterisk", "+": "plus",
+    ",": "comma", "-": "hyphen", ".": "period", "/": "slash",
+    "0": "zero", "1": "one", "2": "two", "3": "three", "4": "four",
+    "5": "five", "6": "six", "7": "seven", "8": "eight", "9": "nine",
+    ":": "colon", ";": "semicolon", "<": "less", "=": "equal",
+    ">": "greater", "?": "question", "@": "at", "[": "bracketleft",
+    "\\": "backslash", "]": "bracketright", "^": "asciicircum",
+    "_": "underscore", "`": "grave", "{": "braceleft", "|": "bar",
+    "}": "braceright", "~": "asciitilde",
+}
+for _c in "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ":
+    _GLYPH_NAMES[_c] = _c
+del _c
+
+
+def _glyph_name(ch: str) -> str:
+    return _GLYPH_NAMES.get(ch, f"uni{ord(ch):04X}")
+
+
+def lzw_encode(data: bytes, early_change: int = 1) -> bytes:
+    """PDF LZWDecode-compatible encoder (ISO 32000-1 §7.4.4): MSB-first
+    variable-width codes, 256 = clear, 257 = EOD, code width grows one
+    entry early (``early_change=1``), table reset before 12-bit
+    overflow.  Exact inverse of ``pdf_text.lzw_decode``."""
+    CLEAR, EOD = 256, 257
+    out = bytearray()
+    acc = 0
+    nbits = 0
+    width = 9
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            nbits -= 8
+            out.append((acc >> nbits) & 0xFF)
+        acc &= (1 << nbits) - 1
+
+    table = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    emit(CLEAR)
+    w = b""
+    for b in data:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w])
+        table[wc] = next_code
+        next_code += 1
+        # decoder widens after ITS table reaches (1<<width)-early_change
+        # entries; its table trails ours by exactly one insertion
+        if next_code + early_change - 1 >= (1 << width):
+            if width < 12:
+                width += 1
+            else:  # table full: reset (decoder handles CLEAR anywhere)
+                emit(CLEAR)
+                table = {bytes([i]): i for i in range(256)}
+                next_code = 258
+                width = 9
+        w = bytes([b])
+    if w:
+        emit(table[w])
+        next_code += 1
+        if next_code + early_change - 1 >= (1 << width) and width < 12:
+            width += 1
+    emit(EOD)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def ascii_hex_encode(data: bytes) -> bytes:
+    hex_str = data.hex()
+    lines = [hex_str[i:i + 64] for i in range(0, len(hex_str), 64)]
+    return ("\n".join(lines) + ">").encode("ascii")
+
+
+def _shift_text(s: str, delta: int) -> str:
+    return "".join(chr(ord(c) + delta) for c in s)
+
+
+def _cid2_text(s: str) -> str:
+    """2-byte Identity-H-style codes: 0x0100 + char, written as the
+    high/low byte pair (latin-1-encodable)."""
+    return "".join("\x01" + c for c in s)
+
+
+def _encode_stream(raw: bytes, p: dict) -> tuple[bytes, str]:
+    """(encoded bytes, '/Filter ...' dict fragment) for one content
+    stream under the doc's filter arm."""
+    sf = p["stream_filter"]
+    if sf == "ahx":
+        return ascii_hex_encode(raw), " /Filter /ASCIIHexDecode"
+    if sf == "lzw":
+        return lzw_encode(raw), " /Filter /LZWDecode"
+    if p["flate"]:
+        return zlib.compress(raw, 6), " /Filter /FlateDecode"
+    return raw, ""
+
+
+def _cmap_stream(chars: list[str], p: dict) -> bytes:
+    """A ToUnicode CMap over the doc's used characters.  Contiguous
+    code runs of length >= 3 become incrementing ``bfrange`` entries,
+    runs of exactly 2 become ARRAY-form bfranges, singletons become
+    ``bfchar`` pairs — all three spec forms stay exercised."""
+    two_byte = p["font_enc"] == "cmap2"
+    shift = 0x0100 if two_byte else 3
+    width = 2 if two_byte else 1
+
+    def hx(code: int) -> str:
+        return f"<{code:0{width * 2}x}>"
+
+    def uhex(ch: str) -> str:
+        return f"<{ord(ch):04x}>"
+
+    codes = sorted((ord(c) + shift, c) for c in set(chars))
+    runs: list[list[tuple[int, str]]] = []
+    for code, ch in codes:
+        if runs and code == runs[-1][-1][0] + 1:
+            runs[-1].append((code, ch))
+        else:
+            runs.append([(code, ch)])
+    bfchars: list[str] = []
+    bfranges: list[str] = []
+    for run in runs:
+        if len(run) == 1:
+            bfchars.append(f"{hx(run[0][0])} {uhex(run[0][1])}")
+        elif len(run) == 2:
+            bfranges.append(
+                f"{hx(run[0][0])} {hx(run[-1][0])} "
+                f"[{uhex(run[0][1])} {uhex(run[1][1])}]")
+        else:
+            bfranges.append(
+                f"{hx(run[0][0])} {hx(run[-1][0])} {uhex(run[0][1])}")
+    lo, hi = ("<0000>", "<ffff>") if two_byte else ("<00>", "<ff>")
+    parts = [
+        "/CIDInit /ProcSet findresource begin",
+        "12 dict begin",
+        "begincmap",
+        "1 begincodespacerange",
+        f"{lo} {hi}",
+        "endcodespacerange",
+    ]
+    if bfranges:
+        parts += [f"{len(bfranges)} beginbfrange", *bfranges, "endbfrange"]
+    if bfchars:
+        parts += [f"{len(bfchars)} beginbfchar", *bfchars, "endbfchar"]
+    parts += ["endcmap", "end", "end"]
+    return "\n".join(parts).encode("latin-1")
 
 
 def _esc_literal(s: str) -> str:
@@ -68,10 +246,28 @@ def _fmt(x: float) -> str:
     return f"{x:.4g}"
 
 
+def _text_transform(p: dict):
+    """How the doc's font arm rewrites characters into show-string
+    bytes (the parser's font decoder must invert this exactly)."""
+    fe = p["font_enc"]
+    if fe == "diff":
+        return lambda s: _shift_text(s, 1)
+    if fe == "cmap1":
+        return lambda s: _shift_text(s, 3)
+    if fe == "cmap2":
+        return _cid2_text
+    return lambda s: s
+
+
 def _page_ops(page_lines: list[list[list[str]]], p: dict) -> str:
     """Content-stream text for one page.  ``page_lines[col]`` is the
     list of lines (each a word list) of that column."""
-    enc = _hex_str if p["hex_strings"] else _esc_literal
+    tx = _text_transform(p)
+    raw_enc = _hex_str if p["hex_strings"] else _esc_literal
+
+    def enc(s: str) -> str:
+        return raw_enc(tx(s))
+
     fs = p["font_size"]
     ops: list[str] = ["BT", f"/F1 {_fmt(fs)} Tf"]
     for c, col_lines in enumerate(page_lines):
@@ -103,9 +299,11 @@ def _page_ops(page_lines: list[list[list[str]]], p: dict) -> str:
     return "\n".join(ops)
 
 
-def encode_pdf(doc_id: int, text: str) -> bytes:
+def encode_pdf(doc_id: int, text: str, encrypted: bool = False) -> bytes:
     """Render ``text`` as a complete PDF file; see module docstring for
-    the arm map.  Ground truth: ``' '.join(text.split())``."""
+    the arm map.  Ground truth: ``' '.join(text.split())``.
+    ``encrypted=True`` adds a trailer ``/Encrypt`` dict (no actual
+    encryption — the parser must DETECT and refuse, typed error)."""
     p = pdf_layout_params(doc_id)
     words = text.split()
     lines = [words[i:i + p["wpl"]] for i in range(0, len(words), p["wpl"])]
@@ -133,7 +331,7 @@ def encode_pdf(doc_id: int, text: str) -> bytes:
                        b"\n".join(split_lines[half:])]
         content_nums: list[int] = []
         for raw in streams:
-            data = zlib.compress(raw, 6) if p["flate"] else raw
+            data, filt = _encode_stream(raw, p)
             num = next_num
             next_num += 1
             if p["indirect_length"]:
@@ -143,7 +341,6 @@ def encode_pdf(doc_id: int, text: str) -> bytes:
                 objects[len_num] = str(len(data)).encode()
             else:
                 length = str(len(data))
-            filt = " /Filter /FlateDecode" if p["flate"] else ""
             objects[num] = (
                 f"<< /Length {length}{filt} >>\nstream\n".encode()
                 + data + b"\nendstream"
@@ -187,8 +384,33 @@ def encode_pdf(doc_id: int, text: str) -> bytes:
         f"<< /Type /Pages /Kids [{kids_refs}] "
         f"/Count {len(page_nums)} >>".encode()
     )
-    objects[3] = (b"<< /Type /Font /Subtype /Type1 "
-                  b"/BaseFont /Helvetica >>")
+    fe = p["font_enc"]
+    if fe == "diff":
+        used = sorted(set(text) | {" "})
+        diffs = " ".join(f"{ord(c) + 1} /{_glyph_name(c)}" for c in used)
+        objects[3] = (
+            f"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+            f"/Encoding << /Type /Encoding /Differences [ {diffs} ] >> "
+            f">>".encode()
+        )
+    elif fe in ("cmap1", "cmap2"):
+        used = sorted(set(text) | {" "})
+        cmap = _cmap_stream(used, p)
+        tu_num = next_num
+        next_num += 1
+        objects[tu_num] = (
+            f"<< /Length {len(cmap)} >>\nstream\n".encode()
+            + cmap + b"\nendstream"
+        )
+        subtype = ("/Type0 /Encoding /Identity-H" if fe == "cmap2"
+                   else "/TrueType")
+        objects[3] = (
+            f"<< /Type /Font /Subtype {subtype} /BaseFont /Helvetica "
+            f"/ToUnicode {tu_num} 0 R >>".encode()
+        )
+    else:
+        objects[3] = (b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica >>")
 
     # --- serialization with a correct xref ---------------------------------
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
@@ -202,8 +424,10 @@ def encode_pdf(doc_id: int, text: str) -> bytes:
     out += b"0000000000 65535 f \n"
     for num in range(1, size):
         out += f"{offsets[num]:010d} 00000 n \n".encode()
+    enc_entry = (" /Encrypt << /Filter /Standard /V 1 /R 2 >>"
+                 if encrypted else "")
     out += (
-        f"trailer\n<< /Size {size} /Root 1 0 R >>\n"
+        f"trailer\n<< /Size {size} /Root 1 0 R{enc_entry} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
     return bytes(out)

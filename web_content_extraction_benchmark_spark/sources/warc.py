@@ -15,11 +15,13 @@ public WARC 1.0 / ISO 28500 spec and the Common Crawl conventions:
 
 Reader shape at 100 TB: WARC files are ~1 GB and gzip is not
 block-splittable, so the unit of parallelism is the FILE (100 TB ≈
-10^5 files ≫ executor count).  `read_warc` scans with ``binaryFile``
-and walks members incrementally inside ``mapInPandas`` —
-decompression state is one member at a time and rows are yielded in
-bounded batches, so executor memory is O(largest record), not
-O(file).  No shuffle anywhere: scan -> per-file map.
+10^5 files ≫ executor count).  `read_warc` scans PATHS ONLY (the
+``binaryFile`` source with the ``content`` column pruned away) and
+the kernel ``open()``s each file inside ``mapInPandas``, feeding the
+member walk in bounded chunks — executor memory really is O(chunk +
+largest record), never O(file): the raw ~1 GB blob neither sits in
+the JVM nor crosses Arrow into Python, and Spark's 2 GB binary-column
+cap does not apply.  No shuffle anywhere: scan -> per-file map.
 
 Byte-lockstep with the synthetic pages table: `synthesize_warc_tree`
 wraps exactly the bytes `sources/pages.py` puts in the ``html``
@@ -229,68 +231,136 @@ def _take_record(buf: bytes, pos: int) -> tuple[dict, bytes, int] | None:
     return headers, buf[body_start:body_start + length], next_pos
 
 
-def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
-    """Yield (warc-headers, payload) from a ``.warc`` or ``.warc.gz``
-    byte string.  Gzip input is walked MEMBER BY MEMBER so peak memory
-    is one member plus any record spanning members — never the whole
-    decompressed file."""
-    if raw[:2] == b"\x1f\x8b":
-        # Feed each member in bounded chunks off a memoryview: slicing
-        # bytes per member (or letting a one-shot decompress build
-        # unused_data) memcpys the whole remaining tail each time —
-        # O(members x file_size) on member-per-record crawl files.
-        # Chunked feeding bounds per-member copy work to one chunk.
-        view = memoryview(raw)
-        n = len(raw)
-        pos = 0
-        buf = b""
-        consumed = 0
-        while pos < n:
+def _gzip_chunk_stream(chunks: Iterator) -> Iterator[bytes]:
+    """Decompressed chunks from a (possibly multi-member) gzip stream
+    fed as compressed chunks.  Members are walked one decompressobj at
+    a time; the feed size resets small per member and ramps up
+    geometrically so that member-per-record crawl files never memcpy
+    the remaining tail per member (``unused_data`` — which IS a copy —
+    stays one small feed), while giant members reach full chunk size."""
+    d = zlib.decompressobj(wbits=31)
+    started = False
+    feed = 1 << 14
+    mv = memoryview(b"")
+    off = 0
+    consumed_total = 0
+    while True:
+        if d.eof:
             d = zlib.decompressobj(wbits=31)
-            member_start = pos
-            parts = []
-            # grow the feed per member: typical records finish inside
-            # the first small chunk (so unused_data — which IS a copy —
-            # stays small), while giant members ramp up geometrically
-            chunk_size = 1 << 14
-            while not d.eof:
-                if pos >= n:
+            started = False
+            feed = 1 << 14
+        if off >= len(mv):
+            nxt = next(chunks, None)
+            if nxt is None:
+                if started and not d.eof:
                     raise WarcError(
-                        f"truncated gzip member at {member_start}")
-                chunk = view[pos:pos + chunk_size]
-                try:
-                    parts.append(d.decompress(chunk))
-                except zlib.error as e:
-                    raise WarcError(
-                        f"gzip member at {member_start}: {e}") from e
-                pos += len(chunk)
-                chunk_size = min(chunk_size * 4, 1 << 22)
-            pos -= len(d.unused_data)  # <= one chunk re-scanned
-            buf += b"".join(parts)
-            # drain complete records; keep the (rare) spanning tail
-            while True:
-                got = _take_record(buf, consumed)
-                if got is None:
-                    break
-                headers, payload, consumed = got
-                yield headers, payload
-            buf = buf[consumed:]
-            consumed = 0
-        if buf.strip():
-            raise WarcError("trailing bytes after last gzip member")
-    else:
-        n = len(raw)
+                        f"truncated gzip member near byte {consumed_total}")
+                return
+            mv = nxt if isinstance(nxt, memoryview) else memoryview(nxt)
+            off = 0
+            continue
+        take = mv[off:off + feed]
+        try:
+            out = d.decompress(take)
+        except zlib.error as e:
+            raise WarcError(
+                f"gzip member near byte {consumed_total}: {e}") from e
+        started = True
+        advanced = len(take) - len(d.unused_data)
+        off += advanced
+        consumed_total += advanced
+        feed = min(feed * 4, 1 << 22)
+        if out:
+            yield out
+
+
+def _drain_records(chunks: Iterator) -> Iterator[tuple[dict, bytes]]:
+    """Complete WARC records off a stream of (decompressed) chunks.
+    The buffer holds at most one in-flight record plus one chunk:
+    ``bytearray +=`` appends without recopying the tail, and the
+    consumed prefix is deleted after each chunk's drain.  Inter-record
+    whitespace is tolerated (spec-valid files pad with CRLFs)."""
+    buf = bytearray()
+
+    def drain(final: bool) -> None:
         pos = 0
-        while pos < n:
-            while pos < n and raw[pos] in _WS_BYTES:  # skip inter-record ws
+        n = len(buf)
+        while True:
+            while pos < n and buf[pos] in _WS_BYTES:
                 pos += 1
             if pos >= n:
                 break
-            got = _take_record(raw, pos)
+            got = _take_record(buf, pos)
             if got is None:
-                raise WarcError(f"truncated record at {pos}")
+                if final:
+                    raise WarcError(f"truncated record at {pos}")
+                break
             headers, payload, pos = got
-            yield headers, payload
+            yield headers, bytes(payload)
+        del buf[:pos]
+
+    for chunk in chunks:
+        buf += chunk
+        yield from drain(final=False)
+    yield from drain(final=True)
+
+
+def iter_warc_records_chunks(chunks: Iterator) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc-headers, payload) from an iterator of byte chunks —
+    a ``.warc`` or ``.warc.gz`` stream without ever materializing the
+    file.  This is the kernel entry point for path-streamed reads:
+    peak memory is one chunk plus one in-flight record."""
+    it = iter(chunks)
+    first = b""
+    for c in it:
+        if len(c):
+            first = c
+            break
+    if not len(first):
+        return
+    from itertools import chain
+
+    full = chain([first], it)
+    if bytes(first[:2]) == b"\x1f\x8b":
+        yield from _drain_records(_gzip_chunk_stream(full))
+    else:
+        yield from _drain_records(full)
+
+
+def _file_chunks(path: str, chunk_size: int = 1 << 20) -> Iterator[bytes]:
+    with open(path, "rb") as f:
+        while True:
+            b = f.read(chunk_size)
+            if not b:
+                return
+            yield b
+
+
+def _local_path(uri: str) -> str:
+    """Spark file-source path (``file:/x/y`` URI or bare path) -> an
+    ``open()``-able local path.  Path-streamed reads deliberately trade
+    the JVM's Hadoop filesystem layer for O(chunk) memory; non-local
+    schemes need a POSIX mount (fuse/NFS) or the parquet ingest path."""
+    if ":" not in uri.split("/", 1)[0]:
+        return uri  # bare path, no scheme
+    from urllib.parse import unquote, urlparse
+
+    p = urlparse(uri)
+    if p.scheme not in ("", "file"):
+        raise WarcError(
+            f"unsupported filesystem scheme {p.scheme!r} for path-streamed "
+            "WARC read (local/file paths only — mount object stores or "
+            "ingest via parquet)")
+    return unquote((p.netloc or "") + p.path)
+
+
+def iter_warc_records(raw: bytes) -> Iterator[tuple[dict, bytes]]:
+    """Yield (warc-headers, payload) from an in-memory ``.warc`` /
+    ``.warc.gz`` byte string — same machinery as the path-streamed
+    reader, fed from a memoryview in bounded slices."""
+    view = memoryview(raw)
+    yield from iter_warc_records_chunks(
+        view[i:i + (1 << 20)] for i in range(0, len(raw), 1 << 20))
 
 
 def _dechunk(body: bytes) -> bytes:
@@ -354,9 +424,16 @@ def _make_warc_batches(errors: str = "strict"):
         cols = [f.name for f in WARC_PAGES_SCHEMA.fields]
         rows: list[dict] = []
         for pdf in batches:
-            for path, raw in zip(pdf["path"], pdf["content"]):
+            for path in pdf["path"]:
                 try:
-                    for headers, payload in iter_warc_records(bytes(raw)):
+                    records = iter_warc_records_chunks(
+                        _file_chunks(_local_path(path)))
+                    for headers, payload in records:
+                        # skip non-response record types a real crawl
+                        # carries: warcinfo, request, and the CC dedup
+                        # types revisit / metadata / resource (a
+                        # revisit payload is headers-only — parsing it
+                        # as a response would mis-frame)
                         if headers.get("warc-type") != "response":
                             continue
                         status, http_headers, body = \
@@ -396,6 +473,13 @@ def read_warc(spark: SparkSession, path: str,
     is not block-splittable; Common Crawl parallelism comes from file
     count); rows stream out in bounded Arrow batches.
 
+    The scan carries PATHS ONLY (the ``binaryFile`` source with
+    ``content`` pruned); the kernel streams each file through
+    ``open()`` in 1 MB chunks, so per-task memory is O(chunk + largest
+    record) — a real ~1 GB compressed crawl file never materializes in
+    the JVM, never crosses Arrow, and is not subject to the 2 GB
+    binary-column cap.
+
     ``errors``: "strict" (default — a malformed file fails the task;
     what the byte-identity oracles want) or "skip" (a malformed file
     contributes the records parsed before the damage and is otherwise
@@ -409,7 +493,7 @@ def read_warc(spark: SparkSession, path: str,
         raise ValueError(f"errors must be strict|skip, got {errors!r}")
     files = spark.read.format("binaryFile") \
         .option("pathGlobFilter", glob).load(path) \
-        .select("path", "content")
+        .select("path")
     return files.mapInPandas(_make_warc_batches(errors),
                              schema=WARC_PAGES_SCHEMA)
 
@@ -427,21 +511,29 @@ def write_wet(df: DataFrame, out_dir: str) -> list[dict]:
     no shuffle; file count == partition count, the WET convention.
 
     ``df`` needs (url, plaintext) and optionally warc_ts.  Returns the
-    manifest [{path, n_records}] (one small row per partition)."""
+    manifest [{path, n_records}] (one small row per partition).
+
+    Commit protocol: each task creates ``out_dir`` itself (the driver
+    cannot see every executor's filesystem), writes to an
+    attempt-suffixed temp name, and renames into place only on success
+    — a retried or speculative attempt never leaves a torn
+    ``part-{pid}`` behind, and the rename is atomic on POSIX."""
     import os
 
     from pyspark import TaskContext
 
-    os.makedirs(out_dir, exist_ok=True)
     has_ts = "warc_ts" in df.columns
     cols = ["url", "plaintext"] + (["warc_ts"] if has_ts else [])
 
     def write_partition(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.wet.gz")
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = 0
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             f.write(gzip.compress(_warc_record(
                 [("WARC-Type", "warcinfo"),
                  ("WARC-Record-ID", _record_id(f"wet:{pid}")),
@@ -464,6 +556,7 @@ def write_wet(df: DataFrame, out_dir: str) -> list[dict]:
                     f.write(gzip.compress(_warc_record(headers, body),
                                           compresslevel=1, mtime=0))
                     n += 1
+        os.replace(tmp, path)
         yield pd.DataFrame({"path": [path], "n_records": [n]})
 
     manifest_schema = T.StructType([
@@ -482,8 +575,10 @@ def read_wet(spark: SparkSession, path: str,
     def rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         out: list[dict] = []
         for pdf in batches:
-            for raw in pdf["content"]:
-                for headers, payload in iter_warc_records(bytes(raw)):
+            for fpath in pdf["path"]:
+                records = iter_warc_records_chunks(
+                    _file_chunks(_local_path(fpath)))
+                for headers, payload in records:
                     if headers.get("warc-type") != "conversion":
                         continue
                     out.append({
@@ -503,7 +598,7 @@ def read_wet(spark: SparkSession, path: str,
         T.StructField("plaintext", T.StringType(), True),
     ])
     return spark.read.format("binaryFile").option("pathGlobFilter", glob) \
-        .load(path).select("content").mapInPandas(rows, schema=schema)
+        .load(path).select("path").mapInPandas(rows, schema=schema)
 
 
 def write_warc(df: DataFrame, out_dir: str,
@@ -514,19 +609,22 @@ def write_warc(df: DataFrame, out_dir: str,
     driver-side `synthesize_warc_tree` is for small fixtures).  Every
     ``chunked_every``-th record uses chunked transfer framing so a
     volume read exercises the dechunk path.  ``df`` needs
-    (url, warc_ts, html); returns the per-partition manifest."""
+    (url, warc_ts, html); returns the per-partition manifest.  Same
+    task-side commit protocol as `write_wet` (makedirs in the task,
+    temp name + rename on success)."""
     import os
 
     from pyspark import TaskContext
 
-    os.makedirs(out_dir, exist_ok=True)
-
     def write_partition(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = 0
-        with open(path, "wb") as f:
+        with open(tmp, "wb") as f:
             f.write(gzip.compress(_warc_record(
                 [("WARC-Type", "warcinfo"),
                  ("WARC-Record-ID", _record_id(f"warc:{pid}")),
@@ -553,6 +651,7 @@ def write_warc(df: DataFrame, out_dir: str,
                             body, chunked=n % chunked_every == 1),
                     ), compresslevel=1, mtime=0))
                     n += 1
+        os.replace(tmp, path)
         yield pd.DataFrame({"path": [path], "n_records": [n]})
 
     manifest_schema = T.StructType([
@@ -570,7 +669,8 @@ def read_warc_stream(spark: SparkSession, path: str,
     """Streaming twin of `read_warc`: a continuously-crawled WARC drop
     directory as a Structured Streaming file source.  Stateless map, so
     downstream extraction runs in append mode with no watermark; each
-    micro-batch is whole files (the WARC unit of work)."""
+    micro-batch is whole files (the WARC unit of work).  Like the batch
+    twin, the scan carries paths only and the kernel streams chunks."""
     files = (
         spark.readStream.format("binaryFile")
         .schema("path string, modificationTime timestamp, "
@@ -578,7 +678,7 @@ def read_warc_stream(spark: SparkSession, path: str,
         .option("pathGlobFilter", glob)
         .option("maxFilesPerTrigger", max_files_per_trigger)
         .load(path)
-        .select("path", "content")
+        .select("path")
     )
     return files.mapInPandas(_warc_batches, schema=WARC_PAGES_SCHEMA)
 
