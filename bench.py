@@ -181,6 +181,22 @@ def _wait_for_quiet_host(max_wait_sec: int, load_threshold: float) -> float:
         time.sleep(15)
 
 
+def _boot_id() -> str | None:
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            return f.read().strip()
+    except OSError:
+        return None
+
+
+def _uptime_sec() -> float | None:
+    try:
+        with open("/proc/uptime") as f:
+            return round(float(f.read().split()[0]), 1)
+    except (OSError, ValueError):
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -638,6 +654,13 @@ def main() -> None:
                 # reading taken at the end is dominated by this bench's
                 # own local[32] threads winding down.
                 "loadavg_at_start": loadavg_at_start,
+                # boot identity (r8): VM reboots change absolute
+                # throughput ~2x on this host (the r7 window-attribution
+                # incident); cross-round comparisons are only valid on
+                # the same boot_id, else compare ratio-to-pool-control
+                # and scaling efficiencies (BENCH/BASELINE.md protocol)
+                "boot_id": _boot_id(),
+                "uptime_sec": _uptime_sec(),
             }
         )
     )

@@ -291,6 +291,99 @@ def test_concurrent_writer_raises_and_stale_lock_sweeps(spark, index_path):
     assert not os.path.exists(idx._lock_dir())  # released after commit
 
 
+def test_lease_cross_host_ttl_and_fencing(spark, index_path):
+    """r8 object-store-aware lease: a FOREIGN-host lease (pid probes
+    mean nothing there) is honored while its heartbeat is fresh,
+    taken over once the TTL expires; and a holder whose lease was
+    taken over aborts on its next heartbeat (fencing) instead of
+    committing."""
+    import json
+    import os
+    import time
+
+    from web_content_extraction_benchmark_spark.operators.incremental_dedup import (
+        ConcurrentWriterError,
+    )
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    idx = NearDupIndex(index_path, jaccard_threshold=0.6)
+
+    def plant(heartbeat_at: float) -> None:
+        os.makedirs(idx._lock_dir(), exist_ok=True)
+        with open(idx._lease_path(), "w") as f:
+            json.dump({"token": "remote-token", "pid": 1,
+                       "host": "some-other-machine",
+                       "heartbeat_at": heartbeat_at,
+                       "ttl_sec": idx.LEASE_TTL_SEC}, f)
+
+    # fresh foreign lease: refuse, even though pid 1 is "alive" locally
+    plant(time.time())
+    with pytest.raises(ConcurrentWriterError, match="some-other-machine"):
+        idx.add_batch(mk([(1, "alpha beta gamma delta epsilon")]))
+    # expired foreign lease: stale-takeover, batch proceeds
+    plant(time.time() - 2 * idx.LEASE_TTL_SEC)
+    idx.add_batch(mk([(1, "alpha beta gamma delta epsilon")])).unpersist()
+    assert idx.committed_docs(spark).count() == 1
+    assert not os.path.exists(idx._lock_dir())
+
+    # fencing: holder acquires, then a takeover swaps the token — the
+    # holder's next heartbeat must raise, never refresh over it
+    idx._acquire_writer_lock()
+    try:
+        with open(idx._lease_path()) as f:
+            assert json.load(f)["token"] == idx._lease_token
+        plant(time.time())  # simulated takeover by another writer
+        with pytest.raises(ConcurrentWriterError, match="lease lost"):
+            idx._heartbeat()
+    finally:
+        idx._release_writer_lock()
+
+
+def test_compact_auto_expire_reclaims_superseded_files(spark, index_path):
+    """compact()'s default auto-expire (keep_last=1 — the compacted
+    snapshot is logically identical to the pre-compaction one) must not
+    leave the superseded files behind (the r7 transient 2x disk spike):
+    after maintenance the live parquet count DROPS, and labels stay
+    byte-identical."""
+    import os
+
+    mk = lambda rows: spark.createDataFrame(rows, "doc_id long, text string")
+    words = [f"tok{i}" for i in range(40)]
+    idx = NearDupIndex(index_path, jaccard_threshold=0.5, bands=8,
+                       n_buckets=4)
+    all_rows = []
+    for b in range(6):  # 6 appends -> multiple files per bucket
+        rows = [(b * 10 + i, " ".join(words[i:i + 12]))
+                for i in range(4)]
+        all_rows += rows
+        idx.add_batch(mk(rows)).unpersist()
+    before_labels = _labels_set(idx.labels(spark))
+
+    def store_bytes() -> int:
+        total = 0
+        for root, _, files in os.walk(index_path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files)
+        return total
+
+    def parquet_files() -> int:
+        return sum(f.endswith(".parquet")
+                   for root, _, fs in os.walk(index_path) for f in fs)
+
+    files_before = parquet_files()
+    bytes_before = store_bytes()
+    rewritten = idx.compact(spark, max_files_per_bucket=2)
+    assert any(rewritten.values())
+    assert store_bytes() < 1.5 * bytes_before  # no 2x residue
+    # superseded pre-compaction files reclaimed in the same call:
+    # the live file count DROPS and no >=2x byte residue remains
+    assert parquet_files() < files_before
+    assert _labels_set(idx.labels(spark)) == before_labels
+    union = mk(all_rows)
+    want = _labels_set(_scratch_labels(union, 0.5, bands=8))
+    assert _labels_set(idx.labels(spark)) == want
+
+
 def test_legacy_flat_index_reopens_without_buckets(spark, index_path):
     """A pre-r7 index (meta without n_buckets, flat tables) must keep
     appending under open(); a default-bucketed reopen refuses with the

@@ -171,13 +171,19 @@ def multi_main() -> None:
             if maint:
                 disk_pre = _disk_stats(index_path)
                 t_m = time.perf_counter()
+                # r8: compact auto-expires (expire_keep_last=2), so the
+                # post-compact reading must show NO transient doubling
+                # (the r7 batch-5 spike); the explicit expire after it
+                # only trims history appended since
                 n_compacted = sum(
                     idx.compact(spark, max_files_per_bucket=4).values()
                 )
+                disk_post_compact = _disk_stats(index_path)
                 expired = idx.expire(keep_last=2)
                 maint_sec = time.perf_counter() - t_m
                 line["maint"] = {
                     "disk_before": disk_pre,
+                    "disk_after_compact": disk_post_compact,
                     "disk_after": _disk_stats(index_path),
                     "buckets_compacted": n_compacted,
                     "files_expired": sum(

@@ -83,11 +83,18 @@ Scale notes for the 100 TB deployment:
   manifest references (file liveness is the union over retained
   manifests, so append-carried files survive); time travel below the
   horizon raises afterwards.
-- ONE writer at a time: ``add_batch`` takes an exclusive on-disk lock
-  (``_writer.lock/`` with the holder's pid; stale locks from dead
-  processes are swept).  Two concurrent writers would interleave the
-  docs -> bands -> labels commits; ``assert_consistent`` detects that
-  skew after the fact, the lock prevents it up front.
+- ONE writer at a time: ``add_batch`` takes an exclusive on-disk LEASE
+  (``_writer.lock/`` created by atomic mkdir, holding {token, pid,
+  host, heartbeat_at, ttl}).  Staleness is decidable cross-host: a
+  same-host dead pid OR an expired heartbeat (default TTL 900 s) is
+  swept and taken over; holders refresh the heartbeat per phase and
+  FENCE before commit (a holder paused past its TTL aborts on token
+  mismatch instead of interleaving with the new holder).  Two
+  concurrent writers would interleave the docs -> bands -> labels
+  commits; ``assert_consistent`` detects that skew after the fact, the
+  lease prevents it up front.  Contract: acquisition atomicity is
+  mkdir's (POSIX/NFS/HDFS); on S3-style object stores without atomic
+  namespace operations, front the index with an external lock service.
 """
 
 from __future__ import annotations
@@ -313,13 +320,27 @@ class NearDupIndex:
             kwargs = {**fresh_defaults, **kwargs}
         return cls(path, **kwargs)
 
-    # -- single-writer lock --------------------------------------------
-    # mkdir is the atomic primitive (EEXIST on contention, works on any
-    # POSIX fs); the pid file inside names the holder so a lock left by
-    # a CRASHED writer (pid no longer alive) is swept, while a lock
-    # held by a LIVE writer raises ConcurrentWriterError.
+    # -- single-writer lease -------------------------------------------
+    # mkdir is the atomic acquire primitive (EEXIST on contention —
+    # POSIX, NFS, HDFS); the LEASE file inside carries {token, pid,
+    # host, heartbeat_at, ttl_sec} so staleness is decidable even when
+    # the holder is on ANOTHER machine, where a pid probe means
+    # nothing: a lease is stale when (a) same host + dead pid, or
+    # (b) heartbeat older than its TTL (crashed/partitioned holder
+    # anywhere).  Holders refresh the heartbeat at each add_batch
+    # phase; a holder that lost its lease to a takeover (paused past
+    # TTL) detects the token mismatch on its next heartbeat and aborts
+    # BEFORE committing — the fencing step of a standard lease.
+    # Residual contract (index_meta.json + README): acquisition
+    # atomicity is mkdir's — on S3-style object stores without atomic
+    # namespace ops, front the index with a real lock service.
+    LEASE_TTL_SEC = 900.0
+
     def _lock_dir(self) -> str:
         return os.path.join(self.path, "_writer.lock")
+
+    def _lease_path(self) -> str:
+        return os.path.join(self._lock_dir(), "lease")
 
     @staticmethod
     def _pid_alive(pid: int) -> bool:
@@ -331,54 +352,114 @@ class NearDupIndex:
             return True  # exists, owned by someone else
         return True
 
+    def _read_lease(self) -> dict | None:
+        import socket
+
+        try:
+            with open(self._lease_path()) as f:
+                return json.load(f)
+        except (FileNotFoundError, ValueError):
+            pass
+        # legacy pre-r8 lock: bare pid file, implicitly this-host
+        try:
+            with open(os.path.join(self._lock_dir(), "pid")) as f:
+                return {"pid": int(f.read().strip()),
+                        "host": socket.gethostname(),
+                        "token": None, "heartbeat_at": None,
+                        "ttl_sec": self.LEASE_TTL_SEC}
+        except (FileNotFoundError, ValueError):
+            return None
+
+    def _lease_is_stale(self, lease: dict) -> bool:
+        import socket
+        import time as _t
+
+        if lease.get("host") == socket.gethostname() \
+                and isinstance(lease.get("pid"), int):
+            return not self._pid_alive(lease["pid"])
+        hb = lease.get("heartbeat_at")
+        ttl = lease.get("ttl_sec") or self.LEASE_TTL_SEC
+        return isinstance(hb, (int, float)) and _t.time() - hb > ttl
+
+    def _write_lease(self) -> None:
+        import socket
+        import time as _t
+
+        lease = {
+            "token": self._lease_token,
+            "pid": os.getpid(),
+            "host": socket.gethostname(),
+            "heartbeat_at": _t.time(),
+            "ttl_sec": self.LEASE_TTL_SEC,
+        }
+        tmp = self._lease_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(lease, f)
+        os.replace(tmp, self._lease_path())
+
+    def _heartbeat(self) -> None:
+        """Refresh the lease mid-batch; abort if another writer took it
+        over (this holder was paused past the TTL) — committing on a
+        lost lease would interleave with the new holder."""
+        current = self._read_lease()
+        if current is None or current.get("token") != self._lease_token:
+            raise ConcurrentWriterError(
+                f"index {self.path}: writer lease lost (taken over by "
+                f"{current.get('host') if current else '<released>'}) — "
+                "aborting before commit")
+        self._write_lease()
+
     def _acquire_writer_lock(self) -> None:
+        import uuid
+
         os.makedirs(self.path, exist_ok=True)
-        holder: int | None = None
+        lease: dict | None = None
         for attempt in range(3):
             try:
                 os.mkdir(self._lock_dir())
             except FileExistsError:
-                pid_file = os.path.join(self._lock_dir(), "pid")
-                try:
-                    with open(pid_file) as f:
-                        holder = int(f.read().strip())
-                except (FileNotFoundError, ValueError):
+                lease = self._read_lease()
+                if lease is None:
                     # mid-acquire or corrupt: give the other writer a
-                    # beat to land its pid file, then re-check (sweeping
-                    # a lock whose pid is about to appear would race)
-                    holder = None
+                    # beat to land its lease, then re-check (sweeping a
+                    # lock whose lease is about to appear would race)
                     import time as _t
 
                     _t.sleep(0.2)
                     continue
-                if not self._pid_alive(holder):
-                    # stale lock from a crashed writer — sweep and retry
+                if self._lease_is_stale(lease):
+                    # dead same-host pid or expired heartbeat: sweep
+                    for name in ("lease", "pid"):
+                        try:
+                            os.remove(os.path.join(self._lock_dir(), name))
+                        except OSError:
+                            pass
                     try:
-                        os.remove(pid_file)
                         os.rmdir(self._lock_dir())
                     except OSError:
                         pass  # another sweeper won the race
                     continue
                 break  # live holder: contended
             else:
-                with open(os.path.join(self._lock_dir(), "pid"),
-                          "w") as f:
-                    f.write(str(os.getpid()))
+                self._lease_token = uuid.uuid4().hex
+                self._write_lease()
                 return
+        holder = (f"pid {lease.get('pid')} on {lease.get('host')}"
+                  if lease else "<unknown>")
         raise ConcurrentWriterError(
-            f"index {self.path} is locked by writer pid "
-            f"{holder if holder is not None else '<unknown>'} — "
+            f"index {self.path} is locked by writer {holder} — "
             "NearDupIndex allows ONE add_batch at a time (interleaved "
             "commits would skew the docs/bands/labels snapshot "
-            "versions).  If that process is truly gone, remove the "
-            "_writer.lock directory."
+            "versions).  A crashed holder's lease expires after "
+            f"{self.LEASE_TTL_SEC:.0f}s and is then swept automatically."
         )
 
     def _release_writer_lock(self) -> None:
-        try:
-            os.remove(os.path.join(self._lock_dir(), "pid"))
-        except OSError:
-            pass
+        for name in ("lease", "lease.tmp", "pid"):
+            try:
+                os.remove(os.path.join(self._lock_dir(), name))
+            except OSError:
+                pass
         try:
             os.rmdir(self._lock_dir())
         except OSError:
@@ -410,7 +491,8 @@ class NearDupIndex:
 
     # -- maintenance ---------------------------------------------------
     def compact(self, spark: SparkSession,
-                max_files_per_bucket: int = 8) -> dict[str, int]:
+                max_files_per_bucket: int = 8,
+                expire_keep_last: int | None = 1) -> dict[str, int]:
         """Compact any store bucket holding more than
         ``max_files_per_bucket`` files down to one file each.  Each
         append lands one file per touched bucket, so a daily-append
@@ -422,7 +504,20 @@ class NearDupIndex:
         If ANY table rewrites, the others commit a zero-I/O carryover
         snapshot so all three stay at the same version
         (``assert_consistent``'s invariant); if nothing exceeds the
-        bound, nothing commits at all."""
+        bound, nothing commits at all.
+
+        ``expire_keep_last`` (default 1): when compaction rewrote
+        anything, immediately expire snapshot history down to that many
+        versions in the SAME lock hold.  The default of 1 is what
+        actually reclaims the superseded files: compaction is a
+        logical no-op (the post-compaction snapshot has identical
+        content), so any horizon that RETAINS the pre-compaction
+        version keeps its file references alive and the store
+        transiently DOUBLES on disk until the next expire (the batch-5
+        spike in BENCH/incremental_maint_r07.jsonl was exactly
+        compact + expire(keep_last=2)).  Keeping only the compacted
+        snapshot loses no logical recoverability.  Pass ``None`` to
+        keep full history (time-travel auditing)."""
         if self.n_buckets is None:
             raise ValueError(
                 "compact requires a bucketed index (this one uses the "
@@ -445,6 +540,9 @@ class NearDupIndex:
                 for name, table in tables.items():
                     if not rewritten[name]:
                         table.commit_carryover()
+                if expire_keep_last is not None:
+                    self._heartbeat()
+                    self._expire_locked(expire_keep_last)
             return rewritten
         finally:
             self._release_writer_lock()
@@ -473,19 +571,25 @@ class NearDupIndex:
         Takes the writer lock (expiry sweeps unreferenced files, and an
         in-flight commit's staged-but-uncommitted files look exactly
         like orphans).  Time travel below the horizon raises after
-        this.  Returns per-table removal counts."""
+        this.  Returns per-table removal counts.  `compact` runs this
+        automatically under its own lock (``expire_keep_last``), so a
+        standalone call is only needed to shrink history between
+        compactions."""
         self._acquire_writer_lock()
         try:
-            return {
-                name: table.expire_snapshots(keep_last)
-                for name, table in (
-                    ("docs", self.docs_table),
-                    ("bands", self.bands_table),
-                    ("labels", self.labels_table),
-                )
-            }
+            return self._expire_locked(keep_last)
         finally:
             self._release_writer_lock()
+
+    def _expire_locked(self, keep_last: int) -> dict[str, dict[str, int]]:
+        return {
+            name: table.expire_snapshots(keep_last)
+            for name, table in (
+                ("docs", self.docs_table),
+                ("bands", self.bands_table),
+                ("labels", self.labels_table),
+            )
+        }
 
     def committed_docs(self, spark: SparkSession) -> DataFrame | None:
         return self.docs_table.read(spark)
@@ -796,6 +900,7 @@ class NearDupIndex:
                 _time.perf_counter() - t0, 2
             )
             t0 = _time.perf_counter()
+        self._heartbeat()  # keep the lease fresh across long phases
 
         # -- resolve: only components TOUCHED by a new pair ------------
         prior = self.labels_table.read(spark)
@@ -873,6 +978,9 @@ class NearDupIndex:
             t0 = _time.perf_counter()
 
         # -- commit ----------------------------------------------------
+        # fencing: a holder paused past the lease TTL (GC storm, long
+        # stage) must detect a takeover BEFORE mutating the store
+        self._heartbeat()
         self._commit_meta()  # first mutation stamps the config
         if self.n_buckets is None:
             self.docs_table.append(b)
