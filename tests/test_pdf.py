@@ -271,7 +271,9 @@ def test_encoding_arms_roundtrip():
             payload = W.encode_pdf(doc_id, text)
             assert P.pdf_plaintext(payload) == text, (doc_id, p)
             # the arm actually engaged (bytes differ from plain latin-1)
-            if p["font_enc"] or p["stream_filter"]:
+            # — only checkable on 1.4 files; under the pdf15 arm the
+            # font dict lives inside the compressed ObjStm
+            if (p["font_enc"] or p["stream_filter"]) and not p["pdf15"]:
                 plain_marker = text.split()[0].encode()
                 if p["font_enc"] == "diff":
                     assert b"/Differences" in payload
@@ -409,3 +411,70 @@ def test_resources_inherited_from_pages_node():
     # no xref at all: the repair scan builds the object map, then
     # pages() must carry /Resources down from the /Pages node
     assert P.pdf_plaintext(body) == "hello world"
+
+
+def test_pdf15_xref_stream_and_objstm_roundtrip():
+    """PDF-1.5 arm (doc_id % 13 in {1,5,9}): object-stream packing +
+    cross-reference STREAM (W [1 4 2], type-2 entries, PNG Predictor 12
+    on half the arm) must parse to the same text; the file carries no
+    classic trailer at all."""
+    rng = random.Random(15)
+    seen_pred = seen_plain = 0
+    for doc_id in (1, 5, 9, 14, 27, 35, 40, 53, 61, 66, 79, 87, 92):
+        p = W.pdf_layout_params(doc_id)
+        assert p["pdf15"], doc_id
+        text = _text(rng, rng.randrange(5, 100))
+        payload = W.encode_pdf(doc_id, text)
+        assert payload.startswith(b"%PDF-1.5")
+        assert b"/ObjStm" in payload and b"trailer" not in payload
+        if b"/Predictor 12" in payload:
+            seen_pred += 1
+        else:
+            seen_plain += 1
+        assert P.pdf_plaintext(payload) == text, (doc_id, p)
+    assert seen_pred and seen_plain  # both xref encodings exercised
+
+
+def test_png_predictor_codec():
+    rng = random.Random(3)
+    rows = [bytes(rng.randrange(256) for _ in range(7)) for _ in range(40)]
+    enc = W.png_up_encode(rows)
+    assert P.png_predictor_decode(enc, columns=7) == b"".join(rows)
+    # all five PNG filter types decode (hand-built tiny cases)
+    raw = bytes([0, 5, 5, 5])  # None row
+    assert P.png_predictor_decode(raw, columns=3) == b"\x05\x05\x05"
+    sub = bytes([1, 10, 5, 5])  # Sub: 10, 15, 20
+    assert P.png_predictor_decode(sub, columns=3) == bytes([10, 15, 20])
+    with pytest.raises(P.PdfError):
+        P.png_predictor_decode(bytes([9, 1, 1, 1]), columns=3)
+
+
+def test_pdf15_encrypted_and_repair_paths():
+    """Encryption detection when the trailer lives in the xref stream
+    dict (both intact and damaged-xref paths), and the ObjStm-exploding
+    repair scan when the xref stream itself is corrupted."""
+    text = "alpha beta gamma delta epsilon zeta eta theta"
+    enc = W.encode_pdf(14, text, encrypted=True)  # 14 % 13 == 1
+    with pytest.raises(P.PdfEncryptedError):
+        P.pdf_plaintext(enc)
+    with pytest.raises(P.PdfEncryptedError):
+        P.pdf_plaintext(enc.replace(b"startxref", b"stxrtxref"))
+    doc = W.encode_pdf(27, text)
+    assert P.pdf_plaintext(
+        doc.replace(b"/Type /XRef", b"/Type /Xrif")) == text
+
+
+def test_hybrid_xrefstm_trailer():
+    """A classic table trailer naming /XRefStm (hybrid-reference file)
+    must pull the stream's entries in with precedence."""
+    import re as _re
+
+    text = "words in a hybrid reference file spanning lines"
+    base = W.encode_pdf(27, text)
+    xref_pos = int(_re.search(rb"startxref\s+(\d+)", base[-64:]).group(1))
+    hybrid = base + (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        b"trailer\n<< /Size 1 /Root 1 0 R /XRefStm "
+        + str(xref_pos).encode() + b" >>\n"
+        b"startxref\n" + str(len(base)).encode() + b"\n%%EOF\n")
+    assert P.pdf_plaintext(hybrid) == text

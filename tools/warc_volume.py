@@ -8,7 +8,9 @@ batches) is what a 10^12-document crawl needs; a crash or OOM here
 fails the round's evidence.
 
 Usage: python tools/warc_volume.py [sf_dir] [replicate] [cpus]
-Appends one JSON line to BENCH/warc_volume_r07.jsonl and prints it.
+Appends one JSON line to BENCH/warc_volume_r08.jsonl and prints it.
+r8: the read side is PATH-STREAMED (paths-only scan, chunked open()
+inside the kernel) — this run is the within-noise-of-r7 evidence.
 """
 
 from __future__ import annotations
@@ -77,9 +79,14 @@ def main() -> None:
     ).collect()[0]
     chain_sec = time.perf_counter() - t2
 
+    try:
+        with open("/proc/sys/kernel/random/boot_id") as f:
+            boot_id = f.read().strip()
+    except OSError:
+        boot_id = None
     result = {
         "ts": time.time(), "sf_dir": sf_dir, "replicate": replicate,
-        "cpus": cpus, "loadavg_at_start": loadavg,
+        "cpus": cpus, "loadavg_at_start": loadavg, "boot_id": boot_id,
         "n_records": int(ingest["n"]), "n_written": n_written,
         "warc_gz_mb": round(gz_bytes / 1e6, 1),
         "n_files": len(manifest),
@@ -92,7 +99,7 @@ def main() -> None:
         "extract_errors": int(ans["errors"]),
     }
     os.makedirs("BENCH", exist_ok=True)
-    with open("BENCH/warc_volume_r07.jsonl", "a") as f:
+    with open("BENCH/warc_volume_r08.jsonl", "a") as f:
         f.write(json.dumps(result) + "\n")
     print(json.dumps(result))
     shutil.rmtree(out_dir, ignore_errors=True)

@@ -9,15 +9,21 @@ from the public PDF spec (ISO 32000-1 / Adobe PDF 1.4 reference):
 - **Lexer** (`_Lexer`): PDF tokens — numbers, names, literal strings
   (nested parens, ``\\``-escapes incl. octal and line continuations),
   hex strings, dicts ``<< >>``, arrays, comments, keywords.
-- **Object layer** (`PdfDocument`): startxref -> xref table -> trailer
-  ``/Root``; indirect-reference resolution; stream payloads with
-  (possibly indirect) ``/Length`` and chained stream filters —
-  ``/FlateDecode`` (zlib), ``/LZWDecode`` (the spec's variable-width
-  9-12 bit MSB-first LZW with EarlyChange), ``/ASCIIHexDecode``.  A
-  damaged or missing xref falls back to a whole-file ``N G obj`` scan,
-  the standard repair strategy of real readers.  Encrypted files
-  (trailer ``/Encrypt``) are detected and raise the typed
-  `PdfEncryptedError` — one error ROW downstream, never a garbled one.
+- **Object layer** (`PdfDocument`): startxref -> xref section chain ->
+  trailer ``/Root``.  Sections are classic tables OR PDF-1.5
+  cross-reference STREAMS (``/Type /XRef``: binary /W rows decoded
+  through their filters + PNG/TIFF ``/Predictor``s, type-2 entries
+  resolving through ``/Type /ObjStm`` OBJECT streams, hybrid
+  ``/XRefStm`` trailers honored with stream precedence).  Indirect
+  references resolve with cycle guards; stream payloads take (possibly
+  indirect) ``/Length`` and chained filters — ``/FlateDecode`` (zlib),
+  ``/LZWDecode`` (the spec's variable-width 9-12 bit MSB-first LZW
+  with EarlyChange), ``/ASCIIHexDecode``.  A damaged or missing xref
+  falls back to a whole-file ``N G obj`` scan (exploding ObjStm
+  containers when the catalog hides inside one), the standard repair
+  strategy of real readers.  Encrypted files (trailer ``/Encrypt``,
+  table or stream form) raise the typed `PdfEncryptedError` — one
+  error ROW downstream, never a garbled one.
 - **Fonts / text decoding**: ``Tf`` selects the page-resource font
   (``/Resources`` inherited down the page tree per spec); each font
   decodes its show-strings via, in precedence order, its ``/ToUnicode``
@@ -353,6 +359,105 @@ def ascii_hex_decode(data: bytes) -> bytes:
         raise PdfError(f"ASCIIHexDecode: {e}") from e
 
 
+def png_predictor_decode(data: bytes, columns: int, colors: int = 1,
+                         bpc: int = 8) -> bytes:
+    """Undo PNG row predictors (/Predictor >= 10 — the near-universal
+    /DecodeParms of real xref streams): each row is one filter-type
+    byte then ``columns`` filtered bytes; types None/Sub/Up/Average/
+    Paeth per the PNG spec, with bpp-byte left neighbors."""
+    bpp = max(1, colors * bpc // 8)
+    row_len = columns * colors * bpc // 8
+    out = bytearray()
+    prev = bytearray(row_len)
+    pos = 0
+    n = len(data)
+    while pos < n:
+        ft = data[pos]
+        pos += 1
+        row = bytearray(data[pos:pos + row_len])
+        pos += row_len
+        if ft == 1:  # Sub
+            for i in range(bpp, len(row)):
+                row[i] = (row[i] + row[i - bpp]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(len(row)):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average
+            for i in range(len(row)):
+                left = row[i - bpp] if i >= bpp else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth
+            for i in range(len(row)):
+                a = row[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (
+                    b if pb <= pc else c)
+                row[i] = (row[i] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError(f"PNG predictor: bad filter type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _apply_predictor(data: bytes, parm: dict) -> bytes:
+    pred = int(parm.get("/Predictor", 1) or 1)
+    if pred <= 1:
+        return data
+    columns = int(parm.get("/Columns", 1) or 1)
+    colors = int(parm.get("/Colors", 1) or 1)
+    bpc = int(parm.get("/BitsPerComponent", 8) or 8)
+    if pred >= 10:
+        return png_predictor_decode(data, columns, colors, bpc)
+    if pred == 2:  # TIFF horizontal differencing (8-bit path)
+        bpp = max(1, colors * bpc // 8)
+        row_len = columns * colors * bpc // 8
+        out = bytearray(data)
+        for r in range(0, len(out), row_len):
+            for i in range(r + bpp, min(r + row_len, len(out))):
+                out[i] = (out[i] + out[i - bpp]) & 0xFF
+        return bytes(out)
+    raise PdfError(f"unsupported /Predictor {pred}")
+
+
+def _apply_filters(sdict: dict, raw: bytes, resolve) -> bytes:
+    """Decode one stream's filter chain.  ``resolve`` maps possibly-
+    indirect values (PdfDocument passes its resolver; the xref-stream
+    bootstrap, which runs before any xref exists, passes identity)."""
+    filt = resolve(sdict.get("/Filter"))
+    if filt is None:
+        return raw
+    filters = filt if isinstance(filt, list) else [filt]
+    parms = resolve(sdict.get("/DecodeParms"))
+    if not isinstance(parms, list):
+        parms = [parms] * len(filters)
+    data = raw
+    for f, parm in zip(filters, parms):
+        parm = resolve(parm)
+        if f == "/FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as e:
+                raise PdfError(f"FlateDecode failed: {e}") from e
+            if isinstance(parm, dict):
+                data = _apply_predictor(data, parm)
+        elif f == "/LZWDecode":
+            ec = 1
+            if isinstance(parm, dict):
+                ec = int(resolve(parm.get("/EarlyChange", 1)))
+            data = lzw_decode(data, early_change=ec)
+            if isinstance(parm, dict):
+                data = _apply_predictor(data, parm)
+        elif f == "/ASCIIHexDecode":
+            data = ascii_hex_decode(data)
+        else:
+            raise PdfError(f"unsupported filter {f}")
+    return data
+
+
 # line-anchored: repair-scan matches must start a line, which filters
 # most same-shaped byte runs inside compressed stream payloads
 _OBJ_RE = re.compile(rb"(?m)^(\d+)[ \t]+(\d+)[ \t]+obj\b")
@@ -394,18 +499,32 @@ class PdfDocument:
     def _from_xref(cls, buf: bytes) -> "PdfDocument":
         """Follow startxref, then the trailer ``/Prev`` chain of an
         incrementally-updated file (newest section first, so updated
-        objects shadow their originals — the PDF update semantics)."""
+        objects shadow their originals — the PDF update semantics).
+        Sections are classic ``xref`` TABLES or PDF-1.5 cross-reference
+        STREAMS (/Type /XRef: binary /W-field rows, type 2 entries
+        pointing into object streams); hybrid files' table trailers
+        name an /XRefStm whose entries take precedence over the table
+        of the same update (spec §7.5.8.4)."""
         tail = buf[-256:]
         m = None
         for m in re.finditer(rb"startxref\s+(\d+)", tail):
             pass
         if m is None:
             raise PdfError("no startxref")
-        offsets: dict[int, int] = {}
-        # an object number decided by a NEWER section — whether 'n'
-        # (updated) or 'f' (deleted) — must not be resurrected from an
-        # older section's entry: 'f' tombstones, it doesn't fall through
+        offsets: dict[int, object] = {}
+        # an object number decided by a NEWER section — whether live
+        # (updated) or free (deleted) — must not be resurrected from an
+        # older section's entry: free tombstones, never falls through
         decided: set[int] = set()
+
+        def apply(entries: dict[int, object]) -> None:
+            for num, val in entries.items():
+                if num in decided:
+                    continue  # newest section parsed first wins
+                decided.add(num)
+                if val is not None:
+                    offsets[num] = val
+
         trailer: dict | None = None
         xref_pos: int | None = int(m.group(1))
         seen: set[int] = set()
@@ -416,31 +535,19 @@ class PdfDocument:
             if xref_pos >= len(buf):
                 raise PdfError("xref offset beyond EOF")
             lex = _Lexer(buf, xref_pos)
-            if lex.next_token() != "xref":
-                raise PdfError("offset does not point at an xref table")
-            while True:
-                first = lex.next_token()
-                if first == "trailer":
-                    break
-                count = lex.next_token()
-                if not isinstance(first, int) or not isinstance(count, int):
-                    raise PdfError("malformed xref subsection header")
-                for i in range(count):
-                    off = lex.next_token()
-                    lex.next_token()  # generation (unused)
-                    kind = lex.next_token()
-                    if kind not in ("n", "f"):
-                        raise PdfError("malformed xref entry")
-                    num = first + i
-                    if num in decided:
-                        continue  # newest section parsed first wins
-                    decided.add(num)
-                    if kind == "n":
-                        offsets[num] = off
-            t = lex.next_token()
-            tdict = _parse_value(lex, t)
-            if not isinstance(tdict, dict):
-                raise PdfError("malformed trailer")
+            first_tok = lex.next_token()
+            if first_tok == "xref":
+                entries, tdict = cls._parse_xref_table(lex)
+                xstm = tdict.get("/XRefStm")
+                if isinstance(xstm, (int, float)):  # hybrid-reference
+                    stm_entries, _ = cls._parse_xref_stream(buf, int(xstm))
+                    apply(stm_entries)
+                apply(entries)
+            elif isinstance(first_tok, int):
+                entries, tdict = cls._parse_xref_stream(buf, xref_pos)
+                apply(entries)
+            else:
+                raise PdfError("offset does not point at an xref section")
             if trailer is None:
                 trailer = tdict
             prev = tdict.get("/Prev")
@@ -451,6 +558,93 @@ class PdfDocument:
             raise PdfEncryptedError(
                 "encrypted PDF (trailer /Encrypt): decryption unsupported")
         return cls(buf, offsets, trailer)
+
+    @staticmethod
+    def _parse_xref_table(lex: "_Lexer") -> tuple[dict, dict]:
+        """One classic xref table at the lexer position (``xref``
+        keyword already consumed) -> ({num: offset | None-if-free},
+        trailer dict)."""
+        entries: dict[int, object] = {}
+        while True:
+            first = lex.next_token()
+            if first == "trailer":
+                break
+            count = lex.next_token()
+            if not isinstance(first, int) or not isinstance(count, int):
+                raise PdfError("malformed xref subsection header")
+            for i in range(count):
+                off = lex.next_token()
+                lex.next_token()  # generation (unused)
+                kind = lex.next_token()
+                if kind == "n":
+                    entries[first + i] = off
+                elif kind == "f":
+                    entries[first + i] = None
+                else:
+                    raise PdfError("malformed xref entry")
+        tdict = _parse_value(lex, lex.next_token())
+        if not isinstance(tdict, dict):
+            raise PdfError("malformed trailer")
+        return entries, tdict
+
+    @staticmethod
+    def _parse_xref_stream(buf: bytes, pos: int) -> tuple[dict, dict]:
+        """A PDF-1.5 cross-reference STREAM at ``pos`` -> ({num:
+        offset | ('objstm', container, idx) | None-if-free}, its dict,
+        which doubles as the trailer).  The stream bootstraps the xref
+        itself, so /Length and filter params must be direct values
+        (what every writer emits)."""
+        lex = _Lexer(buf, pos)
+        header = [lex.next_token(), lex.next_token(), lex.next_token()]
+        if not isinstance(header[0], int) or header[2] != "obj":
+            raise PdfError(f"xref stream at {pos}: bad object header")
+        val = _parse_value(lex, lex.next_token())
+        if not isinstance(val, dict) or val.get("/Type") != "/XRef":
+            raise PdfError(f"object at {pos} is not an xref stream")
+        if lex.next_token() != "stream":
+            raise PdfError("xref stream without stream data")
+        p = lex.pos
+        if buf[p:p + 2] == b"\r\n":
+            p += 2
+        elif buf[p:p + 1] in (b"\n", b"\r"):
+            p += 1
+        length = val.get("/Length")
+        if not isinstance(length, int):
+            raise PdfError("xref stream /Length must be direct")
+        data = _apply_filters(val, buf[p:p + length], lambda v: v)
+        w = val.get("/W")
+        size = val.get("/Size")
+        if (not isinstance(w, list) or not all(
+                isinstance(x, int) for x in w) or len(w) < 3
+                or not isinstance(size, int)):
+            raise PdfError("xref stream missing /W or /Size")
+        index = val.get("/Index") or [0, size]
+        row_len = sum(w)
+        entries: dict[int, object] = {}
+        di = 0
+        for k in range(0, len(index) - 1, 2):
+            start, count = index[k], index[k + 1]
+            for i in range(count):
+                row = data[di:di + row_len]
+                if len(row) < row_len:
+                    raise PdfError("xref stream data truncated")
+                di += row_len
+                fields = []
+                q = 0
+                for width in w:
+                    fields.append(
+                        int.from_bytes(row[q:q + width], "big")
+                        if width else None)
+                    q += width
+                etype = fields[0] if w[0] else 1  # W[0]=0 defaults type 1
+                num = start + i
+                if etype == 1:
+                    entries[num] = fields[1]
+                elif etype == 2:
+                    entries[num] = ("objstm", fields[1], fields[2])
+                else:  # 0 (free) or unknown types (spec: treat as free)
+                    entries[num] = None
+        return entries, val
 
     @classmethod
     def _from_scan(cls, buf: bytes) -> "PdfDocument":
@@ -481,15 +675,45 @@ class PdfDocument:
                   {})
         doc._fallbacks = {num: offs[:-1] for num, offs in
                           candidates.items() if len(offs) > 1}
-        for num in doc.offsets:
-            try:
-                obj = doc.object(num)
-            except PdfError:
-                continue
-            if isinstance(obj, dict) and obj.get("/Type") == "/Catalog":
-                doc.trailer = {"/Root": Ref(num, 0)}
-                return doc
-        raise PdfError("no /Catalog object found")
+        def find_catalog() -> int | None:
+            for num in list(doc.offsets):
+                try:
+                    obj = doc.object(num)
+                except PdfError:
+                    continue
+                if isinstance(obj, dict) and obj.get("/Type") == "/Catalog":
+                    return num
+                # a 1.5 file keeps its trailer in the xref STREAM dict
+                # (no 'trailer' keyword for the sweep above to find)
+                d = obj.dict if isinstance(obj, Stream) else obj
+                if isinstance(d, dict) and d.get("/Type") == "/XRef" \
+                        and "/Encrypt" in d:
+                    raise PdfEncryptedError(
+                        "encrypted PDF (trailer /Encrypt): "
+                        "decryption unsupported")
+            return None
+
+        cat = find_catalog()
+        if cat is None:
+            # PDF-1.5 file with a damaged xref: the catalog usually
+            # lives INSIDE an object stream — explode every /ObjStm
+            # container found top-level and index its members
+            for num in list(doc.offsets):
+                try:
+                    obj = doc.object(num)
+                    if not (isinstance(obj, Stream)
+                            and obj.dict.get("/Type") == "/ObjStm"):
+                        continue
+                    pairs, _, _ = doc._load_objstm(num)
+                except PdfError:
+                    continue
+                for idx, (on, _off) in enumerate(pairs):
+                    doc.offsets.setdefault(on, ("objstm", num, idx))
+            cat = find_catalog()
+        if cat is None:
+            raise PdfError("no /Catalog object found")
+        doc.trailer = {"/Root": Ref(cat, 0)}
+        return doc
 
     # -- object access ----------------------------------------------------
 
@@ -499,8 +723,12 @@ class PdfDocument:
         if num not in self.offsets:
             raise PdfError(f"object {num} not in xref")
         while True:
+            entry = self.offsets[num]
             try:
-                val = self._parse_object_at(num, self.offsets[num])
+                if isinstance(entry, tuple):  # ('objstm', container, idx)
+                    val = self._objstm_object(num, entry[1], entry[2])
+                else:
+                    val = self._parse_object_at(num, entry)
                 break
             except PdfError:
                 fallbacks = getattr(self, "_fallbacks", {}).get(num)
@@ -509,6 +737,59 @@ class PdfDocument:
                 self.offsets[num] = fallbacks.pop()
         self._cache[num] = val
         return val
+
+    def _load_objstm(self, stm_num: int) -> tuple[list, bytes, int]:
+        """Decode one /Type /ObjStm container: ([(objnum, offset)...],
+        decoded bytes, /First).  Cached per container — every member
+        lookup after the first is an in-memory slice."""
+        cache = getattr(self, "_objstm_cache", None)
+        if cache is None:
+            cache = self._objstm_cache = {}
+        if stm_num in cache:
+            return cache[stm_num]
+        loading = getattr(self, "_objstm_loading", None)
+        if loading is None:
+            loading = self._objstm_loading = set()
+        if stm_num in loading:
+            raise PdfError(f"object stream {stm_num} contains itself")
+        loading.add(stm_num)
+        try:
+            stm = self.object(stm_num)
+            if not isinstance(stm, Stream) or \
+                    self.resolve(stm.dict.get("/Type")) != "/ObjStm":
+                raise PdfError(f"object {stm_num} is not an object stream")
+            n = self.resolve(stm.dict.get("/N"))
+            first = self.resolve(stm.dict.get("/First"))
+            if not isinstance(n, int) or not isinstance(first, int):
+                raise PdfError(f"object stream {stm_num}: bad /N //First")
+            data = self.stream_data(stm)
+            lex = _Lexer(data)
+            pairs = []
+            for _ in range(n):
+                on = lex.next_token()
+                off = lex.next_token()
+                if not isinstance(on, int) or not isinstance(off, int):
+                    raise PdfError(
+                        f"object stream {stm_num}: bad pair table")
+                pairs.append((on, off))
+            cache[stm_num] = (pairs, data, first)
+            return cache[stm_num]
+        finally:
+            loading.discard(stm_num)
+
+    def _objstm_object(self, num: int, stm_num: int, idx: int):
+        pairs, data, first = self._load_objstm(stm_num)
+        if 0 <= idx < len(pairs) and pairs[idx][0] == num:
+            off = pairs[idx][1]
+        else:  # tolerate off-by-one writers: search the pair table
+            for on, off in pairs:
+                if on == num:
+                    break
+            else:
+                raise PdfError(
+                    f"object {num} not found in object stream {stm_num}")
+        lex = _Lexer(data, first + off)
+        return _parse_value(lex, lex.next_token())
 
     def _parse_object_at(self, num: int, offset: int):
         lex = _Lexer(self.buf, offset)
@@ -541,31 +822,7 @@ class PdfDocument:
         return v
 
     def stream_data(self, s: Stream) -> bytes:
-        filt = self.resolve(s.dict.get("/Filter"))
-        if filt is None:
-            return s.raw
-        filters = filt if isinstance(filt, list) else [filt]
-        parms = self.resolve(s.dict.get("/DecodeParms"))
-        if not isinstance(parms, list):
-            parms = [parms] * len(filters)
-        data = s.raw
-        for f, parm in zip(filters, parms):
-            parm = self.resolve(parm)
-            if f == "/FlateDecode":
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error as e:
-                    raise PdfError(f"FlateDecode failed: {e}") from e
-            elif f == "/LZWDecode":
-                ec = 1
-                if isinstance(parm, dict):
-                    ec = int(self.resolve(parm.get("/EarlyChange", 1)))
-                data = lzw_decode(data, early_change=ec)
-            elif f == "/ASCIIHexDecode":
-                data = ascii_hex_decode(data)
-            else:
-                raise PdfError(f"unsupported filter {f}")
-        return data
+        return _apply_filters(s.dict, s.raw, self.resolve)
 
     # -- page tree ---------------------------------------------------------
 

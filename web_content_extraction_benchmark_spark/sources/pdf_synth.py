@@ -71,6 +71,11 @@ def pdf_layout_params(doc_id: int) -> dict:
         "stream_filter": {0: "ahx", 1: "lzw", 2: "lzw"}.get(enc_arm),
         "font_enc": {3: "diff", 4: "diff", 5: "cmap1",
                      6: "cmap2"}.get(enc_arm),
+        # r8 PDF-1.5 arm (doc_id % 13, coprime to 7 and to the others):
+        # object-stream packing + cross-reference stream, half of them
+        # PNG-Predictor-12 filtered
+        "pdf15": doc_id % 13 in (1, 5, 9),
+        "xref_predictor": doc_id % 5 < 2,  # only read under pdf15
     }
 
 
@@ -319,6 +324,7 @@ def encode_pdf(doc_id: int, text: str, encrypted: bool = False) -> bytes:
 
     # --- object assembly ---------------------------------------------------
     objects: dict[int, bytes] = {}
+    stream_nums: set[int] = set()  # objects that carry stream data
     next_num = 4  # 1=Catalog 2=Pages-root 3=Font
     page_nums: list[int] = []
     for page_cols in pages_lines:
@@ -345,6 +351,7 @@ def encode_pdf(doc_id: int, text: str, encrypted: bool = False) -> bytes:
                 f"<< /Length {length}{filt} >>\nstream\n".encode()
                 + data + b"\nendstream"
             )
+            stream_nums.add(num)
             content_nums.append(num)
         page_num = next_num
         next_num += 1
@@ -402,6 +409,7 @@ def encode_pdf(doc_id: int, text: str, encrypted: bool = False) -> bytes:
             f"<< /Length {len(cmap)} >>\nstream\n".encode()
             + cmap + b"\nendstream"
         )
+        stream_nums.add(tu_num)
         subtype = ("/Type0 /Encoding /Identity-H" if fe == "cmap2"
                    else "/TrueType")
         objects[3] = (
@@ -412,7 +420,13 @@ def encode_pdf(doc_id: int, text: str, encrypted: bool = False) -> bytes:
         objects[3] = (b"<< /Type /Font /Subtype /Type1 "
                       b"/BaseFont /Helvetica >>")
 
-    # --- serialization with a correct xref ---------------------------------
+    enc_entry = (" /Encrypt << /Filter /Standard /V 1 /R 2 >>"
+                 if encrypted else "")
+
+    if p["pdf15"]:
+        return _serialize_pdf15(objects, stream_nums, p, enc_entry)
+
+    # --- serialization with a correct classic xref table -------------------
     out = bytearray(b"%PDF-1.4\n%\xe2\xe3\xcf\xd3\n")
     offsets: dict[int, int] = {}
     for num in sorted(objects):
@@ -424,12 +438,88 @@ def encode_pdf(doc_id: int, text: str, encrypted: bool = False) -> bytes:
     out += b"0000000000 65535 f \n"
     for num in range(1, size):
         out += f"{offsets[num]:010d} 00000 n \n".encode()
-    enc_entry = (" /Encrypt << /Filter /Standard /V 1 /R 2 >>"
-                 if encrypted else "")
     out += (
         f"trailer\n<< /Size {size} /Root 1 0 R{enc_entry} >>\n"
         f"startxref\n{xref_pos}\n%%EOF\n".encode()
     )
+    return bytes(out)
+
+
+def png_up_encode(rows: list[bytes]) -> bytes:
+    """PNG Up-filter (type 2) encoder over fixed-width rows — the
+    /Predictor 12 every real PDF writer applies to xref streams."""
+    out = bytearray()
+    prev = bytes(len(rows[0])) if rows else b""
+    for row in rows:
+        out.append(2)
+        out += bytes((b - a) & 0xFF for b, a in zip(row, prev))
+        prev = row
+    return bytes(out)
+
+
+def _serialize_pdf15(objects: dict[int, bytes], stream_nums: set[int],
+                     p: dict, enc_entry: str) -> bytes:
+    """PDF-1.5 serialization: every non-stream object packed into ONE
+    /Type /ObjStm container, cross-reference written as a /Type /XRef
+    STREAM (W [1 4 2]; type-2 entries for packed members), trailer keys
+    living in the xref stream dict — the modern-writer layout.  Half
+    the arm (`xref_predictor`) runs the xref rows through the PNG Up
+    predictor (/DecodeParms /Predictor 12), the other half plain
+    flate."""
+    packed = sorted(n for n in objects if n not in stream_nums)
+    top = sorted(n for n in objects if n in stream_nums)
+    objstm_num = max(objects) + 1
+    xref_num = objstm_num + 1
+
+    body = bytearray()
+    pair_offs: list[tuple[int, int]] = []
+    for n in packed:
+        pair_offs.append((n, len(body)))
+        body += objects[n] + b"\n"
+    header = " ".join(f"{n} {o}" for n, o in pair_offs).encode() + b"\n"
+    objstm_data = zlib.compress(header + bytes(body), 6)
+
+    out = bytearray(b"%PDF-1.5\n%\xe2\xe3\xcf\xd3\n")
+    offsets: dict[int, int] = {}
+    for n in top:
+        offsets[n] = len(out)
+        out += f"{n} 0 obj\n".encode() + objects[n] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += (
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(packed)} "
+        f"/First {len(header)} /Length {len(objstm_data)} "
+        f"/Filter /FlateDecode >>\nstream\n".encode()
+        + objstm_data + b"\nendstream\nendobj\n"
+    )
+    xref_pos = len(out)
+
+    size = xref_num + 1
+    rows: list[bytes] = []
+    pos_of_packed = {n: i for i, (n, _) in enumerate(pair_offs)}
+    for num in range(size):
+        if num == 0:
+            rows.append(b"\x00" + (0).to_bytes(4, "big")
+                        + (0xFFFF).to_bytes(2, "big"))
+        elif num in pos_of_packed:
+            rows.append(b"\x02" + objstm_num.to_bytes(4, "big")
+                        + pos_of_packed[num].to_bytes(2, "big"))
+        else:
+            off = xref_pos if num == xref_num else offsets[num]
+            rows.append(b"\x01" + off.to_bytes(4, "big")
+                        + (0).to_bytes(2, "big"))
+    if p["xref_predictor"]:
+        xdata = zlib.compress(png_up_encode(rows), 6)
+        parms = " /DecodeParms << /Predictor 12 /Columns 7 >>"
+    else:
+        xdata = zlib.compress(b"".join(rows), 6)
+        parms = ""
+    out += (
+        f"{xref_num} 0 obj\n<< /Type /XRef /Size {size} /W [1 4 2] "
+        f"/Root 1 0 R{enc_entry} /Length {len(xdata)} "
+        f"/Filter /FlateDecode{parms} >>\nstream\n".encode()
+        + xdata + b"\nendstream\nendobj\n"
+    )
+    out += f"startxref\n{xref_pos}\n%%EOF\n".encode()
     return bytes(out)
 
 
