@@ -55,12 +55,22 @@ CACHE_ROOT = os.environ.get("SPARK_GRAFT_BENCH_CACHE", "/tmp/wceb_bench")
 
 
 def _source_fingerprint(sf_dir: str) -> str:
-    """mtime+size fingerprint of the source corpus: a stale cache from
-    regenerated (or same-named) test data must rebuild, not silently
-    feed the headline number."""
+    """mtime+size fingerprint of the source corpus AND the synthesis
+    templates: a stale cache from regenerated (or same-named) test
+    data — or from an edited pages/warc/pdf writer — must rebuild,
+    not silently feed the headline number."""
     path = os.path.join(sf_dir, "documents.parquet")
     st = os.stat(path)
-    return f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"
+    parts = [f"{os.path.abspath(path)}|{st.st_mtime_ns}|{st.st_size}"]
+    pkg = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                       "web_content_extraction_benchmark_spark", "sources")
+    for mod in ("pages.py", "warc.py", "pdf_synth.py"):
+        try:
+            ms = os.stat(os.path.join(pkg, mod))
+            parts.append(f"{mod}|{ms.st_mtime_ns}|{ms.st_size}")
+        except OSError:
+            pass
+    return ";".join(parts)
 
 
 def _pages_parquet(spark, sf_dir: str, replicate: int,

@@ -340,3 +340,28 @@ def test_incremental_candidates_embedding_store_not_shuffled(
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan, plan
     assert "ShuffledHashJoin" not in plan, plan
+
+
+def test_read_warc_scan_prunes_content_column(spark, tmp_path):
+    """Path-streamed WARC ingest (r8): the binaryFile scan must carry
+    PATHS ONLY — a plan whose ReadSchema still includes the binary
+    content column would re-materialize whole crawl files in the JVM
+    and ship them across Arrow, the exact thing the r8 change
+    removed."""
+    from datetime import datetime, timezone
+
+    from web_content_extraction_benchmark_spark.sources.warc import (
+        read_warc,
+        write_warc_gz,
+    )
+
+    write_warc_gz(str(tmp_path / "a.warc.gz"), [{
+        "url": "https://h/x/1",
+        "ts": datetime(2023, 3, 4, tzinfo=timezone.utc),
+        "body": b"<html>x</html>",
+    }])
+    plan = _plan(read_warc(spark, str(tmp_path)))
+    scan_schema = plan.split("ReadSchema")[1][:200]
+    assert "path" in scan_schema
+    assert "content" not in scan_schema
+    assert "Exchange" not in plan

@@ -222,6 +222,47 @@ def test_read_warc_stream_matches_batch(spark, sf_dir, tmp_path):
     assert got == batch
 
 
+def test_warc_stream_restart_resumes_without_reingest(spark, tmp_path):
+    """Drop-directory ingest across a RESTART: phase 1 processes the
+    first file into a parquet sink, phase 2 restarts the same
+    checkpoint after a second file lands — the union equals one batch
+    read, with no re-ingested (duplicated) phase-1 rows.  Needs the
+    parquet sink: memory-sink queries cannot recover a checkpoint."""
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+    W.write_warc_gz(str(drop / "day1.warc.gz"), _pages(3))
+
+    def run_once(name: str) -> None:
+        q = (
+            W.read_warc_stream(spark, str(drop))
+            .selectExpr("url", "cast(html as string) AS body")
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    run_once("warc_restart_p1")
+    more = [{"url": f"https://h9.example/src/{i}", "ts": TS,
+             "body": f"<html>late {i}</html>".encode()}
+            for i in range(2)]
+    W.write_warc_gz(str(drop / "day2.warc.gz"), more)
+    run_once("warc_restart_p2")
+
+    got = [(r["url"], r["body"]) for r in spark.read.parquet(out).collect()]
+    assert len(got) == len(set(got)) == 5  # no duplicates across restart
+    want = {(r["url"], bytes(r["html"]).decode())
+            for r in W.read_warc(spark, str(drop)).collect()}
+    assert set(got) == want
+
+
 def test_read_warc_skip_errors_isolates_damaged_files(spark, tmp_path):
     """errors='skip' drops a damaged file's unread remainder but keeps
     every other file; strict mode (the oracle posture) raises."""
@@ -302,6 +343,49 @@ def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
         assert rows[url]["kind"] == kind, url
         assert rows[url]["plaintext"] == text, url
         assert rows[url]["error"] is None
+
+
+def test_payload_digest_verification(spark, tmp_path):
+    """WARC-Payload-Digest (sha1/base32, the CC convention): written by
+    both sinks, verified on ingest into the digest_ok column — True on
+    intact records, False on a corrupted body, null when absent or a
+    foreign algorithm."""
+    W.write_warc_gz(str(tmp_path / "a.warc.gz"), _pages(2))
+    # plant one record with a WRONG digest and one with none
+    bad = W._warc_record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://h/bad"),
+         ("WARC-Payload-Digest",
+          "sha1:AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"),
+         ("Content-Type", "application/http; msgtype=response")],
+        W.build_http_response(b"<html>tampered</html>"),
+    )
+    plain = W._warc_record(
+        [("WARC-Type", "response"), ("WARC-Target-URI", "https://h/plain"),
+         ("Content-Type", "application/http; msgtype=response")],
+        W.build_http_response(b"<html>no digest</html>"),
+    )
+    (tmp_path / "b.warc.gz").write_bytes(
+        gzip.compress(bad, mtime=0) + gzip.compress(plain, mtime=0))
+
+    rows = {r["url"]: r for r in W.read_warc(spark, str(tmp_path)).collect()}
+    for p in _pages(2):
+        assert rows[p["url"]]["digest_ok"] is True, p["url"]
+    assert rows["https://h/bad"]["digest_ok"] is False
+    assert rows["https://h/plain"]["digest_ok"] is None
+    # pure helper surface
+    assert W.payload_digest(b"x").startswith("sha1:")
+
+
+def test_read_warc_ignores_crashed_sink_temp_files(spark, tmp_path):
+    """A killed write_warc attempt leaves part-*.warc.gz.inprogress-N;
+    the readers must never ingest it as data (it is an uncommitted,
+    possibly torn file that still matches the *.warc* glob)."""
+    W.write_warc_gz(str(tmp_path / "good.warc.gz"), _pages(2))
+    full = (tmp_path / "good.warc.gz").read_bytes()
+    (tmp_path / "part-00001.warc.gz.inprogress-7").write_bytes(
+        full[:len(full) // 2])  # torn mid-write
+    rows = W.read_warc(spark, str(tmp_path)).collect()
+    assert {r["url"] for r in rows} == {p["url"] for p in _pages(2)}
 
 
 def test_read_warc_skips_revisit_and_metadata_records(spark, tmp_path):

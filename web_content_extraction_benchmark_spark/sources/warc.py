@@ -51,8 +51,33 @@ WARC_PAGES_SCHEMA = T.StructType(
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("content_type", T.StringType(), True),
         T.StructField("warc_file", T.StringType(), True),
+        # WARC-Payload-Digest check: True/False when the record carries
+        # a sha1 digest (CC convention), null when absent — lets a
+        # pipeline quarantine silently-corrupted records instead of
+        # feeding them to extraction
+        T.StructField("digest_ok", T.BooleanType(), True),
     ]
 )
+
+
+def payload_digest(body: bytes) -> str:
+    """Common-Crawl-style ``WARC-Payload-Digest`` value: sha1 of the
+    (transfer-decoded) HTTP payload, base32 per RFC 4648."""
+    import base64
+    import hashlib
+
+    return "sha1:" + base64.b32encode(
+        hashlib.sha1(body).digest()).decode("ascii")
+
+
+def _check_digest(headers: dict[str, str], body: bytes) -> bool | None:
+    want = headers.get("warc-payload-digest")
+    if not want:
+        return None
+    algo, _, val = want.partition(":")
+    if algo.lower() != "sha1" or not val:
+        return None  # foreign algorithm: no verdict, not a failure
+    return payload_digest(body) == f"sha1:{val.upper()}"
 
 
 class WarcError(ValueError):
@@ -140,6 +165,7 @@ def write_warc_gz(path: str, pages: list[dict],
              ("WARC-Target-URI", p["url"]),
              ("WARC-Date", _iso(p["ts"])),
              ("WARC-Record-ID", _record_id(p["url"] + ":resp")),
+             ("WARC-Payload-Digest", payload_digest(p["body"])),
              ("Content-Type", "application/http; msgtype=response")],
             build_http_response(p["body"],
                                 chunked=bool(p.get("chunked")),
@@ -425,6 +451,9 @@ def _make_warc_batches(errors: str = "strict"):
         rows: list[dict] = []
         for pdf in batches:
             for path in pdf["path"]:
+                if ".inprogress-" in path:
+                    continue  # a crashed sink attempt's temp file —
+                    # never committed, must not be ingested as data
                 try:
                     records = iter_warc_records_chunks(
                         _file_chunks(_local_path(path)))
@@ -446,6 +475,7 @@ def _make_warc_batches(errors: str = "strict"):
                             "content_type":
                                 http_headers.get("content-type"),
                             "warc_file": path,
+                            "digest_ok": _check_digest(headers, body),
                         })
                         if len(rows) >= batch_rows:
                             yield pd.DataFrame(rows, columns=cols)
@@ -576,6 +606,8 @@ def read_wet(spark: SparkSession, path: str,
         out: list[dict] = []
         for pdf in batches:
             for fpath in pdf["path"]:
+                if ".inprogress-" in fpath:
+                    continue  # uncommitted sink temp file
                 records = iter_warc_records_chunks(
                     _file_chunks(_local_path(fpath)))
                 for headers, payload in records:
@@ -645,6 +677,8 @@ def write_warc(df: DataFrame, out_dir: str,
                             row.warc_ts.to_pydatetime().replace(
                                 tzinfo=timezone.utc))))
                     body = bytes(row.html) if row.html is not None else b""
+                    headers.append(
+                        ("WARC-Payload-Digest", payload_digest(body)))
                     f.write(gzip.compress(_warc_record(
                         headers,
                         build_http_response(
