@@ -367,9 +367,12 @@ def main() -> None:
             ),
         ),
         (
-            "WARC container ingest (r7)",
-            "binaryFile scan -> ONE mapInPandas (member walk + HTTP "
-            "parse); no Exchange — the unit of parallelism is the file",
+            "WARC container ingest (r7; path-streamed r8)",
+            "binaryFile scan carrying PATHS ONLY (Output [1]: [path] — "
+            "the binary content column is pruned; the kernel open()s "
+            "each file in chunks) -> ONE mapInPandas (member walk + "
+            "HTTP parse); no Exchange — the unit of parallelism is "
+            "the file",
             _warc_ingest_plan(spark, sf_dir),
         ),
         (
