@@ -2243,16 +2243,19 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'warc', CAST(doc_id AS VARCHAR), {GOLD_SQL}, NULL
             FROM fx
             UNION ALL
-            -- mixed: content-type-routed dispatch over one crawl —
-            -- doc_id % 4 < 2 rows are PDF payloads (half mislabeled
-            -- text/html to gate the magic sniff), the rest html
-            -- (plaintext = GOLD); predicate mirrors
-            -- synthesize_mixed_warc_tree.  PDF plaintext keeps LINE
-            -- structure (r8): pdf_structured_text joins layout lines
-            -- with chr(10), and the synth lays wpl = 3 + doc_id % 3
-            -- words per line (pdf_synth.pdf_layout_params) — block and
-            -- page boundaries always fall on line boundaries, so the
-            -- mirror regroups text.split() into wpl-word lines.
+            -- mixed: content-type-routed dispatch over one crawl;
+            -- predicates mirror synthesize_mixed_warc_tree exactly:
+            -- doc_id % 4 < 2 -> PDF payloads (half mislabeled
+            -- text/html to gate the magic sniff); % 8 = 2 -> text/plain
+            -- passthrough (plaintext = text verbatim); % 8 = 7 ->
+            -- image/png binary (plaintext NULL, counted skip, no
+            -- error); else html (plaintext = GOLD).  PDF plaintext
+            -- keeps LINE structure (r8): pdf_structured_text joins
+            -- layout lines with chr(10), and the synth lays wpl =
+            -- 3 + doc_id % 3 words per line (pdf_layout_params) —
+            -- block and page boundaries always fall on line
+            -- boundaries, so the mirror regroups text.split() into
+            -- wpl-word lines.
             SELECT 'mixed', CAST(doc_id AS VARCHAR),
                    CASE WHEN doc_id % 4 < 2 THEN
                        array_to_string(
@@ -2264,6 +2267,8 @@ def oracle_sql() -> dict[str, str]:
                                   string_split(text, ' ')
                                       [i+1 : i + 3 + doc_id % 3], ' ')
                          ), chr(10))
+                        WHEN doc_id % 8 = 2 THEN text
+                        WHEN doc_id % 8 = 7 THEN NULL
                         ELSE {GOLD_SQL} END, NULL
             FROM fx
         """,

@@ -97,8 +97,12 @@ def run_daily_crawl(spark: SparkSession, drop_dir: str, index_dir: str,
         # the dedup operators' contract is SINGLE-SPACED text
         # (shingle_col splits on ' '): collapse the extraction's
         # paragraph/line structure for signing — the structured text
-        # stays in the corpus, only the dedup key is normalized
-        docs = rows.filter(~F.col("is_err")).select(
+        # stays in the corpus, only the dedup key is normalized.
+        # kind="binary" rows (images/media: plaintext null, error
+        # null) are counted skips, not index input.
+        docs = rows.filter(
+            ~F.col("is_err") & F.col("plaintext").isNotNull()
+        ).select(
             "doc_id",
             F.regexp_replace(F.col("plaintext"), r"\s+", " ")
             .alias("text"))

@@ -327,6 +327,15 @@ def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
                                  else "text/html"),
             })
             want[url] = ("pdf", structured(i, text))
+    # r8 routes: text/plain passthrough and binary counted-skip
+    pages.append({"url": "https://h/x/plain", "ts": TS,
+                  "body": b"just words no markup",
+                  "content_type": "text/plain; charset=utf-8"})
+    want["https://h/x/plain"] = ("text", "just words no markup")
+    pages.append({"url": "https://h/x/img", "ts": TS,
+                  "body": b"\x89PNG\r\n\x1a\n" + b"\x00" * 32,
+                  "content_type": "image/png"})
+    want["https://h/x/img"] = ("binary", None)
     W.write_warc_gz(str(tmp_path / "mixed.warc.gz"), pages)
 
     out = extract_mixed(W.read_warc(spark, str(tmp_path)))
@@ -338,7 +347,7 @@ def test_mixed_crawl_routes_html_and_pdf(spark, tmp_path):
     tree = plan.split("\n\n")[0]  # the operator tree section
     assert tree.count("MapInPandas") == 2  # ingest + route kernels only
     rows = {r["url"]: r for r in out.collect()}
-    assert len(rows) == 6
+    assert len(rows) == 8
     for url, (kind, text) in want.items():
         assert rows[url]["kind"] == kind, url
         assert rows[url]["plaintext"] == text, url

@@ -555,12 +555,27 @@ MIXED_SCHEMA = T.StructType(
 )
 
 
+# explicit non-text content types routed to kind="binary" (plaintext
+# null, NOT an error): a real crawl's images/media/archives must be
+# counted and skipped, never fed to a text parser.  Conservative by
+# design — anything not on this list still defaults to the HTML kernel
+# (mislabeled text is common; mislabeled penguins are not).
+_BINARY_CTYPE_PREFIXES = (
+    "image/", "audio/", "video/", "font/",
+    "application/octet-stream", "application/zip",
+    "application/gzip", "application/x-gzip",
+)
+
+
 def extract_mixed(pages: DataFrame,
                   html_model: str = "main_content") -> DataFrame:
     """Mixed-corpus dispatcher (r7): route each page to the right
     parser — HTML through the extraction kernel's pure path, PDF
-    through the from-scratch PDF text/layout parser — in ONE
-    mapInPandas pass, emitting (url, kind, plaintext, error).
+    through the from-scratch PDF text/layout parser, ``text/plain``
+    straight through the byte decoder (kind="text"), and explicit
+    binary types (image/audio/video/...) to a counted skip
+    (kind="binary", plaintext null, error null) — in ONE mapInPandas
+    pass, emitting (url, kind, plaintext, error).
 
     A real crawl (e.g. straight off ``sources/warc.read_warc``) is not
     all HTML; the router prefers the HTTP ``content_type`` column when
@@ -590,14 +605,27 @@ def extract_mixed(pages: DataFrame,
                       else [None] * len(pdf))
             for url, blob, ctype in zip(pdf["url"], pdf["html"], ctypes):
                 raw = bytes(blob) if blob is not None else b""
-                is_pdf = (isinstance(ctype, str)
-                          and "application/pdf" in ctype.lower()) \
-                    or b"%PDF-" in raw[:1024]
+                ct = ctype.lower() if isinstance(ctype, str) else ""
+                if "application/pdf" in ct or b"%PDF-" in raw[:1024]:
+                    kind = "pdf"
+                elif ct.startswith("text/plain"):
+                    kind = "text"
+                elif ct.startswith(_BINARY_CTYPE_PREFIXES):
+                    kind = "binary"
+                else:
+                    kind = "html"
                 out["url"].append(url)
-                out["kind"].append("pdf" if is_pdf else "html")
+                out["kind"].append(kind)
                 try:
-                    if is_pdf:
+                    if kind == "pdf":
                         text = pdf_structured_text(raw)
+                    elif kind == "text":
+                        # same byte decoder as the HTML path (gzip/BOM/
+                        # charset), no parsing — plain text passes
+                        # through verbatim
+                        text = decode_html(raw)
+                    elif kind == "binary":
+                        text = None
                     else:
                         # the exact kernel path of extract_answers, so
                         # mixed html text is byte-identical to it

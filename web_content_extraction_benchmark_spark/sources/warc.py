@@ -720,13 +720,21 @@ def read_warc_stream(spark: SparkSession, path: str,
 def synthesize_mixed_warc_tree(sf_dir: str, out_dir: str,
                                mod: int = 7,
                                pages_per_file: int = 16) -> int:
-    """Fixture docs as a MIXED crawl: ``doc_id % 4 < 2`` rows are real
-    PDF payloads, the rest the standard HTML page bytes — the
-    extract_mixed dispatcher's oracle input.  Half the PDF rows
-    (``doc_id % 8 >= 4``) are MISLABELED text/html so the %PDF- magic
-    sniff is part of the oracle gate, not just pytest.  Lockstep: the
-    oracle arm picks ``text`` for pdf rows and GOLD_SQL for html rows
-    on the same ``doc_id % 4 < 2`` predicate."""
+    """Fixture docs as a MIXED crawl — the extract_mixed dispatcher's
+    oracle input:
+
+    - ``doc_id % 4 < 2``: real PDF payloads; half of THOSE
+      (``doc_id % 8 >= 4``) MISLABELED text/html so the %PDF- magic
+      sniff is part of the oracle gate, not just pytest;
+    - ``doc_id % 8 == 2``: ``text/plain`` responses carrying the raw
+      text bytes (the passthrough route, r8);
+    - ``doc_id % 8 == 7``: ``image/png`` binary responses (the counted
+      skip route, r8 — plaintext must be NULL with NO error);
+    - everything else: the standard HTML page bytes.
+
+    Lockstep: the oracle arm mirrors exactly these predicates —
+    wpl-line-joined ``text`` for pdf, verbatim ``text`` for plain,
+    NULL for binary, GOLD_SQL for html."""
     import os
 
     from .pages import EPOCH_2023, build_page_html, encode_page_html, url_for
@@ -742,14 +750,25 @@ def synthesize_mixed_warc_tree(sf_dir: str, out_dir: str,
             ts = (EPOCH_2023
                   + pd.Timedelta(seconds=doc_id % 4_000_000_000))
             is_pdf = doc_id % 4 < 2
-            labeled = is_pdf and doc_id % 8 < 4
+            if is_pdf:
+                body = encode_pdf(doc_id, text)
+                ctype = ("application/pdf" if doc_id % 8 < 4 else None)
+            elif doc_id % 8 == 2:
+                body = text.encode("utf-8")
+                ctype = "text/plain; charset=utf-8"
+            elif doc_id % 8 == 7:
+                body = (b"\x89PNG\r\n\x1a\n"
+                        + doc_id.to_bytes(8, "big") * 4)
+                ctype = "image/png"
+            else:
+                body = encode_page_html(
+                    doc_id, build_page_html(doc_id, source, text))
+                ctype = None
             batch.append({
                 "url": url_for(doc_id, source),
                 "ts": ts.to_pydatetime().replace(tzinfo=timezone.utc),
-                "body": encode_pdf(doc_id, text) if is_pdf
-                else encode_page_html(
-                    doc_id, build_page_html(doc_id, source, text)),
-                "content_type": "application/pdf" if labeled else None,
+                "body": body,
+                "content_type": ctype,
                 "chunked": doc_id % 3 == 1,
             })
         n += write_warc_gz(
