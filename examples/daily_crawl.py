@@ -83,14 +83,15 @@ def run_daily_crawl(spark: SparkSession, drop_dir: str, index_dir: str,
 
     def feed_index(batch_df, batch_id: int) -> None:
         # doc id: the crawl's trailing numeric id when present, else a
-        # stable 64-bit hash of the url — unique, deterministic, and
-        # identical on a re-run of the same files
+        # stable 63-bit hash of the url — unique, deterministic, and
+        # identical on a re-run of the same files.  shiftrightunsigned
+        # (not abs: ANSI abs(Long.MIN_VALUE) throws) keeps it positive.
         src = F.regexp_extract("url", r"/(\d+)$", 1)
         rows = (
             batch_df.withColumn(
                 "doc_id",
                 F.when(src != "", src.cast("long"))
-                .otherwise(F.abs(F.xxhash64("url"))))
+                .otherwise(F.shiftrightunsigned(F.xxhash64("url"), 1)))
             .withColumn("is_err", F.col("error").isNotNull())
         ).persist()
         n_err = rows.filter("is_err").count()

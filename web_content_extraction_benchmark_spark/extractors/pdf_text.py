@@ -211,7 +211,10 @@ class _Lexer:
         self.pos = end + 1
         if len(hex_digits) % 2:
             hex_digits += b"0"  # spec: odd final digit pads with 0
-        return bytes.fromhex(hex_digits.decode("ascii"))
+        try:
+            return bytes.fromhex(hex_digits.decode("ascii"))
+        except (ValueError, UnicodeDecodeError) as e:
+            raise PdfError(f"bad hex string: {e}") from e
 
     def next_token(self):
         buf = self.buf

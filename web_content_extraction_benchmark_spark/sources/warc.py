@@ -337,17 +337,19 @@ def iter_warc_records_chunks(chunks: Iterator) -> Iterator[tuple[dict, bytes]]:
     file.  This is the kernel entry point for path-streamed reads:
     peak memory is one chunk plus one in-flight record."""
     it = iter(chunks)
-    first = b""
+    # accumulate until the 2-byte gzip magic is decidable (a
+    # pathological 1-byte first chunk must not defeat the sniff)
+    head = bytearray()
     for c in it:
-        if len(c):
-            first = c
+        head += c
+        if len(head) >= 2:
             break
-    if not len(first):
+    if not head:
         return
     from itertools import chain
 
-    full = chain([first], it)
-    if bytes(first[:2]) == b"\x1f\x8b":
+    full = chain([bytes(head)], it)
+    if head[:2] == b"\x1f\x8b":
         yield from _drain_records(_gzip_chunk_stream(full))
     else:
         yield from _drain_records(full)
