@@ -478,3 +478,36 @@ def test_hybrid_xrefstm_trailer():
         + str(xref_pos).encode() + b" >>\n"
         b"startxref\n" + str(len(base)).encode() + b"\n%%EOF\n")
     assert P.pdf_plaintext(hybrid) == text
+
+
+def test_ctm_group_composes_into_text_placement():
+    """r8 CTM arm (doc_id % 9 == 4): page content wrapped in a
+    `q <dx> <dy> cm ... Q` group with pre-shifted Tm coordinates —
+    the parser must compose Tm x CTM or columns/lines scramble."""
+    import re as _re
+
+    text = " ".join(f"w{i}" for i in range(40))
+    for doc_id in (4, 13, 22, 31, 49):
+        assert W.pdf_layout_params(doc_id)["ctm_shift"], doc_id
+        payload = W.encode_pdf(doc_id, text)
+        assert P.pdf_plaintext(payload) == text, doc_id
+    # the group is load-bearing: stripping the cm moves every run
+    doc = P.PdfDocument.from_bytes(W.encode_pdf(4, text))
+    content = doc.page_content(doc.pages()[0])
+    assert content.startswith(b"q 1 0 0 1 ") and content.endswith(b"Q")
+    stripped = _re.sub(rb"q 1 0 0 1 [\d.]+ -?[\d.]+ cm\n", b"", content)
+    good = {(r.x, r.y) for r in P.interpret_text(content)}
+    bad = {(r.x, r.y) for r in P.interpret_text(stripped)}
+    assert good != bad
+    # q/Q restore: text after Q is placed under the OUTER (identity) CTM
+    runs = P.interpret_text(
+        b"q 1 0 0 1 100 50 cm BT /F1 9 Tf 1 0 0 1 0 0 Tm (in) Tj ET Q "
+        b"BT /F1 9 Tf 1 0 0 1 0 0 Tm (out) Tj ET")
+    assert (runs[0].x, runs[0].y) == (100.0, 50.0)
+    assert (runs[1].x, runs[1].y) == (0.0, 0.0)
+    # nested q/q/Q/Q
+    runs = P.interpret_text(
+        b"q 1 0 0 1 10 0 cm q 1 0 0 1 0 5 cm "
+        b"BT (a) Tj ET Q BT (b) Tj ET Q")
+    assert (runs[0].x, runs[0].y) == (10.0, 5.0)
+    assert (runs[1].x, runs[1].y) == (10.0, 0.0)

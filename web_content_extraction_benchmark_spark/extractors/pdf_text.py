@@ -580,6 +580,8 @@ class PdfDocument:
                 lex.next_token()  # generation (unused)
                 kind = lex.next_token()
                 if kind == "n":
+                    if not isinstance(off, int):
+                        raise PdfError("malformed xref offset")
                     entries[first + i] = off
                 elif kind == "f":
                     entries[first + i] = None
@@ -622,6 +624,9 @@ class PdfDocument:
                 or not isinstance(size, int)):
             raise PdfError("xref stream missing /W or /Size")
         index = val.get("/Index") or [0, size]
+        if not isinstance(index, list) or not all(
+                isinstance(x, int) for x in index):
+            raise PdfError("xref stream: malformed /Index")
         row_len = sum(w)
         entries: dict[int, object] = {}
         di = 0
@@ -795,6 +800,8 @@ class PdfDocument:
         return _parse_value(lex, lex.next_token())
 
     def _parse_object_at(self, num: int, offset: int):
+        if not isinstance(offset, int) or not 0 <= offset < len(self.buf):
+            raise PdfError(f"object {num}: bad xref offset {offset!r}")
         lex = _Lexer(self.buf, offset)
         header = [lex.next_token(), lex.next_token(), lex.next_token()]
         if header[0] != num or header[2] != "obj":
@@ -1078,12 +1085,31 @@ class Run:
     font_size: float
 
 
+_IDENTITY = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+
+
+def _mat_mul(m1: tuple, m2: tuple) -> tuple:
+    """PDF matrix composition m1 x m2 for (a b c d e f) row matrices
+    — a point maps as p x m1 x m2."""
+    a1, b1, c1, d1, e1, f1 = m1
+    a2, b2, c2, d2, e2, f2 = m2
+    return (
+        a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+        c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2,
+    )
+
+
 @dataclass
 class _TextState:
     # full text/line matrices (a b c d e f); the corpus only exercises
-    # translations but the composition rules are the general ones
-    tm: tuple = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-    tlm: tuple = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    # translations but the composition rules are the general ones.
+    # ctm is the graphics-state CTM (cm operator, q/Q stack): device
+    # position = text point x Tm x CTM — ignoring it misplaces any
+    # text inside a transformed group, which real writers emit freely
+    tm: tuple = _IDENTITY
+    tlm: tuple = _IDENTITY
+    ctm: tuple = _IDENTITY
     leading: float = 0.0
     font_size: float = 0.0
 
@@ -1098,8 +1124,12 @@ class _TextState:
                     tx * b + ty * d + f)
         self.tm = self.tlm
 
+    def concat_ctm(self, m: tuple) -> None:
+        self.ctm = _mat_mul(m, self.ctm)
+
     def origin(self) -> tuple[float, float]:
-        return self.tm[4], self.tm[5]
+        trm = _mat_mul(self.tm, self.ctm)
+        return trm[4], trm[5]
 
 
 
@@ -1107,12 +1137,15 @@ class _TextState:
 def interpret_text(content: bytes,
                    fonts: dict[str, Font] | None = None) -> list[Run]:
     """Run the text operators of one page's content stream; return
-    positioned text runs.  Non-text operators are ignored (graphics
-    state does not affect translation-only text placement).  ``fonts``
-    (from `PdfDocument.page_fonts`) supplies per-font string decoding;
+    positioned text runs.  The graphics-state operators that MOVE text
+    are honored — ``cm`` composes into the CTM and ``q``/``Q``
+    save/restore it (show positions are text-point x Tm x CTM) — all
+    other graphics operators are ignored.  ``fonts`` (from
+    `PdfDocument.page_fonts`) supplies per-font string decoding;
     absent or unknown fonts fall back to PDFDocEncoding≈latin-1."""
     lex = _Lexer(content)
     stack: list = []
+    gs_stack: list[tuple] = []  # q/Q saves of the CTM
     st = _TextState()
     runs: list[Run] = []
     fonts = fonts or {}
@@ -1151,6 +1184,13 @@ def interpret_text(content: bytes,
                 st.set_tm(1, 0, 0, 1, 0, 0)
             elif tok == "ET":
                 pass
+            elif tok == "cm":
+                st.concat_ctm(tuple(float(v) for v in stack[-6:]))
+            elif tok == "q":
+                gs_stack.append(st.ctm)
+            elif tok == "Q":
+                if gs_stack:
+                    st.ctm = gs_stack.pop()
             elif tok == "Tf":
                 st.font_size = float(stack[-1])
                 if len(stack) >= 2 and isinstance(stack[-2], str):

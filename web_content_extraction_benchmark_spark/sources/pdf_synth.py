@@ -76,6 +76,11 @@ def pdf_layout_params(doc_id: int) -> dict:
         # PNG-Predictor-12 filtered
         "pdf15": doc_id % 13 in (1, 5, 9),
         "xref_predictor": doc_id % 5 < 2,  # only read under pdf15
+        # r8 CTM arm (doc_id % 9, coprime to 7): page content wrapped
+        # in `q <dx> <dy> cm ... Q` with every Tm written PRE-shifted —
+        # a parser ignoring the CTM scrambles columns/lines
+        "ctm_shift": ((15.0 + doc_id % 7, -2.0 * (doc_id % 5))
+                      if doc_id % 9 == 4 else None),
     }
 
 
@@ -273,21 +278,30 @@ def _page_ops(page_lines: list[list[list[str]]], p: dict) -> str:
     def enc(s: str) -> str:
         return raw_enc(tx(s))
 
+    # CTM arm: coordinates are written pre-shifted and the whole page
+    # is wrapped in a q/cm/Q group translating them back — the final
+    # device positions (and thus the truth) are IDENTICAL, but only
+    # for a parser that composes Tm x CTM
+    dx, dy = p["ctm_shift"] or (0.0, 0.0)
+
     fs = p["font_size"]
-    ops: list[str] = ["BT", f"/F1 {_fmt(fs)} Tf"]
+    ops: list[str] = []
+    if p["ctm_shift"]:
+        ops.append(f"q 1 0 0 1 {_fmt(dx)} {_fmt(dy)} cm")
+    ops += ["BT", f"/F1 {_fmt(fs)} Tf"]
     for c, col_lines in enumerate(page_lines):
         if not col_lines:
             continue
-        x = X0 + COL_PITCH * c
+        x = X0 + COL_PITCH * c - dx
         if p["style"] == 3:
-            ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(Y0 + LEAD)} Tm")
+            ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(Y0 + LEAD - dy)} Tm")
             ops.append(f"0 {_fmt(-LEAD)} TD")
             for i, words in enumerate(col_lines):
                 s = enc(" ".join(words))
                 ops.append(f"{s} Tj" if i == 0 else f"{s} '")
             continue
         for i, words in enumerate(col_lines):
-            y = Y0 - LEAD * i
+            y = Y0 - LEAD * i - dy
             if p["style"] == 0:
                 ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(y)} Tm")
                 ops.append(f"{enc(' '.join(words))} Tj")
@@ -301,6 +315,8 @@ def _page_ops(page_lines: list[list[list[str]]], p: dict) -> str:
                     ops.append(f"1 0 0 1 {_fmt(wx)} {_fmt(y)} Tm")
                     ops.append(f"{enc(w)} Tj")
     ops.append("ET")
+    if p["ctm_shift"]:
+        ops.append("Q")
     return "\n".join(ops)
 
 
