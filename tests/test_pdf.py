@@ -511,3 +511,38 @@ def test_ctm_group_composes_into_text_placement():
         b"BT (a) Tj ET Q BT (b) Tj ET Q")
     assert (runs[0].x, runs[0].y) == (10.0, 5.0)
     assert (runs[1].x, runs[1].y) == (10.0, 0.0)
+
+
+def test_rotated_pages_cluster_in_display_orientation():
+    """r8 /Rotate arm: the attribute (INHERITED from the /Pages root)
+    says how a viewer turns the page; layout clustering must happen in
+    that display orientation.  90/180/270 all round-trip, and for the
+    witness docs ignoring /Rotate demonstrably scrambles the words."""
+    text = " ".join(f"w{i:02d}" for i in range(30))
+    for doc_id in (20, 54, 14, 48, 10, 44):  # 90/90/180/180/270/270
+        p = W.pdf_layout_params(doc_id)
+        assert p["rotate"] in (90, 180, 270), doc_id
+        payload = W.encode_pdf(doc_id, text)
+        assert P.pdf_plaintext(payload) == text, (doc_id, p)
+        doc = P.PdfDocument.from_bytes(payload)
+        page = doc.pages()[0]
+        # inherited, not on the page object itself in the raw bytes
+        assert doc.resolve(page.get("/Rotate")) == p["rotate"]
+    # load-bearing: same docs parsed WITHOUT honoring /Rotate scramble
+    scrambled = 0
+    for doc_id in (20, 54, 14, 48, 10, 44):
+        doc = P.PdfDocument.from_bytes(W.encode_pdf(doc_id, text))
+        page = doc.pages()[0]
+        runs = P.interpret_text(doc.page_content(page),
+                                doc.page_fonts(page))
+        bad = " ".join(w for b in P.layout_pages([runs])
+                       for ln in b.lines for w in ln.split())
+        scrambled += bad != text
+    assert scrambled >= 4  # most witness shapes must actually depend on it
+    # unrotate math is exact per quadrant
+    r = P.Run(10.0, 20.0, "t", 9.0)
+    assert P._unrotate_runs([r], 90, (0, 0, 612, 792))[0].x == 20.0
+    assert P._unrotate_runs([r], 180, (0, 0, 612, 792))[0].x == 602.0
+    assert P._unrotate_runs([r], 270, (0, 0, 612, 792))[0].x == 772.0
+    with pytest.raises(P.PdfError):
+        P._unrotate_runs([r], 45, (0, 0, 612, 792))

@@ -841,27 +841,31 @@ class PdfDocument:
         if not isinstance(root, dict):
             raise PdfError("bad /Root")
         out: list[dict] = []
-        # /Resources is an inheritable page-tree attribute (spec
-        # table 30): a /Page without one uses the nearest ancestor's
-        stack: list[tuple[object, object]] = [(root.get("/Pages"), None)]
+        # inheritable page-tree attributes (spec table 30): a /Page
+        # without one uses the nearest ancestor's
+        INHERIT = ("/Resources", "/Rotate", "/MediaBox")
+        stack: list[tuple[object, dict]] = [(root.get("/Pages"), {})]
         guard = 0
         while stack:
             guard += 1
             if guard > 100_000:
                 raise PdfError("page tree too deep / cyclic")
-            ref, inherited_res = stack.pop()
+            ref, inherited = stack.pop()
             node = self.resolve(ref)
             if not isinstance(node, dict):
                 raise PdfError("bad page-tree node")
-            res = node.get("/Resources", inherited_res)
+            carried = {k: node.get(k, inherited.get(k)) for k in INHERIT
+                       if k in node or k in inherited}
             if node.get("/Type") == "/Page":
-                if "/Resources" not in node and res is not None:
-                    node = {**node, "/Resources": res}
+                missing = {k: v for k, v in carried.items()
+                           if k not in node and v is not None}
+                if missing:
+                    node = {**node, **missing}
                 out.append(node)
             else:  # /Pages: push kids in reverse for document order
                 kids = self.resolve(node.get("/Kids")) or []
                 for kid in reversed(kids):
-                    stack.append((kid, res))
+                    stack.append((kid, carried))
         return out
 
     def page_content(self, page: dict) -> bytes:
@@ -1319,14 +1323,50 @@ def layout_pages(pages_runs: list[list[Run]]) -> list[Block]:
 # ---------------------------------------------------------------------------
 
 
+def _unrotate_runs(runs: list[Run], rot: int, media) -> list[Run]:
+    """Map device positions into READING orientation for a /Rotate-d
+    page (the attribute says how a viewer turns the page for display;
+    text is laid out to be read AFTER that turn, so layout clustering
+    must happen in display space).  /Rotate 90 (cw display turn):
+    (x, y) -> (y, W - x); 180: (W - x, H - y); 270: (H - y, x)."""
+    rot = rot % 360
+    if rot == 0 or not runs:
+        return runs
+    x0, y0, x1, y1 = (float(v) for v in media)
+    w, h = x1 - x0, y1 - y0
+    out = []
+    for r in runs:
+        x, y = r.x - x0, r.y - y0
+        if rot == 90:
+            u, v = y, w - x
+        elif rot == 180:
+            u, v = w - x, h - y
+        elif rot == 270:
+            u, v = h - y, x
+        else:
+            raise PdfError(f"/Rotate must be a multiple of 90, got {rot}")
+        out.append(Run(u, v, r.text, r.font_size))
+    return out
+
+
+_DEFAULT_MEDIABOX = (0.0, 0.0, 612.0, 792.0)
+
+
 def pdf_parse(payload: bytes) -> tuple[int, list[Block]]:
     """(page count from the page tree, layout blocks)."""
     doc = PdfDocument.from_bytes(payload)
     pages = doc.pages()
-    return len(pages), layout_pages(
-        [interpret_text(doc.page_content(p), doc.page_fonts(p))
-         for p in pages]
-    )
+    pages_runs = []
+    for p in pages:
+        runs = interpret_text(doc.page_content(p), doc.page_fonts(p))
+        rot = doc.resolve(p.get("/Rotate")) or 0
+        if rot:
+            media = doc.resolve(p.get("/MediaBox")) or _DEFAULT_MEDIABOX
+            if not isinstance(media, (list, tuple)) or len(media) != 4:
+                raise PdfError("bad /MediaBox")
+            runs = _unrotate_runs(runs, int(rot), media)
+        pages_runs.append(runs)
+    return len(pages), layout_pages(pages_runs)
 
 
 def pdf_blocks(payload: bytes) -> list[Block]:

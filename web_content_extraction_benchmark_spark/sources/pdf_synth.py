@@ -81,6 +81,15 @@ def pdf_layout_params(doc_id: int) -> dict:
         # a parser ignoring the CTM scrambles columns/lines
         "ctm_shift": ((15.0 + doc_id % 7, -2.0 * (doc_id % 5))
                       if doc_id % 9 == 4 else None),
+        # r8 /Rotate arm (doc_id % 17, coprime to 7): the page is
+        # marked rotated (attribute INHERITED from the /Pages root)
+        # and every coordinate written pre-rotated — only a parser
+        # that clusters in display orientation recovers reading order.
+        # Style 3 (leading-based ' advance) is exempt: T*/' move only
+        # along text-space -leading and cannot express the rotated
+        # line direction with translation-only matrices.
+        "rotate": ({3: 90, 10: 270, 14: 180}.get(doc_id % 17, 0)
+                   if doc_id % 4 != 3 else 0),
     }
 
 
@@ -283,6 +292,30 @@ def _page_ops(page_lines: list[list[list[str]]], p: dict) -> str:
     # device positions (and thus the truth) are IDENTICAL, but only
     # for a parser that composes Tm x CTM
     dx, dy = p["ctm_shift"] or (0.0, 0.0)
+    # /Rotate arm: reading-space coordinates (u, v) written in the
+    # rotated page's content space — the inverse of the parser's
+    # display-orientation mapping (MediaBox 612 x 792, origin 0)
+    rot = p["rotate"]
+
+    def place(u: float, v: float) -> tuple[float, float]:
+        if rot == 90:
+            xc, yc = 612.0 - v, u
+        elif rot == 180:
+            xc, yc = 612.0 - u, 792.0 - v
+        elif rot == 270:
+            xc, yc = v, 792.0 - u
+        else:
+            xc, yc = u, v
+        return xc - dx, yc - dy
+
+    def delta(du: float, dv: float) -> tuple[float, float]:
+        if rot == 90:
+            return -dv, du
+        if rot == 180:
+            return -du, -dv
+        if rot == 270:
+            return dv, -du
+        return du, dv
 
     fs = p["font_size"]
     ops: list[str] = []
@@ -292,27 +325,31 @@ def _page_ops(page_lines: list[list[list[str]]], p: dict) -> str:
     for c, col_lines in enumerate(page_lines):
         if not col_lines:
             continue
-        x = X0 + COL_PITCH * c - dx
+        u = X0 + COL_PITCH * c
         if p["style"] == 3:
-            ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(Y0 + LEAD - dy)} Tm")
-            ops.append(f"0 {_fmt(-LEAD)} TD")
+            sx, sy = place(u, Y0 + LEAD)
+            ax, ay = delta(0.0, -LEAD)
+            ops.append(f"1 0 0 1 {_fmt(sx)} {_fmt(sy)} Tm")
+            ops.append(f"{_fmt(ax)} {_fmt(ay)} TD")
             for i, words in enumerate(col_lines):
                 s = enc(" ".join(words))
                 ops.append(f"{s} Tj" if i == 0 else f"{s} '")
             continue
         for i, words in enumerate(col_lines):
-            y = Y0 - LEAD * i - dy
+            v = Y0 - LEAD * i
             if p["style"] == 0:
+                x, y = place(u, v)
                 ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(y)} Tm")
                 ops.append(f"{enc(' '.join(words))} Tj")
             elif p["style"] == 1:
+                x, y = place(u, v)
                 ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(y)} Tm")
                 arr = f" {TJ_SPACE} ".join(enc(w) for w in words)
                 ops.append(f"[{arr}] TJ")
             else:  # style 2: one run per word at fixed slots
                 for j, w in enumerate(words):
-                    wx = x + WORD_SLOT * j
-                    ops.append(f"1 0 0 1 {_fmt(wx)} {_fmt(y)} Tm")
+                    x, y = place(u + WORD_SLOT * j, v)
+                    ops.append(f"1 0 0 1 {_fmt(x)} {_fmt(y)} Tm")
                     ops.append(f"{enc(w)} Tj")
     ops.append("ET")
     if p["ctm_shift"]:
@@ -403,9 +440,12 @@ def encode_pdf(doc_id: int, text: str, encrypted: bool = False) -> bytes:
     else:
         kids_refs = " ".join(f"{n} 0 R" for n in page_nums)
     objects[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    # /Rotate lives on the ROOT /Pages node (not the pages): the
+    # parser must inherit it down the tree, like /Resources
+    rot_entry = f" /Rotate {p['rotate']}" if p["rotate"] else ""
     objects[2] = (
         f"<< /Type /Pages /Kids [{kids_refs}] "
-        f"/Count {len(page_nums)} >>".encode()
+        f"/Count {len(page_nums)}{rot_entry} >>".encode()
     )
     fe = p["font_enc"]
     if fe == "diff":
