@@ -33,6 +33,17 @@ arms use mod 2/3/4/5 — all full-period over multiples of 7):
   with a 2-byte-codespace /ToUnicode CMap, strings forced hex;
   7-10 = plain latin-1.  Truth is unchanged by every arm — the parser
   must invert the encoding exactly.
+- ``doc_id % 13 in (1, 5, 9)``: PDF-1.5 layout — every non-stream
+  object packed into one /Type /ObjStm container, cross-reference
+  written as a /Type /XRef STREAM (W [1 4 2]; no classic trailer),
+  half of those PNG-Up-predicted (/DecodeParms /Predictor 12)
+- ``doc_id % 9 == 4``: page content wrapped in a ``q dx dy cm ... Q``
+  group with every Tm pre-shifted — only a Tm x CTM-composing parser
+  recovers the layout
+- ``doc_id % 17 in (3, 10, 14)``: /Rotate 90/270/180 on the ROOT
+  /Pages node (inheritance exercised) with coordinates pre-rotated —
+  only display-orientation clustering recovers reading order (style 3
+  exempt: ' cannot advance along a rotated line direction)
 - 3+ pages: pages grouped under nested intermediate /Pages nodes
 
 Geometry: US-Letter, columns at x = 36 / 306 (gutter 110 pt >
