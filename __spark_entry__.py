@@ -28,6 +28,10 @@ from web_content_extraction_benchmark_spark.operators.dedup import (
     shingle_col,
     simhash64_col,
 )
+from web_content_extraction_benchmark_spark.operators.substr_dedup import (
+    dedup_exact_substrings,
+    substr_dedup_sql,
+)
 from web_content_extraction_benchmark_spark.operators.relational import (
     band_counts,
     complexity_quantiles,
@@ -113,6 +117,40 @@ SELECT doc_id + 1000000 AS doc_id,
            string_split(text, ' ')[1:len(string_split(text, ' ')) - 2], ' '
        ) AS text
 FROM documents WHERE doc_id % 10 = 0
+"""
+
+
+def _docs_with_quotes(docs: DataFrame) -> DataFrame:
+    """documents UNION 'quoting' docs for the ExactSubstr arm: every
+    (doc_id % 10 == 3, >= 30-token) doc spawns a copy of its tokens
+    11..30 (1-based, 20 tokens) wrapped in doc-unique lead/tail tokens —
+    so dedup must mark the copied span in BOTH the source and the quote
+    while leaving the unique wrapper intact.  Mirrored by _QUOTES_SQL."""
+    w = F.split(F.col("text"), " ")
+    did = F.col("doc_id").cast("string")
+    quotes = docs.filter(
+        (F.col("doc_id") % 10 == 3) & (F.size(w) >= 30)
+    ).select(
+        (F.col("doc_id") + 3_000_000).alias("doc_id"),
+        F.concat_ws(
+            " ",
+            F.concat(F.lit("q"), did, F.lit("lead")),
+            F.concat_ws(" ", F.slice(w, 11, 20)),
+            F.concat(F.lit("q"), did, F.lit("tail")),
+        ).alias("text"),
+    )
+    return docs.select("doc_id", "text").unionByName(quotes)
+
+
+_QUOTES_SQL = """
+SELECT doc_id, text FROM documents
+UNION ALL
+SELECT doc_id + 3000000 AS doc_id,
+       'q' || doc_id || 'lead ' ||
+       array_to_string(string_split(text, ' ')[11:30], ' ') ||
+       ' q' || doc_id || 'tail' AS text
+FROM documents
+WHERE doc_id % 10 = 3 AND len(string_split(text, ' ')) >= 30
 """
 
 # gold / plain token lengths (whitespace tokens; '' -> 0)
@@ -558,6 +596,16 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """R24 exact dedup + the ExactSubstr arm (op column, r8).
+
+    op='exact': byte-identical document groups (text_hash key).
+    op='substr': Lee-et-al-style duplicated-window span removal over
+    documents UNION planted 'quoting' docs (_docs_with_quotes) —
+    n_a = duplicated window starts, n_b = tokens removed, payload =
+    the surviving text (value-sensitive to the whole coverage sweep).
+    key_mode='exact' so the DuckDB mirror reproduces window keys
+    verbatim; the xxhash64 production path is pinned ==exact in pytest.
+    """
     corpus = _docs_with_mutants(_docs(spark, sf_dir))
     # mutants change text, so add true duplicates: re-union originals
     dup_corpus = corpus.unionByName(
@@ -565,7 +613,23 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
         )
     )
-    return exact_duplicates(dup_corpus)
+    exact = exact_duplicates(dup_corpus).select(
+        F.lit("exact").alias("op"),
+        F.col("text_hash").alias("key"),
+        F.col("n_docs").cast("long").alias("n_a"),
+        F.col("canonical_id").cast("long").alias("n_b"),
+        F.lit("").alias("payload"),
+    )
+    sub = dedup_exact_substrings(
+        _docs_with_quotes(_docs(spark, sf_dir)), key_mode="exact"
+    ).select(
+        F.lit("substr").alias("op"),
+        F.col("doc_id").cast("string").alias("key"),
+        F.col("n_dup_windows").cast("long").alias("n_a"),
+        F.col("n_tokens_removed").cast("long").alias("n_b"),
+        F.col("kept_text").alias("payload"),
+    )
+    return exact.unionByName(sub)
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2590,14 +2654,27 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1
         """,
         "dedup_exact": f"""
-            WITH corpus AS (
+            WITH exact_corpus AS (
                 {_MUTANTS_SQL}
                 UNION ALL
                 SELECT doc_id + 2000000, text FROM documents
+            ),
+            exact_arm AS (
+                SELECT 'exact' AS op, md5(text) AS key,
+                       CAST(count(*) AS BIGINT) AS n_a,
+                       CAST(min(doc_id) AS BIGINT) AS n_b,
+                       '' AS payload
+                FROM exact_corpus GROUP BY md5(text)
+                HAVING count(*) > 1
+            ),
+            substr_arm AS (
+                SELECT 'substr' AS op, CAST(doc_id AS VARCHAR) AS key,
+                       CAST(n_dup_windows AS BIGINT) AS n_a,
+                       CAST(n_tokens_removed AS BIGINT) AS n_b,
+                       kept_text AS payload
+                FROM ({substr_dedup_sql(_QUOTES_SQL)})
             )
-            SELECT md5(text) AS text_hash, count(*) AS n_docs,
-                   min(doc_id) AS canonical_id
-            FROM corpus GROUP BY 1 HAVING count(*) > 1
+            SELECT * FROM exact_arm UNION ALL SELECT * FROM substr_arm
         """,
         "minhash_signatures": f"""
             {shingles_docs_only}
