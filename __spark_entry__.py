@@ -759,26 +759,186 @@ def q_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash signatures — pure Catalyst kernel, DuckDB-mirrored bit-exact."""
-    docs = _docs(spark, sf_dir)
-    return docs.select("doc_id", simhash64_col(F.col("text")).alias("sig"))
+    """SimHash signatures + near-dup pairs, folded into one op-union row
+    (r8 — freed a 50-cap slot for host_graph).
 
-
-def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs over a corpus with planted exact copies.
-    Pigeonhole blocking (4 x 16-bit chunks) is LOSSLESS at hamming <= 3,
-    so the DuckDB all-pairs mirror is an exact oracle."""
+    op='sig':  (doc_id, 0, signature) — pure Catalyst kernel, bit-exact
+    vs the DuckDB md5-vote mirror.
+    op='pair': (id_a, id_b, hamming) over a corpus with planted exact
+    copies; pigeonhole blocking (4 x 16-bit chunks) is LOSSLESS at
+    hamming <= 3, so the all-pairs mirror is an exact oracle."""
     from web_content_extraction_benchmark_spark.operators.dedup import (
         simhash_near_duplicates,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    sigs = docs.select(
+        F.lit("sig").alias("op"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(0).cast("long").alias("id_b"),
+        simhash64_col(F.col("text")).alias("val"),
+    )
     copies = docs.filter(F.col("doc_id") % 10 == 0).select(
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
     )
     corpus = docs.unionByName(copies)
-    pairs = simhash_near_duplicates(corpus, max_hamming=3)
-    return pairs.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+    pairs = simhash_near_duplicates(corpus, max_hamming=3).select(
+        F.lit("pair").alias("op"),
+        F.col("id_a"),
+        F.col("id_b"),
+        F.col("hamming").cast("long").alias("val"),
+    )
+    return sigs.unionByName(pairs)
+
+
+def _host_col_for(t: F.Column) -> F.Column:
+    """Spark twin of pages.host_for over an arbitrary long column
+    (lockstep: sources/pages.py host_for / HOST_SQL — mod 5 skew host,
+    else mod 41)."""
+    n = F.when(t % 5 == 0, F.lit(0)).otherwise(t % 41)
+    return F.concat(F.lit("host"), n.cast("string"), F.lit(".example"))
+
+
+def _hub_pages(docs: DataFrame) -> DataFrame:
+    """Planted cross-host 'hub' pages for the host-graph arms: every
+    doc_id % 7 == 1 doc spawns a hub page on its own host linking to
+    three absolute URLs on hosts host_for(doc_id + 997*j), j=1..3 —
+    cross-host edges the real templates (root-relative links only)
+    cannot produce.  Mirrored by _hubs_sql()."""
+    did = F.col("doc_id")
+
+    def link(t: F.Column) -> F.Column:
+        return F.concat(
+            F.lit('<a href="https://'), _host_col_for(t),
+            F.lit("/d/"), t.cast("string"), F.lit('">x</a>'),
+        )
+
+    return docs.filter(did % 7 == 1).select(
+        F.concat(
+            F.lit("https://"), _host_col_for(did),
+            F.lit("/hub/"), did.cast("string"),
+        ).alias("url"),
+        F.concat(
+            F.lit("<html><body>"),
+            link(did + 997), link(did + 1994), link(did + 2991),
+            F.lit("</body></html>"),
+        ).alias("html_str"),
+    )
+
+
+def _host_sql_for(expr: str) -> str:
+    """DuckDB twin of _host_col_for (generated from the same constants
+    as pages.HOST_SQL, parameterized on the id expression)."""
+    return (
+        f"('host' || CAST(CASE WHEN ({expr}) % 5 = 0 THEN 0 "
+        f"ELSE ({expr}) % 41 END AS VARCHAR) || '.example')"
+    )
+
+
+def _hubs_sql() -> str:
+    """DuckDB mirror of _hub_pages over the documents view."""
+    def link(expr: str) -> str:
+        return (
+            f"'<a href=\"https://' || {_host_sql_for(expr)} || '/d/' || "
+            f"CAST({expr} AS VARCHAR) || '\">x</a>'"
+        )
+
+    return f"""
+        SELECT 'https://' || {_host_sql_for('doc_id')} || '/hub/' ||
+                   CAST(doc_id AS VARCHAR) AS url,
+               '<html><body>' || {link('doc_id + 997')} ||
+                   {link('doc_id + 1994')} || {link('doc_id + 2991')} ||
+                   '</body></html>' AS html_str
+        FROM documents WHERE doc_id % 7 = 1
+    """
+
+
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level link graph over the synthesized pages plus planted
+    cross-host hub pages (op-union, r8):
+
+    op='outlink': every resolvable href, grouped (url, dst_url, count) —
+    exercises regex extraction + absolute/protocol-relative/root-relative
+    URL resolution over the real (decoded) page bytes;
+    op='edge': host->host weighted edges;
+    op='rank': integer micro-unit PageRank after 5 iterations — exact
+    arithmetic, mirrored iteration-for-iteration by the unrolled-CTE
+    DuckDB oracle (operators/linkgraph.pagerank_sql)."""
+    from web_content_extraction_benchmark_spark.functions.udfs import (
+        decode_html_udf,
+    )
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        pagerank_hosts,
+    )
+
+    pages = synthesize_pages(spark, sf_dir).select(
+        "url", decode_html_udf(F.col("html")).alias("html_str")
+    )
+    corpus = pages.unionByName(_hub_pages(_docs(spark, sf_dir)))
+    outlinks = extract_outlinks(corpus)
+    edges = host_edges(outlinks)
+    ol_arm = (
+        outlinks.groupBy("url", "dst_url")
+        .agg(F.count("*").cast("long").alias("n"))
+        .select(
+            F.lit("outlink").alias("op"),
+            F.col("url").alias("a"),
+            F.col("dst_url").alias("b"),
+            "n",
+        )
+    )
+    edge_arm = edges.select(
+        F.lit("edge").alias("op"),
+        F.col("src_host").alias("a"),
+        F.col("dst_host").alias("b"),
+        F.col("n_links").alias("n"),
+    )
+    rank_arm = pagerank_hosts(edges, iterations=5).select(
+        F.lit("rank").alias("op"),
+        F.col("host").alias("a"),
+        F.lit("").alias("b"),
+        F.col("rank_micro").alias("n"),
+    )
+    return ol_arm.unionByName(edge_arm).unionByName(rank_arm)
+
+
+def _host_graph_sql() -> str:
+    """host_graph mirror: decoded-page html (plain template string — the
+    gzip/BOM edge encodings decode away; empty for doc_id % 101 rows)
+    UNION the hub pages, then the linkgraph mirrors layered on top."""
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        outlinks_sql,
+        pagerank_sql,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        html_sql,
+    )
+
+    corpus = f"""
+        SELECT {URL_SQL} AS url,
+               CASE WHEN doc_id % 101 = 0 THEN ''
+                    ELSE ({html_sql(edge_bytes=False)}) END AS html_str
+        FROM documents
+        UNION ALL
+        {_hubs_sql()}
+    """
+    ol = outlinks_sql(corpus)
+    edges = (
+        "SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links "
+        f"FROM ({ol}) GROUP BY src_host, dst_host"
+    )
+    pr = pagerank_sql(edges, iterations=5)
+    return f"""
+        SELECT 'outlink' AS op, url AS a, dst_url AS b,
+               CAST(count(*) AS BIGINT) AS n
+        FROM ({ol}) GROUP BY url, dst_url
+        UNION ALL
+        SELECT 'edge', src_host, dst_host, n_links FROM ({edges})
+        UNION ALL
+        SELECT 'rank', host, '', rank_micro FROM ({pr})
+    """
 
 
 def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1655,7 +1815,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": q_minhash_lsh_pairs,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "simhash": q_simhash,
-        "simhash_pairs": q_simhash_pairs,
+        "host_graph": q_host_graph,
         "ann_cosine_topk": q_ann_cosine_topk,
         "ann_lsh_recall": q_ann_lsh_recall,
         "ann_ivf_recall": q_ann_ivf_recall,
@@ -2681,24 +2841,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, {minhash_cols} FROM shingles GROUP BY doc_id
         """,
         "minhash_lsh_pairs": lsh_pairs_sql,
-        "simhash": _simhash_sig_sql("SELECT doc_id, text FROM documents"),
-        # Exact pair mirror: pigeonhole chunk blocking is lossless at
-        # hamming <= 3 with 4 chunks, so Spark's blocked join equals the
-        # all-pairs truth bit-for-bit.
-        "simhash_pairs": f"""
+        # Folded sig + pair arms (r8).  Exact pair mirror: pigeonhole
+        # chunk blocking is lossless at hamming <= 3 with 4 chunks, so
+        # Spark's blocked join equals the all-pairs truth bit-for-bit.
+        "simhash": f"""
             WITH sig AS ({_simhash_sig_sql(
                 "SELECT doc_id, text FROM documents "
                 "UNION ALL SELECT doc_id + 2000000, text "
                 "FROM documents WHERE doc_id % 10 = 0"
             )})
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                   CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+            SELECT 'sig' AS op, doc_id AS id_a, CAST(0 AS BIGINT) AS id_b,
+                   sig AS val
+            FROM sig WHERE doc_id < 2000000
+            UNION ALL
+            SELECT 'pair', a.doc_id, b.doc_id,
+                   CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT)
             FROM sig a JOIN sig b ON a.doc_id < b.doc_id
             -- blank docs (sig=0) are excluded from SimHash blocking on the
             -- Spark side (degenerate hot bucket); mirror that here
             WHERE bit_count(xor(a.sig, b.sig)) <= 3
               AND a.sig != 0 AND b.sig != 0
         """,
+        "host_graph": _host_graph_sql(),
         "ngram_jaccard_pairs": ngram_pairs_sql,
         "ann_cosine_topk": """
             WITH scored AS (

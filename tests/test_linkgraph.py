@@ -1,0 +1,149 @@
+"""Host-graph operators: outlink extraction, edges, integer PageRank.
+
+Value truth comes from the DuckDB mirror in the ``host_graph`` oracle
+row (tools/check_oracles.py); these tests pin the semantic contracts —
+URL-resolution cases, PageRank's exact integer arithmetic on a
+hand-computed graph, and the plan shape (no Python in the extraction
+path, lineage truncated before the rank loop).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from web_content_extraction_benchmark_spark.operators.linkgraph import (
+    BASE_MICRO,
+    INIT_MICRO,
+    extract_outlinks,
+    host_edges,
+    pagerank_hosts,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(rows, "url string, html_str string")
+
+
+def test_resolution_cases(spark):
+    html = (
+        '<a href="/root">r</a>'
+        '<a href="https://abs.example/p">a</a>'
+        '<a href="HTTP://UP.EXAMPLE/Q">u</a>'
+        '<a href="//proto.example/z">p</a>'
+        '<a href="relative/path">rel</a>'
+        '<a href="mailto:x@y.example">m</a>'
+        '<a href="javascript:void(0)">j</a>'
+        '<a href="#frag">f</a>'
+        '<a href="">e</a>'
+    )
+    out = extract_outlinks(_pages(spark, [("https://src.example/a/1", html)]))
+    got = {r.href: (r.dst_url, r.dst_host) for r in out.collect()}
+    assert got == {
+        "/root": ("https://src.example/root", "src.example"),
+        "https://abs.example/p": ("https://abs.example/p", "abs.example"),
+        # scheme case preserved in the URL, host lowercased for the graph
+        "HTTP://UP.EXAMPLE/Q": ("HTTP://UP.EXAMPLE/Q", "up.example"),
+        "//proto.example/z": ("https://proto.example/z", "proto.example"),
+    }
+
+
+def test_root_relative_keeps_base_port_and_drops_query(spark):
+    out = extract_outlinks(
+        _pages(spark, [("https://h.example:8443/p?x=1#f", '<a href="/q">l</a>')])
+    ).collect()
+    assert out[0].dst_url == "https://h.example:8443/q"
+    assert out[0].src_host == "h.example:8443"
+
+
+def test_host_edges_weights(spark):
+    pages = _pages(spark, [
+        ("https://a.example/1", '<a href="/x">1</a><a href="/y">2</a>'
+                                '<a href="https://b.example/z">3</a>'),
+        ("https://a.example/2", '<a href="https://b.example/w">4</a>'),
+    ])
+    edges = {(r.src_host, r.dst_host): r.n_links
+             for r in host_edges(extract_outlinks(pages)).collect()}
+    assert edges == {("a.example", "a.example"): 2,
+                     ("a.example", "b.example"): 2}
+
+
+def test_pagerank_hand_computed(spark):
+    # a -> b (w 1); b dangles.  rank0 = 1_000_000 each.
+    # iter1: contrib(b) = 1_000_000 DIV 1 = 1_000_000
+    #        rank(b) = 150_000 + 850_000 = 1_000_000; rank(a) = 150_000
+    # iter2: contrib(b) = 150_000 -> rank(b) = 150_000 + 127_500 = 277_500
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src_host string, dst_host string, n_links long"
+    )
+    r1 = {r.host: r.rank_micro for r in pagerank_hosts(edges, 1).collect()}
+    assert r1 == {"a": BASE_MICRO, "b": 1_000_000}
+    r2 = {r.host: r.rank_micro for r in pagerank_hosts(edges, 2).collect()}
+    assert r2 == {"a": BASE_MICRO, "b": 277_500}
+
+
+def test_pagerank_integer_division_truncates(spark):
+    # a -> {b, c} with weights 1, 2: contribs are (r*1) DIV 3, (r*2) DIV 3
+    # iter1: b: 333_333 -> 150_000 + (333_333*850) DIV 1000 = 433_333
+    #        c: 666_666 -> 150_000 + (666_666*850) DIV 1000 = 716_666
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("a", "c", 2)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.host: r.rank_micro for r in pagerank_hosts(edges, 1).collect()}
+    assert got == {"a": BASE_MICRO, "b": 433_333, "c": 716_666}
+
+
+def test_pagerank_zero_iterations_and_validation(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src_host string, dst_host string, n_links long"
+    )
+    got = {r.host: r.rank_micro for r in pagerank_hosts(edges, 0).collect()}
+    assert got == {"a": INIT_MICRO, "b": INIT_MICRO}
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_hosts(edges, -1)
+
+
+def test_pagerank_cycle_converges_toward_uniform(spark):
+    # symmetric 2-cycle: ranks stay equal and head toward 1_000_000
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "a", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {r.host: r.rank_micro for r in pagerank_hosts(edges, 5).collect()}
+    assert got["a"] == got["b"]
+    assert abs(got["a"] - 1_000_000) < 5  # truncation drift only
+
+
+def test_extraction_plan_is_pure_catalyst(spark):
+    pages = _pages(spark, [("https://a.example/1", '<a href="/x">1</a>')])
+    plan = extract_outlinks(pages)._jdf.queryExecution().executedPlan().toString()
+    for marker in ("ArrowEvalPython", "BatchEvalPython", "FlatMapsInPandas"):
+        assert marker not in plan
+    edge_plan = (
+        host_edges(extract_outlinks(pages))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # partial (map-side) aggregation before the host-pair exchange
+    assert "partial_count" in edge_plan
+
+
+def test_driver_row_arms(spark, sf_dir):
+    import __spark_entry__ as entry
+
+    out = entry.q_host_graph(spark, sf_dir)
+    arms = {r["op"]: r["cnt"] for r in
+            out.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
+    assert set(arms) == {"outlink", "edge", "rank"}
+    # hub pages guarantee cross-host edges beyond the self-loops
+    cross = out.filter(
+        (F.col("op") == "edge") & (F.col("a") != F.col("b"))
+    ).count()
+    assert cross > 0
+    # every host present in the rank arm exactly once
+    hosts = out.filter(F.col("op") == "edge").select(
+        F.col("a").alias("h")
+    ).unionByName(
+        out.filter(F.col("op") == "edge").select(F.col("b").alias("h"))
+    ).distinct().count()
+    assert out.filter(F.col("op") == "rank").count() == hosts

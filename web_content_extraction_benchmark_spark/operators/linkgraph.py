@@ -1,0 +1,224 @@
+"""Host-level link-graph analytics: outlinks -> edges -> PageRank.
+
+A crawl-analytics staple the reference engine (a scoring harness — cf.
+its ``eval.py`` which has no graph code at all) never needed, but any
+100 TB web-corpus pipeline does: which hosts a page links to drives
+seed selection, spam scoring, and crawl prioritization.  Three layers,
+each independently usable and each DuckDB-mirrorable:
+
+1. ``extract_outlinks`` — pure Catalyst: one ``regexp_extract_all`` over
+   the decoded page HTML pulls every ``href="..."`` value, and URL
+   resolution (absolute / protocol-relative / root-relative; drop
+   fragments, mailto:, javascript:, and path-relative hrefs) is a
+   ``CASE`` chain of string functions.  No Python, no shuffle — the
+   explode stays inside the scan stage.
+2. ``host_edges`` — (src_host, dst_host, n_links) via one groupBy;
+   map-side partial aggregation makes the exchange carry host pairs,
+   never URLs.
+3. ``pagerank_hosts`` — damped PageRank in exact integer micro-units so
+   ANY engine reproduces it bit-for-bit (the repo's oracle-float rule,
+   applied harder: no floats at all).  Per iteration:
+
+       contrib(u->v) = (rank(u) * n_links(u,v)) DIV out_weight(u)
+       rank'(v)      = 150_000 + (sum_u contrib(u,v) * 850) DIV 1000
+
+   with rank_0 = 1_000_000 micro-units for every host.  ``DIV`` is
+   BIGINT division in Spark and ``//`` in DuckDB — identical on the
+   non-negative values here, so the unrolled-CTE mirror
+   (``pagerank_sql``) matches exactly, iteration by iteration.
+
+Scale notes (100 TB):
+- the only data-sized work is the regex scan; everything after the
+  host_edges groupBy is O(hosts + host-pairs), orders of magnitude
+  smaller than pages.
+- the PageRank loop joins edges to ranks on src_host then groups by
+  dst_host: two exchanges per iteration over host-cardinality rows.
+  Edge/out-weight inputs are ``localCheckpoint``-ed before the loop —
+  persist() alone does NOT stop Catalyst re-analyzing the whole
+  upstream plan every iteration (measured 22-43 s/round on
+  connected_components before the same fix, see CLAUDE.md).
+- dangling hosts (no outlinks) keep the base rank 150_000 after the
+  first iteration; like the classic formulation without the dangling
+  redistribution term — documented, and mirrored identically in SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+HREF_PATTERN = r'href="([^"]*)"'
+DAMPING_NUM = 850       # 0.85 in thousandths
+BASE_MICRO = 150_000    # (1 - 0.85) in micro-units
+INIT_MICRO = 1_000_000  # rank_0
+
+
+def _host_of(url: Column) -> Column:
+    """scheme://host[/...] -> host (lowercased; '' when not a URL)."""
+    return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
+
+
+def resolve_href(href: Column, base_url: Column) -> Column:
+    """Resolve an href against its page URL; NULL for the dropped kinds.
+
+    Handled: absolute http(s), protocol-relative (``//host/p``), and
+    root-relative (``/p``).  Dropped (NULL): empty, fragment-only,
+    non-http schemes (mailto:, javascript:, tel:, data:), and
+    path-relative hrefs (correct resolution needs RFC 3986 dot-segment
+    merging against the base path — out of scope for host-graph use,
+    where a path-relative link is a same-host edge the root-relative
+    rows already witness)."""
+    scheme = F.regexp_extract(base_url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
+    origin = F.regexp_extract(base_url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    return (
+        F.when(href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
+def extract_outlinks(pages: DataFrame, html_col: str = "html_str",
+                     url_col: str = "url") -> DataFrame:
+    """(url, html string) rows -> one row per resolvable outlink:
+    (url, href, dst_url, src_host, dst_host).  Pure Catalyst."""
+    hrefs = F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
+    out = pages.select(
+        F.col(url_col).alias("url"), F.explode(hrefs).alias("href")
+    )
+    dst = resolve_href(F.col("href"), F.col("url"))
+    return (
+        out.select("url", "href", dst.alias("dst_url"))
+        .filter(F.col("dst_url").isNotNull())
+        .select(
+            "url", "href", "dst_url",
+            _host_of(F.col("url")).alias("src_host"),
+            _host_of(F.col("dst_url")).alias("dst_host"),
+        )
+    )
+
+
+def host_edges(outlinks: DataFrame) -> DataFrame:
+    """Outlink rows -> weighted host->host edges (n_links BIGINT)."""
+    return (
+        outlinks.groupBy("src_host", "dst_host")
+        .agg(F.count("*").cast("long").alias("n_links"))
+    )
+
+
+def pagerank_hosts(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Integer micro-unit PageRank over (src_host, dst_host, n_links).
+
+    Returns (host, rank_micro BIGINT) for every host appearing as a
+    source or destination.  Exact arithmetic — see the module docstring
+    for the per-iteration formula; ``pagerank_sql`` is the
+    decision-for-decision DuckDB mirror."""
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0: {iterations}")
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    out_w = edges.groupBy("src_host").agg(F.sum("n_links").alias("out_w"))
+    # lineage truncation BEFORE the loop: persist() would re-analyze the
+    # full upstream plan every iteration (CLAUDE.md, connected_components)
+    e = edges.join(out_w, "src_host").localCheckpoint()
+    nodes = nodes.localCheckpoint()
+
+    ranks = nodes.select(
+        "host", F.lit(INIT_MICRO).cast("long").alias("rank_micro")
+    )
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e["src_host"] == ranks["host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(rank_micro * n_links) DIV out_w").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").alias("c"))
+        )
+        ranks = nodes.join(contribs, "host", "left").select(
+            "host",
+            (
+                F.lit(BASE_MICRO).cast("long")
+                + F.expr(f"(coalesce(c, CAST(0 AS BIGINT)) * {DAMPING_NUM}) DIV 1000")
+            ).alias("rank_micro"),
+        )
+    return ranks
+
+
+def outlinks_sql(corpus_cte: str) -> str:
+    """DuckDB mirror of ``extract_outlinks`` over a CTE body selecting
+    (url, html_str).  RE2 and Java agree on every pattern used here."""
+    return f"""
+        WITH corpus AS ({corpus_cte}),
+        hrefs AS (
+            SELECT url,
+                   unnest(regexp_extract_all(html_str,
+                          'href="([^"]*)"', 1)) AS href
+            FROM corpus
+        ),
+        resolved AS (
+            SELECT url, href,
+                   CASE
+                     WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                       THEN href
+                     WHEN href LIKE '//%'
+                       THEN regexp_extract(url,
+                            '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || href
+                     WHEN href LIKE '/%'
+                       THEN regexp_extract(url,
+                            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || href
+                     ELSE NULL
+                   END AS dst_url
+            FROM hrefs
+        )
+        SELECT url, href, dst_url,
+               lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+               lower(regexp_extract(dst_url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
+        FROM resolved WHERE dst_url IS NOT NULL
+    """
+
+
+def pagerank_sql(edges_cte: str, iterations: int = 5) -> str:
+    """DuckDB mirror of ``pagerank_hosts`` — the iteration loop unrolled
+    into CTE stages r0..r{n} generated from the SAME constants, so the
+    two sides cannot drift independently.  HUGEINT sums are cast back to
+    BIGINT at every step to keep the arithmetic domain identical."""
+    parts = [
+        f"WITH edges AS ({edges_cte})",
+        """nodes AS (
+            SELECT DISTINCT host FROM (
+                SELECT src_host AS host FROM edges
+                UNION ALL SELECT dst_host FROM edges
+            )
+        )""",
+        """outw AS (
+            SELECT src_host, CAST(sum(n_links) AS BIGINT) AS out_w
+            FROM edges GROUP BY src_host
+        )""",
+        f"r0 AS (SELECT host, CAST({INIT_MICRO} AS BIGINT) AS rank_micro "
+        "FROM nodes)",
+    ]
+    for i in range(1, iterations + 1):
+        parts.append(f"""r{i} AS (
+            SELECT n.host,
+                   CAST({BASE_MICRO} AS BIGINT)
+                   + (CAST(coalesce(s.c, 0) AS BIGINT) * {DAMPING_NUM}) // 1000
+                       AS rank_micro
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst_host AS host,
+                       CAST(sum((r.rank_micro * e.n_links) // o.out_w)
+                            AS BIGINT) AS c
+                FROM edges e
+                JOIN r{i - 1} r ON e.src_host = r.host
+                JOIN outw o ON e.src_host = o.src_host
+                GROUP BY e.dst_host
+            ) s ON n.host = s.host
+        )""")
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT host, rank_micro FROM r{iterations}"
