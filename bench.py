@@ -625,6 +625,59 @@ def main() -> None:
             F.count("error"),
         ).collect()
 
+    # q17: ExactSubstr dedup (r8) — duplicated-window span removal over
+    # the full page volume.  The replicated corpus makes every unsalted
+    # doc a full duplicate (all windows covered — the removal-heavy
+    # branch); odd doc_ids get per-doc word salting (zero duplicated
+    # windows — the survive-intact branch), so the one window-key
+    # shuffle and BOTH coverage tails are priced at realistic mix.
+    def q17():
+        from web_content_extraction_benchmark_spark.operators.substr_dedup import (
+            dedup_exact_substrings,
+        )
+
+        words = F.split(F.col("gold"), " ")
+        docs = pages.select(
+            F.xxhash64("url").alias("doc_id"),
+            F.when(
+                F.xxhash64("url") % 2 == 0, F.col("gold")
+            ).otherwise(
+                F.concat_ws(
+                    " ",
+                    F.transform(
+                        words,
+                        lambda w: F.concat(w, F.lit("~"),
+                                           F.xxhash64("url")),
+                    ),
+                )
+            ).alias("text"),
+        )
+        dedup_exact_substrings(docs).agg(
+            F.sum("n_dup_windows"), F.sum("n_tokens_removed"),
+            F.sum(F.length("kept_text")),
+        ).collect()
+
+    # q18: host link graph (r8) — decode + outlink regex over the full
+    # page volume (the data-sized part), then host-edge aggregation and
+    # 5 integer-PageRank iterations over the O(hosts) tail.
+    def q18():
+        from web_content_extraction_benchmark_spark.functions.udfs import (
+            decode_html_udf,
+        )
+        from web_content_extraction_benchmark_spark.operators.linkgraph import (
+            extract_outlinks,
+            host_edges,
+            pagerank_hosts,
+        )
+
+        corpus = pages.select(
+            "url", decode_html_udf(F.col("html")).alias("html_str")
+        )
+        edges = host_edges(extract_outlinks(corpus))
+        pagerank_hosts(edges, iterations=5).agg(
+            F.count("*"), F.sum("rank_micro")
+        ).collect()
+
     timed("q8_sessionize", q8)
     timed("q9_rollup_agg", q9)
     timed("q10_convert_cleaneval", q10)
@@ -634,6 +687,8 @@ def main() -> None:
     timed("q14_decontam_100kgrams", q14)
     timed("q15_warc_ingest", q15)
     timed("q16_pdf_parse_40k", q16)
+    timed("q17_substr_dedup", q17)
+    timed("q18_host_pagerank", q18)
     neardup_pairs.unpersist()
     unique_docs.unpersist()
     ivf_lists.unpersist()

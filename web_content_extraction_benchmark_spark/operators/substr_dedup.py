@@ -12,9 +12,11 @@ standard equivalence:
 So the distributed plan is window-local and needs ONE shuffle on the
 window key:
 
-1. per doc, build all positional L-token word windows in a single
-   projection (``grams.positional_kgrams`` — no explode until the
-   occurrence list, which carries (key, doc_id, pos) only);
+1. per doc, key every positional L-token window BEFORE the explode, so
+   the occurrence list carries (key, doc_id, pos) only.  In hash mode
+   the key is one xxhash64 over the window's k token hashes (tokens
+   hashed once per doc — no window strings are ever materialized); in
+   exact mode it is the window string from ``grams.positional_kgrams``;
 2. count window occurrences globally (multiplicity included: a window
    repeated twice INSIDE one doc is a duplicate, matching the paper's
    self-repeat semantics);
@@ -24,19 +26,20 @@ window key:
 
 Scale design:
 - the only exchange carries (key, doc_id, pos).  With
-  ``key_mode="hash"`` (production default) the key is the 8-byte
-  xxhash64 of the window text, so the shuffle is ~20 B/row regardless
-  of window width; document text never enters any exchange.
+  ``key_mode="hash"`` (production default) the key is an 8-byte
+  xxhash64, so the shuffle is ~20 B/row regardless of window width;
+  document text never enters any exchange.
 - ``key_mode="exact"`` keys by the window STRING itself — collision-free
   and reproducible by any engine, which is what the DuckDB oracle row
   uses (xxhash64 has no DuckDB twin).  At 64-bit width, hash collisions
   corrupt a window decision with probability ~n_windows^2 / 2^64
   (~1e-7 at 10^9 windows) — acceptable for corpus prep, and the exact
   mode exists for anyone who disagrees.
-- duplicated keys are typically a small fraction of all windows, so the
-  starts join back onto the occurrence list is AQE-broadcastable; the
+- duplicated starts come from ONE count window over the key (not a
+  groupBy + join-back, which would shuffle the occurrence list twice
+  and recompute the O(tokens x window) gram build per consumer); the
   per-doc tail (interval merge + token filter) is a pure Catalyst
-  projection, no Python, no window function, no second shuffle.
+  projection, no Python, no second pass over the text.
 
 Reference parity note: the reference engine (cf. its R24 dict-key dedup)
 has no substring-level dedup at all; this operator exists for the
@@ -47,6 +50,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from .grams import positional_kgrams
 
@@ -102,19 +106,46 @@ def dedup_exact_substrings(df: DataFrame, text_col: str = "text",
     if key_mode not in ("hash", "exact"):
         raise ValueError(f"key_mode must be 'hash' or 'exact': {key_mode!r}")
     toks = F.split(F.col(text_col), " ")
-    grams = positional_kgrams(toks, window)
+    if key_mode == "hash":
+        # token-hash chain: hash each token ONCE, then key a window by
+        # one xxhash64 over its k token hashes — no window strings are
+        # ever built (vs concat_ws per window: 4.2x on the occurrence
+        # build at the q17 bench shape).  _th gets its own projection
+        # and >1 downstream references, otherwise CollapseProject
+        # inlines the token-hash transform into the window lambda and
+        # re-evaluates it per window (O(tokens^2) — CLAUDE.md gotcha).
+        hashed = df.select(
+            F.col(id_col),
+            F.transform(toks, lambda x: F.xxhash64(x)).alias("_th"),
+        )
+        th = F.col("_th")
+        n = F.size(th)
+        idx = F.when(
+            n >= window, F.sequence(F.lit(0), n - window)
+        ).otherwise(F.array().cast("array<int>"))
+        keys = F.transform(
+            idx,
+            lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(window)]),
+        )
+        occ = hashed.select(
+            F.col(id_col), F.posexplode(keys).alias("pos", "_k")
+        )
+    else:
+        grams = positional_kgrams(toks, window)
+        occ = df.select(
+            F.col(id_col), F.posexplode(grams).alias("pos", "_k")
+        )
 
-    occ = df.select(F.col(id_col), F.posexplode(grams).alias("pos", "_g"))
-    key = F.xxhash64("_g") if key_mode == "hash" else F.col("_g")
-    occ = occ.select(id_col, "pos", key.alias("_k"))
-
-    dup_keys = (
-        occ.groupBy("_k").agg(F.count("*").alias("_c"))
-        .filter(F.col("_c") >= 2)
-        .select("_k")
-    )
+    # duplicated-window starts in ONE shuffle: a count window over the
+    # key keeps the (id, pos) rows flowing (the former
+    # groupBy-count + join-back plan shuffled occ twice AND recomputed
+    # the O(tokens x window) gram build for each consumer).  Skewed keys
+    # (a corpus-wide boilerplate phrase) buffer one sorted partition
+    # group with spill — same exposure the groupBy plan had.
+    w = Window.partitionBy("_k")
     starts = (
-        occ.join(dup_keys, "_k")
+        occ.withColumn("_c", F.count("*").over(w))
+        .filter(F.col("_c") >= 2)
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_starts"))
     )
@@ -125,18 +156,33 @@ def dedup_exact_substrings(df: DataFrame, text_col: str = "text",
     starts_col = F.coalesce(
         F.col("_starts"), F.array().cast("array<int>")
     )
-    ivs = _merge_starts(starts_col, window)
-    toks_out = F.split(F.col("_text"), " ")
+    # merged intervals MUST be materialized in their own projection with
+    # more than one downstream reference: inlined into the token-filter
+    # lambda, the O(starts) merge fold re-runs PER TOKEN (the CLAUDE.md
+    # CollapseProject gotcha — measured 96 s of a 97 s q17 run).  The
+    # second reference is n_tokens_removed, computed as the sum of
+    # merged-interval lengths (the intervals are disjoint, so this
+    # equals the count of covered tokens).
+    mid = out.select(
+        F.col(id_col),
+        F.col("_text"),
+        F.size(starts_col).alias("n_dup_windows"),
+        _merge_starts(starts_col, window).alias("_ivs"),
+    )
+    ivs = F.col("_ivs")
     kept = F.filter(
-        toks_out,
+        F.split(F.col("_text"), " "),
         lambda t, i: ~F.exists(
             ivs, lambda iv: (iv["s"] <= i) & (i <= iv["e"])
         ),
     )
-    return out.select(
+    removed = F.aggregate(
+        ivs, F.lit(0), lambda acc, iv: acc + (iv["e"] - iv["s"] + 1)
+    )
+    return mid.select(
         id_col,
-        F.size(starts_col).alias("n_dup_windows"),
-        (F.size(toks_out) - F.size(kept)).alias("n_tokens_removed"),
+        "n_dup_windows",
+        removed.alias("n_tokens_removed"),
         F.concat_ws(" ", kept).alias("kept_text"),
     )
 
