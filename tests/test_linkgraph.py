@@ -147,3 +147,35 @@ def test_driver_row_arms(spark, sf_dir):
         out.filter(F.col("op") == "edge").select(F.col("b").alias("h"))
     ).distinct().count()
     assert out.filter(F.col("op") == "rank").count() == hosts
+
+
+def test_wat_records_shape_and_sorting(spark):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        wat_records,
+    )
+
+    pages = _pages(spark, [
+        ("https://a.example/1", '<a href="/z">1</a><a href="/a">2</a>'),
+    ])
+    rec = wat_records(extract_outlinks(pages)).collect()
+    assert len(rec) == 1 and rec[0].n_links == 2
+    # links sorted by href for byte-stable golden output
+    assert [l.href for l in rec[0].links] == ["/a", "/z"]
+    assert rec[0].links[0].target == "https://a.example/a"
+    assert rec[0].links[0].host == "a.example"
+
+
+def test_cli_linkgraph(tmp_path, spark, sf_dir):
+    from web_content_extraction_benchmark_spark.cli import main
+
+    wat = str(tmp_path / "wat")
+    pr = str(tmp_path / "pr")
+    main(["linkgraph", "--sf-dir", sf_dir, "-o", wat, "--golden"])
+    got = spark.read.json(wat)
+    assert {"url", "links", "n_links"} <= set(got.columns)
+    assert got.count() > 100  # 3 of 5 template variants carry links
+    main(["linkgraph", "--sf-dir", sf_dir, "-o", pr, "--what", "pagerank",
+          "--iterations", "2", "--golden"])
+    ranks = spark.read.json(pr)
+    assert ranks.count() == 41  # every host is self-linked via nav hrefs
+    assert ranks.filter("rank_micro <= 0").count() == 0

@@ -376,6 +376,38 @@ def cmd_dedup_export(args: argparse.Namespace) -> None:
     print(f"{uniq.count()} unique docs -> {args.output}")
 
 
+def cmd_linkgraph(args: argparse.Namespace) -> None:
+    """Host link-graph exports over the synthesized pages: WAT-style
+    per-page link metadata, host->host edges, or PageRank scores."""
+    from .functions.udfs import decode_html_udf
+    from .operators.linkgraph import (
+        extract_outlinks,
+        host_edges,
+        pagerank_hosts,
+        wat_records,
+    )
+    from .sources.jsonl import write_jsonl
+    from .sources.pages import synthesize_pages
+
+    spark = _spark(args)
+    pages = synthesize_pages(spark, args.sf_dir).select(
+        "url", decode_html_udf(F.col("html")).alias("html_str")
+    )
+    outlinks = extract_outlinks(pages)
+    if args.what == "wat":
+        out = wat_records(outlinks)
+        write_jsonl(out, args.output, sort_by="url", golden=args.golden)
+    elif args.what == "edges":
+        out = host_edges(outlinks)
+        write_jsonl(out, args.output, sort_by=["src_host", "dst_host"],
+                    golden=args.golden)
+    else:
+        out = pagerank_hosts(host_edges(outlinks),
+                             iterations=args.iterations)
+        write_jsonl(out, args.output, sort_by="host", golden=args.golden)
+    print(f"wrote {args.what} ({out.count()} records) -> {args.output}")
+
+
 def build_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(
         prog="wceb-spark",
@@ -478,6 +510,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--index", required=True)
     p.add_argument("-o", "--output", required=True)
     p.set_defaults(fn=cmd_dedup_export)
+
+    p = sub.add_parser("linkgraph", help="WAT-style link metadata, "
+                       "host edges, or PageRank over the pages")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("-o", "--output", required=True)
+    p.add_argument("--what", choices=("wat", "edges", "pagerank"),
+                   default="wat")
+    p.add_argument("--iterations", type=int, default=5,
+                   help="PageRank iterations (pagerank only)")
+    p.add_argument("--golden", action="store_true",
+                   help="single sorted file (test/golden mode)")
+    p.set_defaults(fn=cmd_linkgraph)
 
     pc = sub.add_parser("complexity", help="page extraction complexity")
     csub = pc.add_subparsers(dest="complexity_command", required=True)

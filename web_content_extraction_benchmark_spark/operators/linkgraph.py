@@ -149,6 +149,29 @@ def pagerank_hosts(edges: DataFrame, iterations: int = 5) -> DataFrame:
     return ranks
 
 
+def wat_records(outlinks: DataFrame) -> DataFrame:
+    """Per-page link-metadata records in the Common-Crawl-WAT shape
+    (one record per page, a ``links`` array of its resolved outlinks) —
+    the export a crawl-metadata consumer expects next to a WET sink.
+    ``links`` is sorted (by href, then target) so golden-mode JSONL
+    output is byte-stable."""
+    return (
+        outlinks.groupBy("url")
+        .agg(
+            F.sort_array(
+                F.collect_list(
+                    F.struct(
+                        F.col("href").alias("href"),
+                        F.col("dst_url").alias("target"),
+                        F.col("dst_host").alias("host"),
+                    )
+                )
+            ).alias("links")
+        )
+        .withColumn("n_links", F.size("links"))
+    )
+
+
 def outlinks_sql(corpus_cte: str) -> str:
     """DuckDB mirror of ``extract_outlinks`` over a CTE body selecting
     (url, html_str).  RE2 and Java agree on every pattern used here."""
