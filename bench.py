@@ -661,19 +661,13 @@ def main() -> None:
     # page volume (the data-sized part), then host-edge aggregation and
     # 5 integer-PageRank iterations over the O(hosts) tail.
     def q18():
-        from web_content_extraction_benchmark_spark.functions.udfs import (
-            decode_html_udf,
-        )
         from web_content_extraction_benchmark_spark.operators.linkgraph import (
-            extract_outlinks,
+            extract_outlinks_raw,
             host_edges,
             pagerank_hosts,
         )
 
-        corpus = pages.select(
-            "url", decode_html_udf(F.col("html")).alias("html_str")
-        )
-        edges = host_edges(extract_outlinks(corpus))
+        edges = host_edges(extract_outlinks_raw(pages))
         pagerank_hosts(edges, iterations=5).agg(
             F.count("*"), F.sum("rank_micro")
         ).collect()

@@ -179,3 +179,27 @@ def test_cli_linkgraph(tmp_path, spark, sf_dir):
     ranks = spark.read.json(pr)
     assert ranks.count() == 41  # every host is self-linked via nav hrefs
     assert ranks.filter("rank_micro <= 0").count() == 0
+
+
+def test_extract_outlinks_raw_equals_string_path(spark, sf_dir):
+    """The fused decode+href kernel (one Arrow crossing over raw bytes)
+    must produce exactly the rows of decode_html_udf -> extract_outlinks
+    — including over the corpus's gzip/BOM/cp1252 encoding variants."""
+    from web_content_extraction_benchmark_spark.functions.udfs import (
+        decode_html_udf,
+    )
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        extract_outlinks_raw,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    via_string = extract_outlinks(
+        pages.select("url", decode_html_udf(F.col("html")).alias("html_str"))
+    )
+    via_raw = extract_outlinks_raw(pages)
+    assert via_raw.columns == via_string.columns
+    assert via_raw.exceptAll(via_string).count() == 0
+    assert via_string.exceptAll(via_raw).count() == 0

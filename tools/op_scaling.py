@@ -8,9 +8,17 @@ run only in a quiet window (the script refuses above load 5, same as
 bench.py) and never concurrently with another Spark job.
 
 Usage: python tools/op_scaling.py [arm ...]           (default: all arms)
-Arms: substr pagerank.  Reads the bench-cached sf0.1 x40 pages parquet;
-run `python bench.py` once first if /tmp/wceb_bench is cold.
-Appends one JSON line per arm to BENCH/op_scaling_r8.jsonl and prints it.
+Arms: substr linkgraph pagerank_tail.  Reads the bench-cached sf0.1 x40
+pages parquet; run `python bench.py` once first if /tmp/wceb_bench is
+cold.  Appends one JSON line per arm to BENCH/op_scaling_r8.jsonl.
+
+Levels are 2 -> 8 cores, matching the container-bench protocol: the
+shared host cannot supply 4x the cpus above ~8-16 procs even to a
+zero-framework pool (BENCH/BASELINE.md pool table: 8->32 pool
+efficiency ~0.32), so 8->32 efficiencies measure the host, not the
+engine.  The pagerank_tail arm is O(hosts) — constant-sized by design,
+independent of corpus volume — so it reports absolute seconds at both
+levels, not an efficiency claim.
 """
 
 from __future__ import annotations
@@ -45,17 +53,27 @@ def run():
         F.sum("n_dup_windows"), F.sum("n_tokens_removed"),
         F.sum(F.length("kept_text"))).collect()
 """,
-    # host link graph at the q18 bench shape — decode + outlink regex
-    # over the full volume, then the O(hosts) PageRank tail.
-    "pagerank": r"""
-from web_content_extraction_benchmark_spark.functions.udfs import (
-    decode_html_udf)
+    # host link graph, data-sized layer — fused decode+href scan over
+    # the raw page bytes, then edge aggregation.  This is the part that
+    # grows with corpus size; the rank loop is measured separately.
+    "linkgraph": r"""
 from web_content_extraction_benchmark_spark.operators.linkgraph import (
-    extract_outlinks, host_edges, pagerank_hosts)
-corpus = pages.select("url", decode_html_udf(F.col("html")).alias("html_str"))
+    extract_outlinks_raw, host_edges)
 
 def run():
-    edges = host_edges(extract_outlinks(corpus))
+    host_edges(extract_outlinks_raw(pages)).agg(
+        F.count("*"), F.sum("n_links")).collect()
+""",
+    # PageRank iteration loop alone — O(hosts + host-pairs), constant in
+    # corpus volume (41 hosts here).  Reported as absolute seconds: two
+    # tiny exchanges per iteration are scheduler-latency-bound, and that
+    # is the correct 100 TB shape (host cardinality ~1e8 << pages).
+    "pagerank_tail": r"""
+from web_content_extraction_benchmark_spark.operators.linkgraph import (
+    extract_outlinks_raw, host_edges, pagerank_hosts)
+edges = host_edges(extract_outlinks_raw(pages)).localCheckpoint()
+
+def run():
     pagerank_hosts(edges, iterations=5).agg(
         F.count("*"), F.sum("rank_micro")).collect()
 """,
@@ -80,6 +98,9 @@ if rep > 1:
     ).withColumn(
         "url", F.concat("url", F.lit("?c="), F.col("copy").cast("string"))
     ).drop("copy").repartition({cpus} * 2)
+# materialize the input once: the arm must price the OPERATOR, not the
+# parquet re-read + replicate shuffle, on every measured round
+pages = pages.localCheckpoint()
 n = pages.count()
 {body}
 run()  # warm-up: Python workers, JIT, parquet footer cache
@@ -95,10 +116,48 @@ spark.stop()
 """
 
 
+_POOL_CHILD = r"""
+import json, multiprocessing as mp, re, sys, time
+sys.path.insert(0, {repo!r})
+
+def _kernel(raw):
+    from web_content_extraction_benchmark_spark.encoding import decode_html
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        HREF_PATTERN)
+    return len(re.findall(HREF_PATTERN, decode_html(raw)))
+
+def main():
+    import pandas as pd
+    cpus = {cpus}
+    pages = pd.read_parquet({pages!r}, columns=["html"])["html"].tolist()
+    pages = pages * {rep}
+    with mp.get_context("spawn").Pool(cpus) as pool:
+        n_links = sum(pool.imap_unordered(_kernel, pages[:2000],
+                                          chunksize=256))  # warm-up
+        best = None
+        for _ in range({rounds}):
+            t0 = time.perf_counter()
+            n_links = sum(pool.imap_unordered(_kernel, pages,
+                                              chunksize=256))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+    print(json.dumps({{"cpus": cpus, "n_pages": len(pages),
+                       "n_links": n_links, "sec": round(best, 3),
+                       "docs_per_sec": round(len(pages) / best, 1)}}))
+
+if __name__ == "__main__":
+    main()
+"""
+
+
 def run_level(arm: str, cpus: int, rounds: int = 2) -> dict:
     rep = int(os.environ.get("SPARK_GRAFT_OPSCALE_REP", "1"))
-    code = _CHILD.format(repo=REPO, cpus=cpus, pages=PAGES, rep=rep,
-                         body=_ARMS[arm], rounds=rounds)
+    if arm == "linkgraph_pool":
+        code = _POOL_CHILD.format(repo=REPO, cpus=cpus, pages=PAGES,
+                                  rep=rep, rounds=rounds)
+    else:
+        code = _CHILD.format(repo=REPO, cpus=cpus, pages=PAGES, rep=rep,
+                             body=_ARMS[arm], rounds=rounds)
     out = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True,
         cwd=REPO, check=True,
@@ -107,8 +166,11 @@ def run_level(arm: str, cpus: int, rounds: int = 2) -> dict:
 
 
 def main() -> None:
-    arms = sys.argv[1:] or list(_ARMS)
-    unknown = set(arms) - set(_ARMS)
+    # linkgraph_pool = zero-framework mp.Pool control for the linkgraph
+    # kernel (decode+findall over the same bytes): the attainable host
+    # ceiling the Spark arm's efficiency is judged against.
+    arms = sys.argv[1:] or list(_ARMS) + ["linkgraph_pool"]
+    unknown = set(arms) - set(_ARMS) - {"linkgraph_pool"}
     if unknown:
         raise SystemExit(f"unknown arms: {sorted(unknown)}")
     load = os.getloadavg()[0]
@@ -116,7 +178,7 @@ def main() -> None:
         raise SystemExit(f"host busy (loadavg {load:.1f}) — refusing")
     if not os.path.isdir(PAGES):
         raise SystemExit(f"{PAGES} missing — run `python bench.py` first")
-    n_small, n_big = 8, 32
+    n_small, n_big = 2, 8
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     for arm in arms:
         # interleave small/big twice (A-B-A-B) so drift cancels
@@ -134,7 +196,10 @@ def main() -> None:
             "cpus_big": n_big, "sec_big": b,
             "docs_per_sec_big": round(small[0]["n_pages"] / b, 1),
             "speedup": round(s / b, 3),
+            # efficiency is not a meaningful claim for the O(hosts)
+            # fixed-cost tail — keep the raw number but flag the arm
             "scaling_efficiency": round(eff, 3),
+            "fixed_cost_arm": arm == "pagerank_tail",
             "loadavg_at_start": round(load, 2),
         }
         line = json.dumps(rec)

@@ -379,9 +379,8 @@ def cmd_dedup_export(args: argparse.Namespace) -> None:
 def cmd_linkgraph(args: argparse.Namespace) -> None:
     """Host link-graph exports over the synthesized pages: WAT-style
     per-page link metadata, host->host edges, or PageRank scores."""
-    from .functions.udfs import decode_html_udf
     from .operators.linkgraph import (
-        extract_outlinks,
+        extract_outlinks_raw,
         host_edges,
         pagerank_hosts,
         wat_records,
@@ -390,10 +389,8 @@ def cmd_linkgraph(args: argparse.Namespace) -> None:
     from .sources.pages import synthesize_pages
 
     spark = _spark(args)
-    pages = synthesize_pages(spark, args.sf_dir).select(
-        "url", decode_html_udf(F.col("html")).alias("html_str")
-    )
-    outlinks = extract_outlinks(pages)
+    pages = synthesize_pages(spark, args.sf_dir)
+    outlinks = extract_outlinks_raw(pages)
     if args.what == "wat":
         out = wat_records(outlinks)
         write_jsonl(out, args.output, sort_by="url", golden=args.golden)

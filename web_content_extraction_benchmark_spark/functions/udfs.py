@@ -60,6 +60,27 @@ def decode_html_udf(raw: pd.Series) -> pd.Series:
     return decode_series(raw)
 
 
+@pandas_udf(T.ArrayType(T.StringType()))
+def hrefs_from_html_udf(raw: pd.Series) -> pd.Series:
+    """binary html -> href attribute values, decode fused with the scan.
+
+    One Arrow crossing instead of two: ``decode_html_udf`` followed by a
+    JVM ``regexp_extract_all`` ships every decoded page string back to
+    the JVM only to throw away all but ~0.5% of it — measured 0.60
+    2->8-core scaling on that round trip alone (Arrow ser-de is
+    memory-bandwidth-bound) vs the link-graph layers' own ~0.75.  The
+    Python and Java regex semantics agree on this literal pattern
+    (no char classes beyond ``[^"]``)."""
+    import re
+
+    from ..operators.linkgraph import HREF_PATTERN
+
+    pat = re.compile(HREF_PATTERN)
+    return raw.map(
+        lambda b: pat.findall(decode_html(b)) if b is not None else []
+    )
+
+
 def extraction_udf(model: str):
     """Series[binary html] -> Series[plaintext] for one extractor."""
     fn = get_extractor(model)

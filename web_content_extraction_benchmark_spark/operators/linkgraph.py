@@ -58,6 +58,18 @@ def _host_of(url: Column) -> Column:
     return F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1))
 
 
+def _resolve_href_pre(href: Column, scheme: Column, origin: Column) -> Column:
+    """``resolve_href`` against a base URL whose scheme and origin were
+    already extracted (hoisted before the outlink explode so the two
+    base-URL regexes run once per PAGE, not once per link)."""
+    return (
+        F.when(href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), href)
+        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
+        .when(href.startswith("/"), F.concat(origin, href))
+        .otherwise(F.lit(None).cast("string"))
+    )
+
+
 def resolve_href(href: Column, base_url: Column) -> Column:
     """Resolve an href against its page URL; NULL for the dropped kinds.
 
@@ -70,11 +82,39 @@ def resolve_href(href: Column, base_url: Column) -> Column:
     rows already witness)."""
     scheme = F.regexp_extract(base_url, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1)
     origin = F.regexp_extract(base_url, r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1)
+    return _resolve_href_pre(href, scheme, origin)
+
+
+def _outlinks_from_hrefs(pages: DataFrame, hrefs: Column,
+                         url_col: str) -> DataFrame:
+    """Shared resolution tail: (page rows, href-array column) -> one row
+    per resolvable outlink (url, href, dst_url, src_host, dst_host).
+
+    All base-URL regexes (src_host, scheme, origin) are computed BEFORE
+    the href explode — CollapseProject would otherwise inline them into
+    every per-link expression and re-run them once per outlink (~10x
+    redundant regex work on a nav-heavy page)."""
+    out = pages.select(
+        F.col(url_col).alias("url"),
+        _host_of(F.col(url_col)).alias("src_host"),
+        F.regexp_extract(
+            F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1
+        ).alias("_scheme"),
+        F.regexp_extract(
+            F.col(url_col), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+        ).alias("_origin"),
+        F.explode(hrefs).alias("href"),
+    )
+    dst = _resolve_href_pre(
+        F.col("href"), F.col("_scheme"), F.col("_origin")
+    )
     return (
-        F.when(href.rlike(r"^[Hh][Tt][Tt][Pp][Ss]?://"), href)
-        .when(href.startswith("//"), F.concat(scheme, F.lit(":"), href))
-        .when(href.startswith("/"), F.concat(origin, href))
-        .otherwise(F.lit(None).cast("string"))
+        out.select("url", "src_host", "href", dst.alias("dst_url"))
+        .filter(F.col("dst_url").isNotNull())
+        .select(
+            "url", "href", "dst_url", "src_host",
+            _host_of(F.col("dst_url")).alias("dst_host"),
+        )
     )
 
 
@@ -83,18 +123,21 @@ def extract_outlinks(pages: DataFrame, html_col: str = "html_str",
     """(url, html string) rows -> one row per resolvable outlink:
     (url, href, dst_url, src_host, dst_host).  Pure Catalyst."""
     hrefs = F.regexp_extract_all(F.col(html_col), F.lit(HREF_PATTERN), 1)
-    out = pages.select(
-        F.col(url_col).alias("url"), F.explode(hrefs).alias("href")
-    )
-    dst = resolve_href(F.col("href"), F.col("url"))
-    return (
-        out.select("url", "href", dst.alias("dst_url"))
-        .filter(F.col("dst_url").isNotNull())
-        .select(
-            "url", "href", "dst_url",
-            _host_of(F.col("url")).alias("src_host"),
-            _host_of(F.col("dst_url")).alias("dst_host"),
-        )
+    return _outlinks_from_hrefs(pages, hrefs, url_col)
+
+
+def extract_outlinks_raw(pages: DataFrame, html_col: str = "html",
+                         url_col: str = "url") -> DataFrame:
+    """``extract_outlinks`` straight off raw page BYTES: charset decode
+    fused with the href scan in one Arrow crossing
+    (``hrefs_from_html_udf``), so only the ~0.5%-sized href arrays cross
+    back to the JVM instead of every decoded page.  Same output as
+    ``extract_outlinks`` over ``decode_html_udf`` text (pytest-pinned);
+    prefer this form whenever the corpus is still binary."""
+    from ..functions.udfs import hrefs_from_html_udf
+
+    return _outlinks_from_hrefs(
+        pages, hrefs_from_html_udf(F.col(html_col)), url_col
     )
 
 
