@@ -863,21 +863,24 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     op='edge': host->host weighted edges;
     op='rank': integer micro-unit PageRank after 5 iterations — exact
     arithmetic, mirrored iteration-for-iteration by the unrolled-CTE
-    DuckDB oracle (operators/linkgraph.pagerank_sql)."""
-    from web_content_extraction_benchmark_spark.functions.udfs import (
-        decode_html_udf,
-    )
+    DuckDB oracle (operators/linkgraph.pagerank_sql).
+
+    The synthesized pages go through ``extract_outlinks_raw`` (the fused
+    decode+href kernel — one Arrow crossing over raw bytes, so this
+    oracle row gates the production path incl. the gzip/BOM/cp1252
+    encoding variants); the string-typed hub pages go through the
+    Catalyst ``extract_outlinks``, and the two outlink sets union."""
     from web_content_extraction_benchmark_spark.operators.linkgraph import (
         extract_outlinks,
+        extract_outlinks_raw,
         host_edges,
         pagerank_hosts,
     )
 
-    pages = synthesize_pages(spark, sf_dir).select(
-        "url", decode_html_udf(F.col("html")).alias("html_str")
+    pages = synthesize_pages(spark, sf_dir)
+    outlinks = extract_outlinks_raw(pages).unionByName(
+        extract_outlinks(_hub_pages(_docs(spark, sf_dir)))
     )
-    corpus = pages.unionByName(_hub_pages(_docs(spark, sf_dir)))
-    outlinks = extract_outlinks(corpus)
     edges = host_edges(outlinks)
     ol_arm = (
         outlinks.groupBy("url", "dst_url")
