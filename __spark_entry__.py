@@ -865,22 +865,34 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic, mirrored iteration-for-iteration by the unrolled-CTE
     DuckDB oracle (operators/linkgraph.pagerank_sql).
 
-    The synthesized pages go through ``extract_outlinks_raw`` (the fused
-    decode+href kernel — one Arrow crossing over raw bytes, so this
-    oracle row gates the production path incl. the gzip/BOM/cp1252
-    encoding variants); the string-typed hub pages go through the
-    Catalyst ``extract_outlinks``, and the two outlink sets union."""
+    op='anchor': the anchor-text corpus — (target url, squeezed anchor
+    text, count) over resolvable ``<a>`` ELEMENTS (WAT-parity signal);
+    op='title': (url, squeezed first ``<title>``) for titled pages.
+
+    The synthesized pages go through ``page_links_raw`` (the fused
+    decode + hrefs/anchors/title kernel — ONE Arrow crossing over raw
+    bytes feeds all five arms, so this oracle row gates the production
+    path incl. the gzip/BOM/cp1252 encoding variants);
+    ``localCheckpoint`` pins that single computation because the five
+    union arms are otherwise independent subtrees that would each
+    re-run the scan.  The string-typed hub pages go through the
+    Catalyst ``page_links`` twin, and the two bundles union."""
     from web_content_extraction_benchmark_spark.operators.linkgraph import (
-        extract_outlinks,
-        extract_outlinks_raw,
+        anchor_corpus,
+        anchors_from_page_links,
         host_edges,
+        outlinks_from_page_links,
+        page_links,
+        page_links_raw,
+        page_titles,
         pagerank_hosts,
     )
 
     pages = synthesize_pages(spark, sf_dir)
-    outlinks = extract_outlinks_raw(pages).unionByName(
-        extract_outlinks(_hub_pages(_docs(spark, sf_dir)))
+    links = page_links_raw(pages).localCheckpoint().unionByName(
+        page_links(_hub_pages(_docs(spark, sf_dir)))
     )
+    outlinks = outlinks_from_page_links(links)
     edges = host_edges(outlinks)
     ol_arm = (
         outlinks.groupBy("url", "dst_url")
@@ -904,7 +916,22 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("").alias("b"),
         F.col("rank_micro").alias("n"),
     )
-    return ol_arm.unionByName(edge_arm).unionByName(rank_arm)
+    anchor_arm = anchor_corpus(anchors_from_page_links(links)).select(
+        F.lit("anchor").alias("op"),
+        F.col("target").alias("a"),
+        F.col("anchor_text").alias("b"),
+        F.col("n_anchors").alias("n"),
+    )
+    title_arm = page_titles(links).select(
+        F.lit("title").alias("op"),
+        F.col("url").alias("a"),
+        F.col("title").alias("b"),
+        F.lit(1).cast("long").alias("n"),
+    )
+    return (
+        ol_arm.unionByName(edge_arm).unionByName(rank_arm)
+        .unionByName(anchor_arm).unionByName(title_arm)
+    )
 
 
 def _host_graph_sql() -> str:
@@ -912,8 +939,10 @@ def _host_graph_sql() -> str:
     gzip/BOM edge encodings decode away; empty for doc_id % 101 rows)
     UNION the hub pages, then the linkgraph mirrors layered on top."""
     from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        anchors_sql,
         outlinks_sql,
         pagerank_sql,
+        titles_sql,
     )
     from web_content_extraction_benchmark_spark.sources.pages import (
         html_sql,
@@ -933,6 +962,8 @@ def _host_graph_sql() -> str:
         f"FROM ({ol}) GROUP BY src_host, dst_host"
     )
     pr = pagerank_sql(edges, iterations=5)
+    an = anchors_sql(corpus)
+    ti = titles_sql(corpus)
     return f"""
         SELECT 'outlink' AS op, url AS a, dst_url AS b,
                CAST(count(*) AS BIGINT) AS n
@@ -941,6 +972,11 @@ def _host_graph_sql() -> str:
         SELECT 'edge', src_host, dst_host, n_links FROM ({edges})
         UNION ALL
         SELECT 'rank', host, '', rank_micro FROM ({pr})
+        UNION ALL
+        SELECT 'anchor', dst_url, anchor_text, CAST(count(*) AS BIGINT)
+        FROM ({an}) GROUP BY dst_url, anchor_text
+        UNION ALL
+        SELECT 'title', url, title, CAST(1 AS BIGINT) FROM ({ti})
     """
 
 

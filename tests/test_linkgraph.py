@@ -134,7 +134,7 @@ def test_driver_row_arms(spark, sf_dir):
     out = entry.q_host_graph(spark, sf_dir)
     arms = {r["op"]: r["cnt"] for r in
             out.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
-    assert set(arms) == {"outlink", "edge", "rank"}
+    assert set(arms) == {"outlink", "edge", "rank", "anchor", "title"}
     # hub pages guarantee cross-host edges beyond the self-loops
     cross = out.filter(
         (F.col("op") == "edge") & (F.col("a") != F.col("b"))
@@ -165,6 +165,30 @@ def test_wat_records_shape_and_sorting(spark):
     assert rec[0].links[0].host == "a.example"
 
 
+def test_wat_records_full_title_and_anchor_text(spark):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        page_links,
+        wat_records_full,
+    )
+
+    pages = _pages(spark, [
+        ("https://a.example/1",
+         "<title> Page  One </title>"
+         '<a href="/z">Z link</a><a href="/a">A <i>link</i></a>'
+         '<link href="/style.css">'),
+        ("https://a.example/2", "<p>no links, no title</p>"),
+    ])
+    rec = {r.url: r for r in wat_records_full(page_links(pages)).collect()}
+    r1 = rec["https://a.example/1"]
+    assert r1.title == "Page One" and r1.n_links == 2
+    # <link href> is NOT an anchor element; links sorted by href
+    assert [(l.href, l.text) for l in r1.links] == [
+        ("/a", "A link"), ("/z", "Z link")]
+    assert r1.links[0].target == "https://a.example/a"
+    r2 = rec["https://a.example/2"]
+    assert r2.title == "" and r2.n_links == 0 and r2.links == []
+
+
 def test_cli_linkgraph(tmp_path, spark, sf_dir):
     from web_content_extraction_benchmark_spark.cli import main
 
@@ -179,6 +203,94 @@ def test_cli_linkgraph(tmp_path, spark, sf_dir):
     ranks = spark.read.json(pr)
     assert ranks.count() == 41  # every host is self-linked via nav hrefs
     assert ranks.filter("rank_micro <= 0").count() == 0
+    wf = str(tmp_path / "watfull")
+    main(["linkgraph", "--sf-dir", sf_dir, "-o", wf, "--what", "wat-full",
+          "--golden"])
+    full = spark.read.json(wf)
+    assert {"url", "title", "links", "n_links"} <= set(full.columns)
+    assert full.filter("title <> ''").count() > 100
+
+
+def test_extract_anchors_semantics(spark):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        extract_anchors,
+    )
+
+    html = (
+        '<a href="/a" class="x">One <b>bold</b>\n  multi</a>'
+        '<link href="/style.css">'          # not an anchor ELEMENT
+        '<a href="/b"></a>'                 # empty text kept
+        '<a href="relative">dropped</a>'    # unresolvable -> dropped
+        '<a href="https://t.example/p">T</a>'
+    )
+    got = {r.href: (r.anchor_text, r.dst_url) for r in extract_anchors(
+        _pages(spark, [("https://s.example/1", html)])
+    ).collect()}
+    assert got == {
+        "/a": ("One bold multi", "https://s.example/a"),
+        "/b": ("", "https://s.example/b"),
+        "https://t.example/p": ("T", "https://t.example/p"),
+    }
+
+
+def test_page_titles_first_match_squeezed(spark):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        page_links,
+        page_titles,
+    )
+
+    pages = _pages(spark, [
+        ("u1", "<title>  A \n  B </title><title>second</title>"),
+        ("u2", "<body>no title</body>"),
+        ("u3", "<title></title>"),
+    ])
+    got = {r.url: r.title for r in page_titles(page_links(pages)).collect()}
+    assert got == {"u1": "A B"}
+
+
+def test_anchor_corpus_counts(spark):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        anchor_corpus,
+        extract_anchors,
+    )
+
+    pages = _pages(spark, [
+        ("https://a.example/1", '<a href="https://t.example/">Home</a>'),
+        ("https://b.example/2", '<a href="https://t.example/">Home</a>'
+                                '<a href="https://t.example/">Start</a>'),
+    ])
+    corpus = {(r.target, r.anchor_text): r.n_anchors for r in
+              anchor_corpus(extract_anchors(pages)).collect()}
+    assert corpus == {("https://t.example/", "Home"): 2,
+                      ("https://t.example/", "Start"): 1}
+    by_host = {(r.target, r.anchor_text): r.n_anchors for r in
+               anchor_corpus(extract_anchors(pages), by="dst_host").collect()}
+    assert by_host[("t.example", "Home")] == 2
+
+
+def test_page_links_raw_equals_string_path(spark, sf_dir):
+    """The fused decode+links kernel must produce exactly the bundle of
+    the Catalyst twin over decoded text — anchors, titles and hrefs,
+    including the corpus's gzip/BOM/cp1252 encoding variants."""
+    from web_content_extraction_benchmark_spark.functions.udfs import (
+        decode_html_udf,
+    )
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        page_links,
+        page_links_raw,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    pages = synthesize_pages(spark, sf_dir)
+    via_string = page_links(
+        pages.select("url", decode_html_udf(F.col("html")).alias("html_str"))
+    )
+    via_raw = page_links_raw(pages)
+    assert via_raw.columns == via_string.columns
+    assert via_raw.exceptAll(via_string).count() == 0
+    assert via_string.exceptAll(via_raw).count() == 0
 
 
 def test_extract_outlinks_raw_equals_string_path(spark, sf_dir):

@@ -382,14 +382,21 @@ def cmd_linkgraph(args: argparse.Namespace) -> None:
     from .operators.linkgraph import (
         extract_outlinks_raw,
         host_edges,
+        page_links_raw,
         pagerank_hosts,
         wat_records,
+        wat_records_full,
     )
     from .sources.jsonl import write_jsonl
     from .sources.pages import synthesize_pages
 
     spark = _spark(args)
     pages = synthesize_pages(spark, args.sf_dir)
+    if args.what == "wat-full":
+        out = wat_records_full(page_links_raw(pages))
+        write_jsonl(out, args.output, sort_by="url", golden=args.golden)
+        print(f"wrote {args.what} ({out.count()} records) -> {args.output}")
+        return
     outlinks = extract_outlinks_raw(pages)
     if args.what == "wat":
         out = wat_records(outlinks)
@@ -512,7 +519,8 @@ def build_parser() -> argparse.ArgumentParser:
                        "host edges, or PageRank over the pages")
     p.add_argument("--sf-dir", required=True)
     p.add_argument("-o", "--output", required=True)
-    p.add_argument("--what", choices=("wat", "edges", "pagerank"),
+    p.add_argument("--what",
+                   choices=("wat", "wat-full", "edges", "pagerank"),
                    default="wat")
     p.add_argument("--iterations", type=int, default=5,
                    help="PageRank iterations (pagerank only)")

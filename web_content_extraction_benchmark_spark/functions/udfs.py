@@ -81,6 +81,59 @@ def hrefs_from_html_udf(raw: pd.Series) -> pd.Series:
     )
 
 
+PAGE_LINKS_TYPE = T.StructType([
+    T.StructField("hrefs", T.ArrayType(T.StringType()), False),
+    T.StructField("anchor_hrefs", T.ArrayType(T.StringType()), False),
+    T.StructField("anchor_texts", T.ArrayType(T.StringType()), False),
+    T.StructField("title", T.StringType(), False),
+])
+
+
+@pandas_udf(PAGE_LINKS_TYPE)
+def page_links_udf(raw: pd.Series) -> pd.DataFrame:
+    """binary html -> (hrefs, anchor href/text pairs, raw title): the
+    WAT-record bundle in ONE Arrow crossing.
+
+    Fusing all three scans with the charset decode matters for the same
+    reason ``hrefs_from_html_udf`` exists (decoded pages are ~200x the
+    extracted metadata — shipping them back to the JVM for three
+    separate regexp passes is pure Arrow ser-de waste), plus one more:
+    the three patterns share one decode.  Anchor inner HTML and the
+    title are returned RAW — tag-stripping/whitespace-squeezing happens
+    JVM-side in ``linkgraph.squeeze_text`` so the normalization lives in
+    exactly one place for the kernel path, the Catalyst twin
+    (``linkgraph.page_links``) and the DuckDB mirrors."""
+    import re
+
+    from ..operators.linkgraph import (
+        ANCHOR_PATTERN,
+        HREF_PATTERN,
+        TITLE_PATTERN,
+    )
+
+    hp = re.compile(HREF_PATTERN)
+    ap = re.compile(ANCHOR_PATTERN)
+    tp = re.compile(TITLE_PATTERN)
+    hrefs: list[list[str]] = []
+    a_hrefs: list[list[str]] = []
+    a_texts: list[list[str]] = []
+    titles: list[str] = []
+    for blob in raw:
+        s = decode_html(blob) if blob is not None else ""
+        hrefs.append(hp.findall(s))
+        pairs = ap.findall(s)
+        a_hrefs.append([p[0] for p in pairs])
+        a_texts.append([p[1] for p in pairs])
+        m = tp.search(s)
+        titles.append(m.group(1) if m else "")
+    return pd.DataFrame({
+        "hrefs": hrefs,
+        "anchor_hrefs": a_hrefs,
+        "anchor_texts": a_texts,
+        "title": titles,
+    })
+
+
 def extraction_udf(model: str):
     """Series[binary html] -> Series[plaintext] for one extractor."""
     fn = get_extractor(model)

@@ -48,6 +48,14 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 HREF_PATTERN = r'href="([^"]*)"'
+# anchor ELEMENTS only (HREF_PATTERN also hits <link href>): group 1 =
+# href, group 2 = inner content up to the first </a> ((?s) because real
+# anchors span lines; non-greedy is identical in Java, RE2 and Python)
+ANCHOR_PATTERN = r'(?s)<a href="([^"]*)"[^>]*>(.*?)</a>'
+TITLE_PATTERN = r"<title>([^<]*)</title>"
+# explicit ASCII whitespace class, NOT \s: Java's \s includes \x0B,
+# RE2's does not — the explicit class is engine-identical
+_WS_CLASS = "[ \\t\\n\\r\\f]+"
 DAMPING_NUM = 850       # 0.85 in thousandths
 BASE_MICRO = 150_000    # (1 - 0.85) in micro-units
 INIT_MICRO = 1_000_000  # rank_0
@@ -141,6 +149,134 @@ def extract_outlinks_raw(pages: DataFrame, html_col: str = "html",
     )
 
 
+def squeeze_text(col: Column) -> Column:
+    """Anchor/title normalization: strip nested tags (``<b>``, ``<img>``
+    inside the anchor element), squeeze ASCII whitespace runs to one
+    space, trim.  Space-only trim + the explicit ``_WS_CLASS`` keep
+    Java, RE2 and Python byte-identical."""
+    return F.trim(F.regexp_replace(
+        F.regexp_replace(col, "<[^>]*>", ""), _WS_CLASS, " "
+    ))
+
+
+def page_links(pages: DataFrame, html_col: str = "html_str",
+               url_col: str = "url") -> DataFrame:
+    """Catalyst twin of ``page_links_raw`` for already-decoded pages:
+    (url, hrefs, anchor_hrefs, anchor_texts, title_raw) — the per-page
+    link-metadata bundle every WAT-shaped export derives from.
+    ``anchor_hrefs[i]`` pairs with ``anchor_texts[i]`` (two group
+    extractions of the same pattern match in lockstep)."""
+    h = F.col(html_col)
+    return pages.select(
+        F.col(url_col).alias("url"),
+        F.regexp_extract_all(h, F.lit(HREF_PATTERN), 1).alias("hrefs"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 1).alias("anchor_hrefs"),
+        F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 2).alias("anchor_texts"),
+        F.regexp_extract(h, TITLE_PATTERN, 1).alias("title_raw"),
+    )
+
+
+def page_links_raw(pages: DataFrame, html_col: str = "html",
+                   url_col: str = "url") -> DataFrame:
+    """``page_links`` straight off raw page BYTES — charset decode fused
+    with all three scans (hrefs, anchor pairs, title) in one Arrow
+    crossing (``page_links_udf``).  The struct is expanded in a SECOND
+    select: the non-cheap UDF expression is referenced four times there,
+    which is exactly what stops CollapseProject from inlining (and thus
+    re-running) it per consumer."""
+    from ..functions.udfs import page_links_udf
+
+    return pages.select(
+        F.col(url_col).alias("url"),
+        page_links_udf(F.col(html_col)).alias("_pl"),
+    ).select(
+        "url",
+        F.col("_pl.hrefs").alias("hrefs"),
+        F.col("_pl.anchor_hrefs").alias("anchor_hrefs"),
+        F.col("_pl.anchor_texts").alias("anchor_texts"),
+        F.col("_pl.title").alias("title_raw"),
+    )
+
+
+def outlinks_from_page_links(links: DataFrame) -> DataFrame:
+    """``extract_outlinks`` rows off a precomputed ``page_links`` bundle
+    — the path to use when several arms (outlinks, anchors, titles)
+    consume the same pages: one decode+scan, N cheap tails."""
+    return _outlinks_from_hrefs(links, F.col("hrefs"), "url")
+
+
+def anchors_from_page_links(links: DataFrame) -> DataFrame:
+    """(page_links rows) -> one row per resolvable anchor element:
+    (url, href, anchor_text, dst_url, src_host, dst_host).  Base-URL
+    regexes hoisted before the explode, as in ``_outlinks_from_hrefs``."""
+    out = links.select(
+        "url",
+        _host_of(F.col("url")).alias("src_host"),
+        F.regexp_extract(
+            F.col("url"), r"^([A-Za-z][A-Za-z0-9+.-]*):", 1
+        ).alias("_scheme"),
+        F.regexp_extract(
+            F.col("url"), r"^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)", 1
+        ).alias("_origin"),
+        F.explode(
+            F.arrays_zip(F.col("anchor_hrefs"), F.col("anchor_texts"))
+        ).alias("z"),
+    )
+    dst = _resolve_href_pre(
+        F.col("z.anchor_hrefs"), F.col("_scheme"), F.col("_origin")
+    )
+    return (
+        out.select(
+            "url", "src_host",
+            F.col("z.anchor_hrefs").alias("href"),
+            squeeze_text(F.col("z.anchor_texts")).alias("anchor_text"),
+            dst.alias("dst_url"),
+        )
+        .filter(F.col("dst_url").isNotNull())
+        .select(
+            "url", "href", "anchor_text", "dst_url", "src_host",
+            _host_of(F.col("dst_url")).alias("dst_host"),
+        )
+    )
+
+
+def extract_anchors(pages: DataFrame, html_col: str = "html_str",
+                    url_col: str = "url") -> DataFrame:
+    """Anchor ELEMENTS with their link text, resolved like
+    ``extract_outlinks`` (same dropped kinds): one row per ``<a href>``
+    whose target resolves — the raw material of an anchor-text corpus.
+    Pure Catalyst."""
+    return anchors_from_page_links(page_links(pages, html_col, url_col))
+
+
+def extract_anchors_raw(pages: DataFrame, html_col: str = "html",
+                        url_col: str = "url") -> DataFrame:
+    """``extract_anchors`` off raw bytes via the fused kernel."""
+    return anchors_from_page_links(page_links_raw(pages, html_col, url_col))
+
+
+def page_titles(links: DataFrame) -> DataFrame:
+    """(page_links rows) -> (url, title) for pages with a non-empty
+    normalized ``<title>`` (first title element wins, as in both regex
+    engines' first-match ``regexp_extract``)."""
+    return links.select(
+        "url", squeeze_text(F.col("title_raw")).alias("title")
+    ).filter(F.col("title") != "")
+
+
+def anchor_corpus(anchors: DataFrame, by: str = "dst_url") -> DataFrame:
+    """Anchor-text corpus: how the web describes each target —
+    (target, anchor_text, n_anchors BIGINT), grouped per ``by`` (the
+    resolved target URL by default; pass ``dst_host`` for a host-level
+    corpus).  The classic anchor-text aggregation used for retrieval
+    and LLM-pretraining signal; map-side partial aggregation keeps the
+    exchange at (target, text) cardinality."""
+    return (
+        anchors.groupBy(F.col(by).alias("target"), "anchor_text")
+        .agg(F.count("*").cast("long").alias("n_anchors"))
+    )
+
+
 def host_edges(outlinks: DataFrame) -> DataFrame:
     """Outlink rows -> weighted host->host edges (n_links BIGINT)."""
     return (
@@ -215,6 +351,73 @@ def wat_records(outlinks: DataFrame) -> DataFrame:
     )
 
 
+def _resolve_case_sql(href: str, url: str) -> str:
+    """DuckDB twin of ``resolve_href`` as a CASE expression (shared by
+    the outlink and anchor mirrors so the resolution semantics cannot
+    drift between them)."""
+    return f"""CASE
+                 WHEN regexp_matches({href}, '^[Hh][Tt][Tt][Pp][Ss]?://')
+                   THEN {href}
+                 WHEN {href} LIKE '//%'
+                   THEN regexp_extract({url},
+                        '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || {href}
+                 WHEN {href} LIKE '/%'
+                   THEN regexp_extract({url},
+                        '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || {href}
+                 ELSE NULL
+               END"""
+
+
+def _squeeze_sql(expr: str) -> str:
+    """DuckDB twin of ``squeeze_text`` (same ``_WS_CLASS`` constant)."""
+    return (
+        f"trim(regexp_replace(regexp_replace({expr}, '<[^>]*>', '', 'g'), "
+        f"'{_WS_CLASS}', ' ', 'g'))"
+    )
+
+
+def wat_records_full(links: DataFrame) -> DataFrame:
+    """WAT-parity per-page metadata records off a ``page_links`` bundle:
+    (url, title, links, n_links) where ``links`` holds the resolvable
+    anchor ELEMENTS as (href, target, host, text) — the Common-Crawl-WAT
+    essentials (HTML-Metadata Head/Title + A@/href links with text).
+    ``wat_records`` remains the href-value-level export (every
+    ``href="..."`` incl. ``<link>``/``<area>``, no text).  Pages with no
+    resolvable anchors still get a record (empty ``links``) as long as
+    they appear in the bundle; sorted arrays keep golden output
+    byte-stable."""
+    anchors = anchors_from_page_links(links)
+    per_page = anchors.groupBy("url").agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("href").alias("href"),
+                    F.col("dst_url").alias("target"),
+                    F.col("dst_host").alias("host"),
+                    F.col("anchor_text").alias("text"),
+                )
+            )
+        ).alias("links")
+    )
+    titles = links.select(
+        "url", squeeze_text(F.col("title_raw")).alias("title")
+    )
+    return (
+        titles.join(per_page, "url", "left")
+        .select(
+            "url", "title",
+            F.coalesce(
+                "links",
+                F.array().cast(
+                    "array<struct<href:string,target:string,"
+                    "host:string,text:string>>"
+                ),
+            ).alias("links"),
+        )
+        .withColumn("n_links", F.size("links"))
+    )
+
+
 def outlinks_sql(corpus_cte: str) -> str:
     """DuckDB mirror of ``extract_outlinks`` over a CTE body selecting
     (url, html_str).  RE2 and Java agree on every pattern used here."""
@@ -228,17 +431,7 @@ def outlinks_sql(corpus_cte: str) -> str:
         ),
         resolved AS (
             SELECT url, href,
-                   CASE
-                     WHEN regexp_matches(href, '^[Hh][Tt][Tt][Pp][Ss]?://')
-                       THEN href
-                     WHEN href LIKE '//%'
-                       THEN regexp_extract(url,
-                            '^([A-Za-z][A-Za-z0-9+.-]*):', 1) || ':' || href
-                     WHEN href LIKE '/%'
-                       THEN regexp_extract(url,
-                            '^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]+)', 1) || href
-                     ELSE NULL
-                   END AS dst_url
+                   {_resolve_case_sql("href", "url")} AS dst_url
             FROM hrefs
         )
         SELECT url, href, dst_url,
@@ -247,6 +440,55 @@ def outlinks_sql(corpus_cte: str) -> str:
                lower(regexp_extract(dst_url,
                      '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
         FROM resolved WHERE dst_url IS NOT NULL
+    """
+
+
+def anchors_sql(corpus_cte: str) -> str:
+    """DuckDB mirror of ``extract_anchors``: two group extractions of
+    ``ANCHOR_PATTERN`` zipped positionally (``list_zip`` + struct index —
+    exactly how the Catalyst twin pairs its two ``regexp_extract_all``
+    arrays), then the shared resolve CASE and squeeze."""
+    return f"""
+        WITH corpus AS ({corpus_cte}),
+        az AS (
+            SELECT url,
+                   list_zip(
+                       regexp_extract_all(html_str, '{ANCHOR_PATTERN}', 1),
+                       regexp_extract_all(html_str, '{ANCHOR_PATTERN}', 2)
+                   ) AS z
+            FROM corpus
+        ),
+        pairs AS (
+            SELECT url, u.l[1] AS href,
+                   {_squeeze_sql("u.l[2]")} AS anchor_text
+            FROM az, UNNEST(z) AS u(l)
+        ),
+        resolved AS (
+            SELECT url, href, anchor_text,
+                   {_resolve_case_sql("href", "url")} AS dst_url
+            FROM pairs
+        )
+        SELECT url, href, anchor_text, dst_url,
+               lower(regexp_extract(url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS src_host,
+               lower(regexp_extract(dst_url,
+                     '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)) AS dst_host
+        FROM resolved WHERE dst_url IS NOT NULL
+    """
+
+
+def titles_sql(corpus_cte: str) -> str:
+    """DuckDB mirror of ``page_titles`` (first ``<title>`` match,
+    squeezed, empty filtered)."""
+    return f"""
+        WITH corpus AS ({corpus_cte})
+        SELECT url, title FROM (
+            SELECT url,
+                   {_squeeze_sql(
+                       f"regexp_extract(html_str, '{TITLE_PATTERN}', 1)"
+                   )} AS title
+            FROM corpus
+        ) WHERE title <> ''
     """
 
 
