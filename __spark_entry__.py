@@ -1420,6 +1420,7 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     not SQL-expressible; the pinned constants ARE the oracle)."""
     from web_content_extraction_benchmark_spark.operators.urls import (
         canonicalize_urls,
+        surt_key,
     )
 
     pages = synthesize_pages(spark, sf_dir).filter(F.col("doc_id") % 103 != 0)
@@ -1470,7 +1471,12 @@ def q_page_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return canonicalize_urls(
         staged, "__messy", out_col="canonical_url"
-    ).select("url", "page_id", "canonical_url")
+    ).select(
+        "url", "page_id", "canonical_url",
+        # r8: the crawl-index sort key, derived from the canonical form
+        # (so host case/ports/tracking params are already folded)
+        surt_key(F.col("canonical_url")).alias("surt"),
+    )
 
 
 def q_html_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1876,6 +1882,7 @@ def _page_ids_sql() -> str:
     operator's own SQL twin normalizes it)."""
     from web_content_extraction_benchmark_spark.operators.urls import (
         canonical_url_sql,
+        surt_sql,
     )
     from web_content_extraction_benchmark_spark.sources.pages import (
         HOST_SQL,
@@ -1920,10 +1927,15 @@ def _page_ids_sql() -> str:
         canon = (
             f"replace({canon}, '://{u}.example', '://{p}.example')"
         )
+    # surt applies to the COMPUTED canonical column via a subquery — the
+    # canonical expression is large and surt_sql references its input
+    # six times
     return (
+        f"SELECT url, page_id, canonical_url, "
+        f"{surt_sql('canonical_url')} AS surt FROM ("
         f"SELECT {URL_SQL} AS url, sha256({html_sql()}) AS page_id, "
         f"{canon} AS canonical_url "
-        "FROM documents WHERE doc_id % 103 != 0"
+        "FROM documents WHERE doc_id % 103 != 0)"
     )
 
 

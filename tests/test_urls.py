@@ -163,3 +163,63 @@ def test_idn_fold_planted_hosts_and_idempotence(spark):
         canonicalize_urls(df)
     ).collect()}
     assert twice == got
+
+
+SURT_CASES = [
+    # host reversed + comma-joined; query sorted; all lowercased
+    ("https://sub.host0.example/Path/X?b=3&a=1",
+     "example,host0,sub)/path/x?a=1&b=3"),
+    # non-default port kept after the reversed host
+    ("https://h.example:8443/p", "example,h:8443)/p"),
+    # empty path -> '/'; userinfo dropped from the key
+    ("https://U:P@h.example", "example,h)/"),
+    # single-label host; fragmentless query passthrough
+    ("http://localhost/x?k=v", "localhost)/x?k=v"),
+    # not a URL -> NULL (no sort key)
+    ("not a url", None),
+]
+
+
+def test_surt_key_and_duckdb_lockstep(spark):
+    from web_content_extraction_benchmark_spark.operators.urls import (
+        surt_key,
+        surt_sql,
+    )
+
+    rows = [(i, url) for i, (url, _) in enumerate(SURT_CASES)]
+    df = spark.createDataFrame(rows, "id long, url string")
+    got = {r.id: r.surt for r in
+           df.select("id", surt_key(F.col("url")).alias("surt")).collect()}
+    for i, (_, want) in enumerate(SURT_CASES):
+        assert got[i] == want, (SURT_CASES[i][0], got[i])
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE surt_t(id BIGINT, url VARCHAR)")
+    con.executemany("INSERT INTO surt_t VALUES (?,?)", rows)
+    want_sql = dict(
+        con.execute(f"SELECT id, {surt_sql('url')} FROM surt_t").fetchall()
+    )
+    assert got == want_sql
+
+
+def test_surt_groups_subdomains_contiguously():
+    """The property the transform exists for: one registrable domain's
+    subdomains sort into a contiguous key range."""
+    from web_content_extraction_benchmark_spark.operators.urls import surt_sql
+
+    con = duckdb.connect()
+    urls = [
+        "https://a.example/x", "https://b.example/x",
+        "https://www.a.example/x", "https://mail.a.example/x",
+        "https://a.example/y",
+    ]
+    keys = sorted(
+        r[0] for r in con.execute(
+            f"SELECT {surt_sql('u')} AS k FROM (SELECT unnest(?) AS u)",
+            [urls],
+        ).fetchall()
+    )
+    in_domain = [k.startswith("example,a") for k in keys]
+    # all example,a* keys (apex + subdomains) form one contiguous run
+    first, n = in_domain.index(True), sum(in_domain)
+    assert all(in_domain[first:first + n]) and n == 4

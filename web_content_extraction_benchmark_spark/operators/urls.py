@@ -337,3 +337,63 @@ def canonical_url_sql(url_expr: str) -> str:
         f"CASE WHEN {query} = '' THEN '' ELSE '?' || {query} END)"
     )
     return f"CASE WHEN {scheme} = '' THEN {u} ELSE {rebuilt} END"
+
+
+# --- SURT (Sort-friendly URI Reordering Transform) ---------------------
+#
+# The key format crawl indexes (CDX/CDXJ, OpenWayback, pywb) sort and
+# prefix-scan by: host labels reversed and comma-joined, non-default
+# port kept, then ')' + path [+ '?' + sorted query], all lowercased —
+# "https://sub.host.example:8443/Path?b=2&a=1" ->
+# "example,host,sub:8443)/path?a=1&b=2".  Reversing the host groups a
+# registrable domain's subdomains into one contiguous key range, which
+# is what makes per-domain scans of a petabyte-scale index a prefix
+# seek instead of a scatter.  Userinfo and fragment are dropped (pywb
+# default canon); apply to ``canonical_url_col`` output so scheme/host
+# case, default ports and tracking params are already folded.  Pure
+# Catalyst; ``surt_sql`` is the DuckDB twin (same regexes, RE2/Java
+# common subset).
+
+_SURT_HOSTPORT_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/?#]*)"
+_SURT_PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+_SURT_QUERY_RE = r"^[^?#]*\?([^#]*)"
+
+
+def surt_key(url: Column) -> Column:
+    """URL -> SURT key; NULL for strings with no ``scheme://`` (a sort
+    key is only meaningful for URLs)."""
+    hostport = F.regexp_extract(url, _SURT_HOSTPORT_RE, 1)
+    host = F.regexp_extract(hostport, "^([^:]*)", 1)
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    rev = F.array_join(F.reverse(F.split(host, "[.]")), ",")
+    path = F.regexp_extract(url, _SURT_PATH_RE, 1)
+    query = F.regexp_extract(url, _SURT_QUERY_RE, 1)
+    sq = F.array_join(F.array_sort(F.split(query, "&")), "&")
+    key = F.lower(F.concat(
+        rev,
+        F.when(port != "", F.concat(F.lit(":"), port)).otherwise(F.lit("")),
+        F.lit(")"),
+        F.when(path == "", F.lit("/")).otherwise(path),
+        F.when(query != "", F.concat(F.lit("?"), sq)).otherwise(F.lit("")),
+    ))
+    return F.when(hostport != "", key).otherwise(F.lit(None).cast("string"))
+
+
+def surt_sql(url_expr: str) -> str:
+    """DuckDB twin of ``surt_key`` (same regex constants)."""
+    u = f"({url_expr})"
+    hostport = f"regexp_extract({u}, '{_SURT_HOSTPORT_RE}', 1)"
+    host = f"regexp_extract({hostport}, '^([^:]*)', 1)"
+    port = f"regexp_extract({hostport}, ':([0-9]+)$', 1)"
+    rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
+    path = f"regexp_extract({u}, '{_SURT_PATH_RE}', 1)"
+    query = f"regexp_extract({u}, '{_SURT_QUERY_RE}', 1)"
+    sq = f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    key = (
+        f"lower({rev} "
+        f"|| CASE WHEN {port} <> '' THEN ':' || {port} ELSE '' END "
+        f"|| ')' "
+        f"|| CASE WHEN {path} = '' THEN '/' ELSE {path} END "
+        f"|| CASE WHEN {query} <> '' THEN '?' || {sq} ELSE '' END)"
+    )
+    return f"CASE WHEN {hostport} <> '' THEN {key} ELSE NULL END"
