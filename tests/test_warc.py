@@ -431,3 +431,57 @@ def test_read_warc_skips_revisit_and_metadata_records(spark, tmp_path):
     assert [(r["url"], bytes(r["html"])) for r in rows] == [
         ("https://h/r/1", b"<html>real</html>")
     ]
+
+
+def test_cdxj_index_random_access(spark, sf_dir, tmp_path):
+    """write_warc(cdxj=True) -> read_cdxj -> fetch_warc_record closes
+    the loop: every index row's (filename, offset, length) must land on
+    exactly its record, the payload must re-digest to the indexed sha1,
+    and per-file lines must be (surt, ts)-sorted."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    out = str(tmp_path / "warc")
+    pages = synthesize_pages(spark, sf_dir).filter(
+        F.col("doc_id") % 29 == 0
+    ).repartition(3).select(
+        "url",
+        F.lit(TS).cast("timestamp").alias("warc_ts"),
+        "html",
+    )
+    n_pages = pages.count()
+    manifest = W.write_warc(pages, out, cdxj=True)
+    assert sum(m["n_records"] for m in manifest) == n_pages
+    assert len([p for p in os.listdir(out) if p.endswith(".cdxj")]) == 3
+
+    idx = W.read_cdxj(spark, out)
+    rows = idx.collect()
+    assert len(rows) == n_pages
+    # surt is the real sort key of the canonical url (reversed host)
+    assert all(r.surt.split(")")[0].startswith("example,") for r in rows)
+    # per-file lines sorted by (surt, ts)
+    for p in os.listdir(out):
+        if p.endswith(".cdxj"):
+            lines = open(os.path.join(out, p)).read().splitlines()
+            assert lines == sorted(lines)
+    # random access: every indexed record fetches, parses, re-digests
+    for r in rows:
+        headers, status, body = W.fetch_warc_record(
+            out, r.filename, r.offset, r.length
+        )
+        assert status == 200
+        assert headers["warc-target-uri"] == r.url
+        assert W.payload_digest(body) == r.digest
+    # offsets are strictly increasing and disjoint within a file
+    by_file: dict[str, list] = {}
+    for r in rows:
+        by_file.setdefault(r.filename, []).append((r.offset, r.length))
+    for spans in by_file.values():
+        spans.sort()
+        for (o1, l1), (o2, _) in zip(spans, spans[1:]):
+            assert o1 + l1 <= o2

@@ -636,7 +636,7 @@ def read_wet(spark: SparkSession, path: str,
 
 
 def write_warc(df: DataFrame, out_dir: str,
-               chunked_every: int = 3) -> list[dict]:
+               chunked_every: int = 3, cdxj: bool = False) -> list[dict]:
     """Pages -> ``part-{partition:05d}.warc.gz`` response records
     (member-per-record gzip), executor-side like `write_wet` — the
     scalable way to materialize a Common-Crawl-style corpus (the
@@ -645,10 +645,25 @@ def write_warc(df: DataFrame, out_dir: str,
     volume read exercises the dechunk path.  ``df`` needs
     (url, warc_ts, html); returns the per-partition manifest.  Same
     task-side commit protocol as `write_wet` (makedirs in the task,
-    temp name + rename on success)."""
+    temp name + rename on success).
+
+    ``cdxj=True`` also writes a ``part-{partition:05d}.cdxj`` sidecar
+    per WARC file — the standard crawl-index format (pywb/OpenWayback):
+    one line per record, ``<surt-key> <ts14> <json>`` with the json
+    carrying url, sha1 payload digest, byte ``offset`` and compressed
+    member ``length`` in ``filename`` — what makes a .warc.gz random-
+    access (seek offset, read length, gunzip ONE member) without
+    touching the rest of the file.  Lines are sorted by (key, ts), so a
+    global index is a merge, not a re-sort.  The SURT key is computed
+    JVM-side by ``operators.urls.surt_key`` (the single implementation
+    the oracle pins — no Python twin to drift)."""
+    import json as _json
     import os
 
     from pyspark import TaskContext
+    from pyspark.sql import functions as F
+
+    from ..operators.urls import surt_key
 
     def write_partition(batches: Iterator[pd.DataFrame]
                         ) -> Iterator[pd.DataFrame]:
@@ -656,8 +671,10 @@ def write_warc(df: DataFrame, out_dir: str,
         pid = ctx.partitionId()
         os.makedirs(out_dir, exist_ok=True)
         path = os.path.join(out_dir, f"part-{pid:05d}.warc.gz")
+        fname = os.path.basename(path)
         tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = 0
+        index: list[tuple[str, str, str]] = []
         with open(tmp, "wb") as f:
             f.write(gzip.compress(_warc_record(
                 [("WARC-Type", "warcinfo"),
@@ -674,29 +691,116 @@ def write_warc(df: DataFrame, out_dir: str,
                         ("Content-Type",
                          "application/http; msgtype=response"),
                     ]
+                    ts14 = "19700101000000"
                     if pd.notna(row.warc_ts):
-                        headers.insert(2, ("WARC-Date", _iso(
-                            row.warc_ts.to_pydatetime().replace(
-                                tzinfo=timezone.utc))))
+                        dt = row.warc_ts.to_pydatetime().replace(
+                            tzinfo=timezone.utc)
+                        headers.insert(2, ("WARC-Date", _iso(dt)))
+                        ts14 = dt.strftime("%Y%m%d%H%M%S")
                     body = bytes(row.html) if row.html is not None else b""
-                    headers.append(
-                        ("WARC-Payload-Digest", payload_digest(body)))
-                    f.write(gzip.compress(_warc_record(
+                    digest = payload_digest(body)
+                    headers.append(("WARC-Payload-Digest", digest))
+                    member = gzip.compress(_warc_record(
                         headers,
                         build_http_response(
                             body, chunked=n % chunked_every == 1),
-                    ), compresslevel=1, mtime=0))
+                    ), compresslevel=1, mtime=0)
+                    if cdxj:
+                        index.append((row.cdx_surt or "-", ts14, _json.dumps(
+                            {"url": row.url, "digest": digest,
+                             "mime": "text/html", "status": "200",
+                             "offset": f.tell(), "length": len(member),
+                             "filename": fname},
+                            sort_keys=True, separators=(",", ":"))))
+                    f.write(member)
                     n += 1
         os.replace(tmp, path)
+        if cdxj:
+            ipath = os.path.join(out_dir, f"part-{pid:05d}.cdxj")
+            itmp = f"{ipath}.inprogress-{ctx.taskAttemptId()}"
+            with open(itmp, "w", encoding="utf-8") as g:
+                for key, ts14, blob in sorted(index):
+                    g.write(f"{key} {ts14} {blob}\n")
+            os.replace(itmp, ipath)
         yield pd.DataFrame({"path": [path], "n_records": [n]})
 
     manifest_schema = T.StructType([
         T.StructField("path", T.StringType(), False),
         T.StructField("n_records", T.LongType(), False),
     ])
+    cols = [F.col("url"), F.col("warc_ts"), F.col("html")]
+    if cdxj:
+        cols.append(surt_key(F.col("url")).alias("cdx_surt"))
     return [r.asDict() for r in
-            df.select("url", "warc_ts", "html").mapInPandas(
+            df.select(*cols).mapInPandas(
                 write_partition, schema=manifest_schema).collect()]
+
+
+CDXJ_SCHEMA = T.StructType([
+    T.StructField("surt", T.StringType(), True),
+    T.StructField("ts", T.StringType(), True),
+    T.StructField("url", T.StringType(), True),
+    T.StructField("digest", T.StringType(), True),
+    T.StructField("mime", T.StringType(), True),
+    T.StructField("status", T.StringType(), True),
+    T.StructField("offset", T.LongType(), True),
+    T.StructField("length", T.LongType(), True),
+    T.StructField("filename", T.StringType(), True),
+])
+
+
+def read_cdxj(spark: SparkSession, path: str) -> DataFrame:
+    """``.cdxj`` sidecars -> index DataFrame (CDXJ_SCHEMA).  Pure
+    Catalyst: a text scan, two token extracts, one ``from_json`` — the
+    100 TB shape is a line-parallel parse of ~10^5 small index files,
+    then any lookup is a filter on ``surt`` (prefix-range for a whole
+    domain) that prunes to (filename, offset, length) triples before a
+    single record is fetched."""
+    from pyspark.sql import functions as F
+
+    json_schema = T.StructType([
+        T.StructField("url", T.StringType(), True),
+        T.StructField("digest", T.StringType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("status", T.StringType(), True),
+        T.StructField("offset", T.LongType(), True),
+        T.StructField("length", T.LongType(), True),
+        T.StructField("filename", T.StringType(), True),
+    ])
+    lines = spark.read.text(f"{path}/*.cdxj")
+    parsed = lines.select(
+        F.regexp_extract("value", r"^(\S+) ", 1).alias("surt"),
+        F.regexp_extract("value", r"^\S+ (\S+) ", 1).alias("ts"),
+        F.from_json(
+            F.regexp_extract("value", r"^\S+ \S+ (.*)$", 1), json_schema
+        ).alias("j"),
+    )
+    return parsed.select(
+        "surt", "ts", "j.url", "j.digest", "j.mime", "j.status",
+        "j.offset", "j.length", "j.filename",
+    )
+
+
+def fetch_warc_record(out_dir: str, filename: str, offset: int,
+                      length: int) -> tuple[dict[str, str], int, bytes]:
+    """Random access via a CDXJ row: seek ``offset``, read ``length``
+    bytes (ONE gzip member), and parse it -> (warc headers, http
+    status, payload body).  This is the wayback-style replay path: at
+    100 TB the index filter narrows to a handful of (file, offset)
+    pairs and each fetch touches only its member's bytes."""
+    import os
+
+    with open(os.path.join(out_dir, filename), "rb") as f:
+        f.seek(offset)
+        raw = f.read(length)
+    if raw[:2] == b"\x1f\x8b":
+        raw = gzip.decompress(raw)
+    got = _take_record(raw, 0)
+    if got is None:
+        raise WarcError(f"no record at {filename}:{offset}")
+    headers, payload, _ = got
+    status, _http_headers, body = parse_http_response(payload)
+    return headers, status, body
 
 
 def read_warc_stream(spark: SparkSession, path: str,
