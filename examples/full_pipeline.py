@@ -195,7 +195,8 @@ def main() -> None:
 
     warc_dir = os.path.join(out_dir, "warc")
     wet_dir = os.path.join(out_dir, "wet")
-    write_warc(pages.select("url", "warc_ts", "html"), warc_dir)
+    write_warc(pages.select("url", "warc_ts", "html"), warc_dir,
+               cdxj=True)
     crawl_pages = read_warc(spark, warc_dir)
     wet_answers = extract_answers(
         crawl_pages, ["main_content"]
