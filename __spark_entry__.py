@@ -804,8 +804,20 @@ def _hub_pages(docs: DataFrame) -> DataFrame:
     doc_id % 7 == 1 doc spawns a hub page on its own host linking to
     three absolute URLs on hosts host_for(doc_id + 997*j), j=1..3 —
     cross-host edges the real templates (root-relative links only)
-    cannot produce.  Mirrored by _hubs_sql()."""
+    cannot produce.  r8: hubs also carry the head-metadata set (meta
+    description, OG site_name, rel=canonical, hreflang by doc_id%3) —
+    the real templates have no meta tags, so hubs are where the 'meta'
+    arm gets its rows (and the canonical/hreflang link hrefs feed the
+    outlink arms too, on both sides).  Mirrored by _hubs_sql()."""
     did = F.col("doc_id")
+    host = _host_col_for(did)
+    hub_url = F.concat(
+        F.lit("https://"), host, F.lit("/hub/"), did.cast("string")
+    )
+    lang = F.element_at(
+        F.array(F.lit("en"), F.lit("de"), F.lit("fr")),
+        (did % 3).cast("int") + 1,
+    )
 
     def link(t: F.Column) -> F.Column:
         return F.concat(
@@ -814,12 +826,16 @@ def _hub_pages(docs: DataFrame) -> DataFrame:
         )
 
     return docs.filter(did % 7 == 1).select(
+        hub_url.alias("url"),
         F.concat(
-            F.lit("https://"), _host_col_for(did),
-            F.lit("/hub/"), did.cast("string"),
-        ).alias("url"),
-        F.concat(
-            F.lit("<html><body>"),
+            F.lit('<html><head><meta name="description" content="hub '),
+            did.cast("string"), F.lit(' links">'),
+            F.lit('<meta property="og:site_name" content="'), host,
+            F.lit('">'),
+            F.lit('<link rel="canonical" href="'), hub_url, F.lit('">'),
+            F.lit('<link rel="alternate" hreflang="'), lang,
+            F.lit('" href="'), hub_url, F.lit("?hl="), lang,
+            F.lit('"></head><body>'),
             link(did + 997), link(did + 1994), link(did + 2991),
             F.lit("</body></html>"),
         ).alias("html_str"),
@@ -843,10 +859,20 @@ def _hubs_sql() -> str:
             f"CAST({expr} AS VARCHAR) || '\">x</a>'"
         )
 
+    host = _host_sql_for("doc_id")
+    hub_url = f"('https://' || {host} || '/hub/' || CAST(doc_id AS VARCHAR))"
+    lang = ("(CASE doc_id % 3 WHEN 0 THEN 'en' WHEN 1 THEN 'de' "
+            "ELSE 'fr' END)")
     return f"""
-        SELECT 'https://' || {_host_sql_for('doc_id')} || '/hub/' ||
-                   CAST(doc_id AS VARCHAR) AS url,
-               '<html><body>' || {link('doc_id + 997')} ||
+        SELECT {hub_url} AS url,
+               '<html><head><meta name="description" content="hub ' ||
+                   CAST(doc_id AS VARCHAR) || ' links">' ||
+                   '<meta property="og:site_name" content="' || {host} ||
+                   '">' ||
+                   '<link rel="canonical" href="' || {hub_url} || '">' ||
+                   '<link rel="alternate" hreflang="' || {lang} ||
+                   '" href="' || {hub_url} || '?hl=' || {lang} || '">' ||
+                   '</head><body>' || {link('doc_id + 997')} ||
                    {link('doc_id + 1994')} || {link('doc_id + 2991')} ||
                    '</body></html>' AS html_str
         FROM documents WHERE doc_id % 7 = 1
@@ -880,6 +906,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     from web_content_extraction_benchmark_spark.operators.linkgraph import (
         anchor_corpus,
         anchors_from_page_links,
+        head_meta_from_page_links,
         host_edges,
         outlinks_from_page_links,
         page_links,
@@ -928,9 +955,16 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("title").alias("b"),
         F.lit(1).cast("long").alias("n"),
     )
+    meta_arm = head_meta_from_page_links(links).select(
+        F.lit("meta").alias("op"),
+        F.col("url").alias("a"),
+        F.concat_ws("|", "kind", "key", "value").alias("b"),
+        F.lit(1).cast("long").alias("n"),
+    )
     return (
         ol_arm.unionByName(edge_arm).unionByName(rank_arm)
         .unionByName(anchor_arm).unionByName(title_arm)
+        .unionByName(meta_arm)
     )
 
 
@@ -940,6 +974,7 @@ def _host_graph_sql() -> str:
     UNION the hub pages, then the linkgraph mirrors layered on top."""
     from web_content_extraction_benchmark_spark.operators.linkgraph import (
         anchors_sql,
+        head_meta_sql,
         outlinks_sql,
         pagerank_sql,
         titles_sql,
@@ -977,6 +1012,10 @@ def _host_graph_sql() -> str:
         FROM ({an}) GROUP BY dst_url, anchor_text
         UNION ALL
         SELECT 'title', url, title, CAST(1 AS BIGINT) FROM ({ti})
+        UNION ALL
+        SELECT 'meta', url, kind || '|' || key || '|' || value,
+               CAST(1 AS BIGINT)
+        FROM ({head_meta_sql(corpus)})
     """
 
 

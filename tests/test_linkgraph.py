@@ -134,7 +134,12 @@ def test_driver_row_arms(spark, sf_dir):
     out = entry.q_host_graph(spark, sf_dir)
     arms = {r["op"]: r["cnt"] for r in
             out.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
-    assert set(arms) == {"outlink", "edge", "rank", "anchor", "title"}
+    assert set(arms) == {"outlink", "edge", "rank", "anchor", "title",
+                         "meta"}
+    # hubs carry the full head-metadata kind set
+    kinds = {r.b.split("|")[0] for r in
+             out.filter(F.col("op") == "meta").select("b").collect()}
+    assert kinds == {"meta", "prop", "canonical", "hreflang"}
     # hub pages guarantee cross-host edges beyond the self-loops
     cross = out.filter(
         (F.col("op") == "edge") & (F.col("a") != F.col("b"))
@@ -266,6 +271,38 @@ def test_anchor_corpus_counts(spark):
     by_host = {(r.target, r.anchor_text): r.n_anchors for r in
                anchor_corpus(extract_anchors(pages), by="dst_host").collect()}
     assert by_host[("t.example", "Home")] == 2
+
+
+def test_extract_head_meta_semantics(spark):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        extract_head_meta,
+    )
+
+    html = (
+        '<head>'
+        '<meta name="description" content="A page">'
+        '<meta name="keywords" content="a,b">'
+        '<meta charset="utf-8">'                       # no name= -> ignored
+        '<meta property="og:title" content="OG A">'
+        '<link rel="canonical" href="https://c.example/a">'
+        '<link rel="canonical" href="https://c.example/SECOND">'  # first wins
+        '<link rel="alternate" hreflang="de" href="https://c.example/de">'
+        '</head>'
+    )
+    got = {(r.kind, r.key): r.value for r in extract_head_meta(
+        _pages(spark, [("https://s.example/1", html)])
+    ).collect()}
+    assert got == {
+        ("meta", "description"): "A page",
+        ("meta", "keywords"): "a,b",
+        ("prop", "og:title"): "OG A",
+        ("canonical", ""): "https://c.example/a",
+        ("hreflang", "de"): "https://c.example/de",
+    }
+    # a page with no head metadata contributes zero rows
+    assert extract_head_meta(
+        _pages(spark, [("u", "<body>plain</body>")])
+    ).count() == 0
 
 
 def test_page_links_raw_equals_string_path(spark, sf_dir):

@@ -86,6 +86,13 @@ PAGE_LINKS_TYPE = T.StructType([
     T.StructField("anchor_hrefs", T.ArrayType(T.StringType()), False),
     T.StructField("anchor_texts", T.ArrayType(T.StringType()), False),
     T.StructField("title", T.StringType(), False),
+    T.StructField("meta_names", T.ArrayType(T.StringType()), False),
+    T.StructField("meta_contents", T.ArrayType(T.StringType()), False),
+    T.StructField("prop_names", T.ArrayType(T.StringType()), False),
+    T.StructField("prop_contents", T.ArrayType(T.StringType()), False),
+    T.StructField("canonical", T.StringType(), False),
+    T.StructField("hreflang_langs", T.ArrayType(T.StringType()), False),
+    T.StructField("hreflang_hrefs", T.ArrayType(T.StringType()), False),
 ])
 
 
@@ -107,31 +114,42 @@ def page_links_udf(raw: pd.Series) -> pd.DataFrame:
 
     from ..operators.linkgraph import (
         ANCHOR_PATTERN,
+        CANONICAL_PATTERN,
         HREF_PATTERN,
+        HREFLANG_PATTERN,
+        META_NAME_PATTERN,
+        META_PROP_PATTERN,
         TITLE_PATTERN,
     )
 
     hp = re.compile(HREF_PATTERN)
     ap = re.compile(ANCHOR_PATTERN)
     tp = re.compile(TITLE_PATTERN)
-    hrefs: list[list[str]] = []
-    a_hrefs: list[list[str]] = []
-    a_texts: list[list[str]] = []
-    titles: list[str] = []
+    mnp = re.compile(META_NAME_PATTERN)
+    mpp = re.compile(META_PROP_PATTERN)
+    cp = re.compile(CANONICAL_PATTERN)
+    hlp = re.compile(HREFLANG_PATTERN)
+    cols: dict[str, list] = {f.name: [] for f in PAGE_LINKS_TYPE.fields}
     for blob in raw:
         s = decode_html(blob) if blob is not None else ""
-        hrefs.append(hp.findall(s))
+        cols["hrefs"].append(hp.findall(s))
         pairs = ap.findall(s)
-        a_hrefs.append([p[0] for p in pairs])
-        a_texts.append([p[1] for p in pairs])
+        cols["anchor_hrefs"].append([p[0] for p in pairs])
+        cols["anchor_texts"].append([p[1] for p in pairs])
         m = tp.search(s)
-        titles.append(m.group(1) if m else "")
-    return pd.DataFrame({
-        "hrefs": hrefs,
-        "anchor_hrefs": a_hrefs,
-        "anchor_texts": a_texts,
-        "title": titles,
-    })
+        cols["title"].append(m.group(1) if m else "")
+        mn = mnp.findall(s)
+        cols["meta_names"].append([p[0] for p in mn])
+        cols["meta_contents"].append([p[1] for p in mn])
+        mp = mpp.findall(s)
+        cols["prop_names"].append([p[0] for p in mp])
+        cols["prop_contents"].append([p[1] for p in mp])
+        c = cp.search(s)
+        cols["canonical"].append(c.group(1) if c else "")
+        hl = hlp.findall(s)
+        cols["hreflang_langs"].append([p[0] for p in hl])
+        cols["hreflang_hrefs"].append([p[1] for p in hl])
+    return pd.DataFrame(cols)
 
 
 def extraction_udf(model: str):

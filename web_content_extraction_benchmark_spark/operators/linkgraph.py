@@ -53,6 +53,15 @@ HREF_PATTERN = r'href="([^"]*)"'
 # anchors span lines; non-greedy is identical in Java, RE2 and Python)
 ANCHOR_PATTERN = r'(?s)<a href="([^"]*)"[^>]*>(.*?)</a>'
 TITLE_PATTERN = r"<title>([^<]*)</title>"
+# head metadata (r8): the WAT HTML-Metadata attribute set.  Attribute
+# order is assumed canonical (name/property/rel first) — the same
+# first-attribute convention HREF_PATTERN/ANCHOR_PATTERN already rely
+# on; values are verbatim attribute text (no squeeze — they are not
+# element content)
+META_NAME_PATTERN = r'<meta name="([^"]*)" content="([^"]*)"'
+META_PROP_PATTERN = r'<meta property="([^"]*)" content="([^"]*)"'
+CANONICAL_PATTERN = r'<link rel="canonical" href="([^"]*)"'
+HREFLANG_PATTERN = r'<link rel="alternate" hreflang="([^"]*)" href="([^"]*)"'
 # explicit ASCII whitespace class, NOT \s: Java's \s includes \x0B,
 # RE2's does not — the explicit class is engine-identical
 _WS_CLASS = "[ \\t\\n\\r\\f]+"
@@ -173,6 +182,19 @@ def page_links(pages: DataFrame, html_col: str = "html_str",
         F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 1).alias("anchor_hrefs"),
         F.regexp_extract_all(h, F.lit(ANCHOR_PATTERN), 2).alias("anchor_texts"),
         F.regexp_extract(h, TITLE_PATTERN, 1).alias("title_raw"),
+        F.regexp_extract_all(
+            h, F.lit(META_NAME_PATTERN), 1).alias("meta_names"),
+        F.regexp_extract_all(
+            h, F.lit(META_NAME_PATTERN), 2).alias("meta_contents"),
+        F.regexp_extract_all(
+            h, F.lit(META_PROP_PATTERN), 1).alias("prop_names"),
+        F.regexp_extract_all(
+            h, F.lit(META_PROP_PATTERN), 2).alias("prop_contents"),
+        F.regexp_extract(h, CANONICAL_PATTERN, 1).alias("canonical"),
+        F.regexp_extract_all(
+            h, F.lit(HREFLANG_PATTERN), 1).alias("hreflang_langs"),
+        F.regexp_extract_all(
+            h, F.lit(HREFLANG_PATTERN), 2).alias("hreflang_hrefs"),
     )
 
 
@@ -195,6 +217,13 @@ def page_links_raw(pages: DataFrame, html_col: str = "html",
         F.col("_pl.anchor_hrefs").alias("anchor_hrefs"),
         F.col("_pl.anchor_texts").alias("anchor_texts"),
         F.col("_pl.title").alias("title_raw"),
+        F.col("_pl.meta_names").alias("meta_names"),
+        F.col("_pl.meta_contents").alias("meta_contents"),
+        F.col("_pl.prop_names").alias("prop_names"),
+        F.col("_pl.prop_contents").alias("prop_contents"),
+        F.col("_pl.canonical").alias("canonical"),
+        F.col("_pl.hreflang_langs").alias("hreflang_langs"),
+        F.col("_pl.hreflang_hrefs").alias("hreflang_hrefs"),
     )
 
 
@@ -262,6 +291,74 @@ def page_titles(links: DataFrame) -> DataFrame:
     return links.select(
         "url", squeeze_text(F.col("title_raw")).alias("title")
     ).filter(F.col("title") != "")
+
+
+def head_meta_from_page_links(links: DataFrame) -> DataFrame:
+    """(page_links rows) -> long-format head metadata: (url, kind, key,
+    value) with kind in {'meta', 'prop', 'canonical', 'hreflang'} —
+    ``<meta name=>`` / ``<meta property=>`` (OG tags) pairs, the first
+    ``rel=canonical`` href, and ``rel=alternate hreflang`` pairs.  The
+    WAT HTML-Metadata head set in one tidy relation; values are
+    verbatim attribute text."""
+    def zipped(kind: str, keys: str, vals: str) -> DataFrame:
+        z = links.select(
+            "url", F.explode(F.arrays_zip(keys, vals)).alias("z")
+        )
+        return z.select(
+            "url", F.lit(kind).alias("kind"),
+            F.col(f"z.{keys}").alias("key"),
+            F.col(f"z.{vals}").alias("value"),
+        )
+
+    canon = links.filter(F.col("canonical") != "").select(
+        "url", F.lit("canonical").alias("kind"),
+        F.lit("").alias("key"), F.col("canonical").alias("value"),
+    )
+    return (
+        zipped("meta", "meta_names", "meta_contents")
+        .unionByName(zipped("prop", "prop_names", "prop_contents"))
+        .unionByName(canon)
+        .unionByName(zipped("hreflang", "hreflang_langs", "hreflang_hrefs"))
+    )
+
+
+def extract_head_meta(pages: DataFrame, html_col: str = "html_str",
+                      url_col: str = "url") -> DataFrame:
+    """``head_meta_from_page_links`` off decoded pages.  Pure Catalyst;
+    for raw bytes go through ``page_links_raw`` (the fused kernel
+    already carries the meta fields — no extra decode)."""
+    return head_meta_from_page_links(page_links(pages, html_col, url_col))
+
+
+def head_meta_sql(corpus_cte: str) -> str:
+    """DuckDB mirror of ``extract_head_meta`` (same pattern constants,
+    same positional list_zip pairing as ``anchors_sql``)."""
+    def zipped(kind: str, pattern: str) -> str:
+        return f"""
+            SELECT url, '{kind}' AS kind, u.l[1] AS key, u.l[2] AS value
+            FROM (
+                SELECT url,
+                       list_zip(regexp_extract_all(html_str, '{pattern}', 1),
+                                regexp_extract_all(html_str, '{pattern}', 2)
+                       ) AS z
+                FROM corpus
+            ), UNNEST(z) AS u(l)
+        """
+
+    return f"""
+        WITH corpus AS ({corpus_cte})
+        {zipped("meta", META_NAME_PATTERN)}
+        UNION ALL
+        {zipped("prop", META_PROP_PATTERN)}
+        UNION ALL
+        SELECT url, 'canonical' AS kind, '' AS key, c AS value FROM (
+            SELECT url,
+                   regexp_extract(html_str, '{CANONICAL_PATTERN}', 1) AS c
+            FROM corpus
+        ) WHERE c <> ''
+        UNION ALL
+        {zipped("hreflang", HREFLANG_PATTERN)}
+    """
 
 
 def anchor_corpus(anchors: DataFrame, by: str = "dst_url") -> DataFrame:
