@@ -915,9 +915,15 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         pagerank_hosts,
     )
 
+    from web_content_extraction_benchmark_spark.operators.robots import (
+        robots_filter,
+        robots_rules,
+    )
+
     pages = synthesize_pages(spark, sf_dir)
+    docs = _docs(spark, sf_dir)
     links = page_links_raw(pages).localCheckpoint().unionByName(
-        page_links(_hub_pages(_docs(spark, sf_dir)))
+        page_links(_hub_pages(docs))
     )
     outlinks = outlinks_from_page_links(links)
     edges = host_edges(outlinks)
@@ -961,10 +967,47 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("|", "kind", "key", "value").alias("b"),
         F.lit(1).cast("long").alias("n"),
     )
+    # robots arm (r8): per-host robots.txt TEXT synthesized and parsed
+    # by the REP kernel, probe frontier filtered by longest-prefix-match
+    # — the DuckDB mirror bypasses the parser with the closed-form rule
+    # set, so the oracle gates parse output THROUGH the match verdicts.
+    did = F.col("doc_id")
+    r_host = _host_col_for(did)
+    robots = docs.select(
+        r_host.alias("host"),
+        F.regexp_extract(r_host, "host([0-9]+)", 1).cast("long").alias("k"),
+    ).distinct().select(
+        "host",
+        F.concat(
+            F.lit("# synthetic policy\nUser-agent: badbot\nDisallow: /\n"
+                  "\nUser-agent: *\nDisallow: /p/\nAllow: /p/ok/\n"),
+            F.when(F.col("k") % 3 == 0, F.lit("Disallow: /q/\n"))
+            .otherwise(F.lit("")),
+        ).alias("robots_txt"),
+    )
+    probe_path = (
+        F.when(did % 5 == 0, F.concat(F.lit("/p/x"), did.cast("string")))
+        .when(did % 5 == 1, F.concat(F.lit("/p/ok/"), did.cast("string")))
+        .when(did % 5 == 2, F.concat(F.lit("/q/"), did.cast("string")))
+        .when(did % 5 == 3, F.concat(F.lit("/free/"), did.cast("string")))
+        .otherwise(F.concat(F.lit("/p"), did.cast("string")))
+    )
+    frontier = docs.select(
+        F.concat(F.lit("https://"), r_host, probe_path).alias("url")
+    )
+    robots_arm = robots_filter(
+        frontier, robots_rules(robots), keep_denied=True
+    ).select(
+        F.lit("robots").alias("op"),
+        F.col("url").alias("a"),
+        F.when(F.col("robots_allowed"), F.lit("allow"))
+        .otherwise(F.lit("deny")).alias("b"),
+        F.lit(1).cast("long").alias("n"),
+    )
     return (
         ol_arm.unionByName(edge_arm).unionByName(rank_arm)
         .unionByName(anchor_arm).unionByName(title_arm)
-        .unionByName(meta_arm)
+        .unionByName(meta_arm).unionByName(robots_arm)
     )
 
 
@@ -1016,6 +1059,11 @@ def _host_graph_sql() -> str:
         SELECT 'meta', url, kind || '|' || key || '|' || value,
                CAST(1 AS BIGINT)
         FROM ({head_meta_sql(corpus)})
+        UNION ALL
+        SELECT 'robots', url,
+               CASE WHEN robots_allowed THEN 'allow' ELSE 'deny' END,
+               CAST(1 AS BIGINT)
+        FROM ({_robots_verdicts_sql()})
     """
 
 
@@ -1976,6 +2024,39 @@ def _page_ids_sql() -> str:
         f"{canon} AS canonical_url "
         "FROM documents WHERE doc_id % 103 != 0)"
     )
+
+
+def _robots_verdicts_sql() -> str:
+    """Mirror of the host_graph robots arm: CLOSED-FORM rules (what
+    ``parse_robots_txt`` must produce from the synthesized text — the
+    badbot group and empty-path idioms excluded) + the probe frontier,
+    matched by ``robots_match_sql``."""
+    from web_content_extraction_benchmark_spark.operators.robots import (
+        robots_match_sql,
+    )
+
+    host = _host_sql_for("doc_id")
+    k = "(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE doc_id % 41 END)"
+    rules = f"""
+        SELECT 'host' || CAST(k AS VARCHAR) || '.example' AS host,
+               p AS path, a AS allow
+        FROM (SELECT DISTINCT {k} AS k FROM documents),
+             (VALUES ('/p/', FALSE, FALSE), ('/p/ok/', TRUE, FALSE),
+                     ('/q/', FALSE, TRUE)) v(p, a, only_k3)
+        WHERE NOT only_k3 OR k % 3 = 0
+    """
+    frontier = f"""
+        SELECT 'https://' || {host} ||
+               CASE doc_id % 5
+                 WHEN 0 THEN '/p/x' || CAST(doc_id AS VARCHAR)
+                 WHEN 1 THEN '/p/ok/' || CAST(doc_id AS VARCHAR)
+                 WHEN 2 THEN '/q/' || CAST(doc_id AS VARCHAR)
+                 WHEN 3 THEN '/free/' || CAST(doc_id AS VARCHAR)
+                 ELSE '/p' || CAST(doc_id AS VARCHAR)
+               END AS url
+        FROM documents
+    """
+    return robots_match_sql(frontier, rules)
 
 
 def _redact_pii_sql_expr() -> str:

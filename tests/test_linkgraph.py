@@ -135,11 +135,15 @@ def test_driver_row_arms(spark, sf_dir):
     arms = {r["op"]: r["cnt"] for r in
             out.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
     assert set(arms) == {"outlink", "edge", "rank", "anchor", "title",
-                         "meta"}
+                         "meta", "robots"}
     # hubs carry the full head-metadata kind set
     kinds = {r.b.split("|")[0] for r in
              out.filter(F.col("op") == "meta").select("b").collect()}
     assert kinds == {"meta", "prop", "canonical", "hreflang"}
+    # the probe frontier exercises both REP verdicts
+    verdicts = {r.b for r in
+                out.filter(F.col("op") == "robots").select("b").collect()}
+    assert verdicts == {"allow", "deny"}
     # hub pages guarantee cross-host edges beyond the self-loops
     cross = out.filter(
         (F.col("op") == "edge") & (F.col("a") != F.col("b"))

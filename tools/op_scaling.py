@@ -8,7 +8,8 @@ run only in a quiet window (the script refuses above load 5, same as
 bench.py) and never concurrently with another Spark job.
 
 Usage: python tools/op_scaling.py [arm ...]           (default: all arms)
-Arms: substr linkgraph pagerank_tail.  Reads the bench-cached sf0.1 x40
+Arms: substr linkgraph watbundle pagerank_tail (+ linkgraph_pool
+control).  Reads the bench-cached sf0.1 x40
 pages parquet; run `python bench.py` once first if /tmp/wceb_bench is
 cold.  Appends one JSON line per arm to BENCH/op_scaling_r8.jsonl.
 
@@ -63,6 +64,19 @@ from web_content_extraction_benchmark_spark.operators.linkgraph import (
 def run():
     host_edges(extract_outlinks_raw(pages)).agg(
         F.count("*"), F.sum("n_links")).collect()
+""",
+    # WAT-bundle kernel (r8): the fused decode + hrefs + anchor-pairs +
+    # title + head-meta scan (page_links_udf) plus the anchor-resolution
+    # tail — prices the full link-metadata extraction a WAT/anchor-corpus
+    # export runs, vs the href-only "linkgraph" arm above.
+    "watbundle": r"""
+from web_content_extraction_benchmark_spark.operators.linkgraph import (
+    anchors_from_page_links, page_links_raw)
+
+def run():
+    links = page_links_raw(pages)
+    anchors_from_page_links(links).agg(
+        F.count("*"), F.sum(F.length("anchor_text"))).collect()
 """,
     # PageRank iteration loop alone — O(hosts + host-pairs), constant in
     # corpus volume (41 hosts here).  Reported as absolute seconds: two
