@@ -1004,10 +1004,65 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("deny")).alias("b"),
         F.lit(1).cast("long").alias("n"),
     )
+    # sitemap arm (r8): per-doc synthesized sitemaps — urlset entries
+    # with INDEPENDENTLY optional lastmod/changefreq/priority (the case
+    # parallel-array zipping cannot express) and every 7th doc a
+    # sitemapindex; whitespace-padded locs pin the trim
+    from web_content_extraction_benchmark_spark.operators.sitemaps import (
+        parse_sitemaps,
+    )
+
+    sm_url = F.concat(
+        F.lit("https://"), r_host, F.lit("/sitemaps/"),
+        did.cast("string"), F.lit(".xml"),
+    )
+    cf = F.element_at(
+        F.array(F.lit("daily"), F.lit("weekly"), F.lit("monthly")),
+        (did % 3).cast("int") + 1,
+    )
+    e1 = F.concat(
+        F.lit("<url><loc>https://"), r_host, F.lit("/d/"),
+        did.cast("string"), F.lit("</loc>"),
+        F.when(did % 2 == 0, F.concat(
+            F.lit("<lastmod>2023-01-"),
+            F.lpad((did % 28 + 1).cast("string"), 2, "0"),
+            F.lit("</lastmod>"),
+        )).otherwise(F.lit("")),
+        F.lit("<changefreq>"), cf, F.lit("</changefreq>"),
+        F.lit("<priority>0."), (did % 10).cast("string"),
+        F.lit("</priority></url>"),
+    )
+    e2 = F.concat(
+        F.lit("<url>\n  <loc> https://"), r_host, F.lit("/alt/"),
+        did.cast("string"), F.lit(" </loc>\n</url>"),
+    )
+    urlset = F.concat(
+        F.lit('<?xml version="1.0"?><urlset>'), e1, e2, F.lit("</urlset>")
+    )
+    index = F.concat(
+        F.lit("<sitemapindex><sitemap><loc>https://"), r_host,
+        F.lit("/sm/"), did.cast("string"),
+        F.lit("/1.xml</loc><lastmod>2023-02-02</lastmod></sitemap>"),
+        F.lit("<sitemap><loc>https://"), r_host, F.lit("/sm/"),
+        did.cast("string"), F.lit("/2.xml</loc></sitemap></sitemapindex>"),
+    )
+    sm = docs.select(
+        sm_url.alias("url"),
+        F.when(did % 7 == 2, index).otherwise(urlset).alias("xml"),
+    )
+    sitemap_arm = parse_sitemaps(sm).select(
+        F.lit("sitemap").alias("op"),
+        F.col("url").alias("a"),
+        F.concat_ws(
+            "|", "kind", "loc", "lastmod", "changefreq", "priority"
+        ).alias("b"),
+        F.lit(1).cast("long").alias("n"),
+    )
     return (
         ol_arm.unionByName(edge_arm).unionByName(rank_arm)
         .unionByName(anchor_arm).unionByName(title_arm)
         .unionByName(meta_arm).unionByName(robots_arm)
+        .unionByName(sitemap_arm)
     )
 
 
@@ -1064,6 +1119,12 @@ def _host_graph_sql() -> str:
                CASE WHEN robots_allowed THEN 'allow' ELSE 'deny' END,
                CAST(1 AS BIGINT)
         FROM ({_robots_verdicts_sql()})
+        UNION ALL
+        SELECT 'sitemap', url,
+               kind || '|' || loc || '|' || lastmod || '|' ||
+                   changefreq || '|' || priority,
+               CAST(1 AS BIGINT)
+        FROM ({_sitemap_rows_sql()})
     """
 
 
@@ -2057,6 +2118,46 @@ def _robots_verdicts_sql() -> str:
         FROM documents
     """
     return robots_match_sql(frontier, rules)
+
+
+def _sitemap_rows_sql() -> str:
+    """Mirror of the host_graph sitemap arm: the same per-doc xml
+    synthesis in SQL, parsed by the operator's own mirror
+    (``sitemaps_sql``)."""
+    from web_content_extraction_benchmark_spark.operators.sitemaps import (
+        sitemaps_sql,
+    )
+
+    host = _host_sql_for("doc_id")
+    d = "CAST(doc_id AS VARCHAR)"
+    cf = ("(CASE doc_id % 3 WHEN 0 THEN 'daily' WHEN 1 THEN 'weekly' "
+          "ELSE 'monthly' END)")
+    e1 = f"""('<url><loc>https://' || {host} || '/d/' || {d} || '</loc>'
+        || CASE WHEN doc_id % 2 = 0
+                THEN '<lastmod>2023-01-' ||
+                     lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0') ||
+                     '</lastmod>'
+                ELSE '' END
+        || '<changefreq>' || {cf} || '</changefreq>'
+        || '<priority>0.' || CAST(doc_id % 10 AS VARCHAR) ||
+           '</priority></url>')"""
+    e2 = f"""('<url>' || chr(10) || '  <loc> https://' || {host} ||
+        '/alt/' || {d} || ' </loc>' || chr(10) || '</url>')"""
+    urlset = (f"('<?xml version=\"1.0\"?><urlset>' || {e1} || {e2} || "
+              "'</urlset>')")
+    index = f"""('<sitemapindex><sitemap><loc>https://' || {host} ||
+        '/sm/' || {d} ||
+        '/1.xml</loc><lastmod>2023-02-02</lastmod></sitemap>' ||
+        '<sitemap><loc>https://' || {host} || '/sm/' || {d} ||
+        '/2.xml</loc></sitemap></sitemapindex>')"""
+    corpus = f"""
+        SELECT 'https://' || {host} || '/sitemaps/' || {d} || '.xml'
+                   AS url,
+               CASE WHEN doc_id % 7 = 2 THEN {index}
+                    ELSE {urlset} END AS xml
+        FROM documents
+    """
+    return sitemaps_sql(corpus)
 
 
 def _redact_pii_sql_expr() -> str:
