@@ -1034,7 +1034,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     e2 = F.concat(
         F.lit("<url>\n  <loc> https://"), r_host, F.lit("/alt/"),
-        did.cast("string"), F.lit(" </loc>\n</url>"),
+        did.cast("string"), F.lit("?x=1&amp;y=2 </loc>\n</url>"),
     )
     urlset = F.concat(
         F.lit('<?xml version="1.0"?><urlset>'), e1, e2, F.lit("</urlset>")
@@ -2142,7 +2142,7 @@ def _sitemap_rows_sql() -> str:
         || '<priority>0.' || CAST(doc_id % 10 AS VARCHAR) ||
            '</priority></url>')"""
     e2 = f"""('<url>' || chr(10) || '  <loc> https://' || {host} ||
-        '/alt/' || {d} || ' </loc>' || chr(10) || '</url>')"""
+        '/alt/' || {d} || '?x=1&amp;y=2 </loc>' || chr(10) || '</url>')"""
     urlset = (f"('<?xml version=\"1.0\"?><urlset>' || {e1} || {e2} || "
               "'</urlset>')")
     index = f"""('<sitemapindex><sitemap><loc>https://' || {host} ||

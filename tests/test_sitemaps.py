@@ -75,6 +75,19 @@ def test_duckdb_mirror_lockstep(spark):
         assert got == want, xml
 
 
+def test_xml_entity_unescaping(spark):
+    xml = ("<urlset><url>"
+           "<loc>https://h.example/d?a=1&amp;b=2&amp;lt;</loc>"
+           "<lastmod>&quot;2023&quot;</lastmod>"
+           "</url></urlset>")
+    got = _rows(spark, xml)
+    # &amp; -> & ; &amp;lt; -> literal "&lt;" (NOT "<" — amp resolves
+    # last, exactly once)
+    assert got == {
+        ("url", "https://h.example/d?a=1&b=2&lt;"): ('"2023"', "", ""),
+    }
+
+
 def test_sitemap_urls_from_robots():
     txt = ("User-agent: *\nDisallow: /p/\n"
            "Sitemap: https://h.example/sitemap.xml  # main\n"

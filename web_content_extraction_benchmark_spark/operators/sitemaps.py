@@ -13,8 +13,11 @@ parallel-array zipping unsound (a missing ``<lastmod>`` in one entry
 would shift every later pairing), extraction is two-stage: explode the
 ENTRY BLOCKS first (one ``regexp_extract_all`` per block kind), then
 per-block single extracts — each row's fields come from its own block,
-so optional fields are independent per entry.  Values are trimmed
-verbatim text (no entity unescaping — mirrored identically).
+so optional fields are independent per entry.  Values are trimmed and
+the five predefined XML entities unescaped (the protocol REQUIRES
+escaping in ``<loc>``, so ``&amp;`` in a sitemap is a literal ``&`` in
+the URL); ``&amp;`` is replaced LAST so ``&amp;lt;`` correctly yields
+the literal text ``&lt;`` — mirrored replace-for-replace in SQL.
 
 100 TB shape: sitemap corpora are ~1 file per host (1e8 rows, ~KB
 each) — the parse is a per-row flatMap with no shuffle, and the result
@@ -34,16 +37,30 @@ CHANGEFREQ_PATTERN = r"(?s)<changefreq>([^<]*)</changefreq>"
 PRIORITY_PATTERN = r"(?s)<priority>([^<]*)</priority>"
 
 
+# &amp; must come LAST: "&amp;lt;" is the escaped literal "&lt;", and
+# unescaping &lt; first cannot touch it (no '<' precedes), while
+# unescaping &amp; first would create a new &lt; for a later pass
+XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                ("&apos;", "'"), ("&amp;", "&")]
+
+
+def _unescape(col: Column) -> Column:
+    for ent, ch in XML_ENTITIES:
+        col = F.replace(col, F.lit(ent), F.lit(ch))
+    return col
+
+
 def _entry_fields(block: Column) -> list[Column]:
+    def field(pattern: str, name: str) -> Column:
+        return _unescape(
+            F.trim(F.regexp_extract(block, pattern, 1))
+        ).alias(name)
+
     return [
-        F.trim(F.regexp_extract(block, LOC_PATTERN, 1)).alias("loc"),
-        F.trim(F.regexp_extract(block, LASTMOD_PATTERN, 1)).alias("lastmod"),
-        F.trim(
-            F.regexp_extract(block, CHANGEFREQ_PATTERN, 1)
-        ).alias("changefreq"),
-        F.trim(
-            F.regexp_extract(block, PRIORITY_PATTERN, 1)
-        ).alias("priority"),
+        field(LOC_PATTERN, "loc"),
+        field(LASTMOD_PATTERN, "lastmod"),
+        field(CHANGEFREQ_PATTERN, "changefreq"),
+        field(PRIORITY_PATTERN, "priority"),
     ]
 
 
@@ -72,16 +89,23 @@ def parse_sitemaps(df: DataFrame, xml_col: str = "xml",
 def sitemaps_sql(corpus_cte: str) -> str:
     """DuckDB mirror of ``parse_sitemaps`` over a CTE body selecting
     (url, xml) — same two-stage block explode, same patterns."""
+    def unescape(expr: str) -> str:
+        for ent, ch in XML_ENTITIES:
+            ch_sql = ch.replace("'", "''")
+            expr = f"replace({expr}, '{ent}', '{ch_sql}')"
+        return expr
+
+    def field(pattern: str, name: str) -> str:
+        return (unescape(f"trim(regexp_extract(b, '{pattern}', 1))")
+                + f" AS {name}")
+
     def arm(kind: str, pattern: str) -> str:
         return f"""
             SELECT url, '{kind}' AS kind,
-                   trim(regexp_extract(b, '{LOC_PATTERN}', 1)) AS loc,
-                   trim(regexp_extract(b, '{LASTMOD_PATTERN}', 1))
-                       AS lastmod,
-                   trim(regexp_extract(b, '{CHANGEFREQ_PATTERN}', 1))
-                       AS changefreq,
-                   trim(regexp_extract(b, '{PRIORITY_PATTERN}', 1))
-                       AS priority
+                   {field(LOC_PATTERN, "loc")},
+                   {field(LASTMOD_PATTERN, "lastmod")},
+                   {field(CHANGEFREQ_PATTERN, "changefreq")},
+                   {field(PRIORITY_PATTERN, "priority")}
             FROM (
                 SELECT url,
                        unnest(regexp_extract_all(xml, '{pattern}', 1)) AS b
