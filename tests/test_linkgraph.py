@@ -183,6 +183,7 @@ def test_wat_records_full_title_and_anchor_text(spark):
     pages = _pages(spark, [
         ("https://a.example/1",
          "<title> Page  One </title>"
+         '<meta name="description" content="first page">'
          '<a href="/z">Z link</a><a href="/a">A <i>link</i></a>'
          '<link href="/style.css">'),
         ("https://a.example/2", "<p>no links, no title</p>"),
@@ -194,8 +195,11 @@ def test_wat_records_full_title_and_anchor_text(spark):
     assert [(l.href, l.text) for l in r1.links] == [
         ("/a", "A link"), ("/z", "Z link")]
     assert r1.links[0].target == "https://a.example/a"
+    assert [(m.kind, m.key, m.value) for m in r1.metas] == [
+        ("meta", "description", "first page")]
     r2 = rec["https://a.example/2"]
     assert r2.title == "" and r2.n_links == 0 and r2.links == []
+    assert r2.metas == []
 
 
 def test_cli_linkgraph(tmp_path, spark, sf_dir):

@@ -485,3 +485,25 @@ def test_cdxj_index_random_access(spark, sf_dir, tmp_path):
         spans.sort()
         for (o1, l1), (o2, _) in zip(spans, spans[1:]):
             assert o1 + l1 <= o2
+
+
+def test_redirect_records_expose_location(spark, tmp_path):
+    """3xx rows carry the Location header in redirect_to (the hop a
+    crawler schedules next); 200 rows carry null."""
+    pages = _pages(2) + [{
+        "url": "https://h9.example/old",
+        "ts": TS,
+        "body": b"",
+        "status": 301,
+        "location": "https://h9.example/new",
+    }]
+    path = str(tmp_path / "r.warc.gz")
+    W.write_warc_gz(path, pages)
+    rows = {r.url: r for r in W.read_warc(spark, str(tmp_path)).collect()}
+    moved = rows["https://h9.example/old"]
+    assert moved.http_status == 301
+    assert moved.redirect_to == "https://h9.example/new"
+    assert moved.html == b""
+    for i in range(2):
+        ok = rows[f"https://h{i}.example/src/{i}"]
+        assert ok.http_status == 200 and ok.redirect_to is None

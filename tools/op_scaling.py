@@ -165,6 +165,8 @@ if __name__ == "__main__":
 
 
 def run_level(arm: str, cpus: int, rounds: int = 2) -> dict:
+    import tempfile
+
     rep = int(os.environ.get("SPARK_GRAFT_OPSCALE_REP", "1"))
     if arm == "linkgraph_pool":
         code = _POOL_CHILD.format(repo=REPO, cpus=cpus, pages=PAGES,
@@ -172,10 +174,22 @@ def run_level(arm: str, cpus: int, rounds: int = 2) -> dict:
     else:
         code = _CHILD.format(repo=REPO, cpus=cpus, pages=PAGES, rep=rep,
                              body=_ARMS[arm], rounds=rounds)
-    out = subprocess.run(
-        [sys.executable, "-c", code], capture_output=True, text=True,
-        cwd=REPO, check=True,
-    )
+    # the child must be a real FILE, not `python -c`: the pool arm's
+    # multiprocessing spawn re-imports __main__, which deadlocks the
+    # workers for a -c program (parent and children were measured
+    # parked at 0% CPU forever)
+    with tempfile.NamedTemporaryFile(
+        "w", suffix="_opscale.py", delete=False
+    ) as f:
+        f.write(code)
+        script = f.name
+    try:
+        out = subprocess.run(
+            [sys.executable, script], capture_output=True, text=True,
+            cwd=REPO, check=True,
+        )
+    finally:
+        os.unlink(script)
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 

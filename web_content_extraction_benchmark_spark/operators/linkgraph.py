@@ -475,14 +475,14 @@ def _squeeze_sql(expr: str) -> str:
 
 def wat_records_full(links: DataFrame) -> DataFrame:
     """WAT-parity per-page metadata records off a ``page_links`` bundle:
-    (url, title, links, n_links) where ``links`` holds the resolvable
-    anchor ELEMENTS as (href, target, host, text) — the Common-Crawl-WAT
-    essentials (HTML-Metadata Head/Title + A@/href links with text).
-    ``wat_records`` remains the href-value-level export (every
-    ``href="..."`` incl. ``<link>``/``<area>``, no text).  Pages with no
-    resolvable anchors still get a record (empty ``links``) as long as
-    they appear in the bundle; sorted arrays keep golden output
-    byte-stable."""
+    (url, title, metas, links, n_links) where ``links`` holds the
+    resolvable anchor ELEMENTS as (href, target, host, text) and
+    ``metas`` the head-metadata rows as (kind, key, value) — the
+    Common-Crawl-WAT essentials (HTML-Metadata Head/Title/Metas/Links
+    with anchor text).  ``wat_records`` remains the href-value-level
+    export (every ``href="..."`` incl. ``<link>``/``<area>``, no text).
+    Pages with no anchors or metadata still get a record (empty
+    arrays); sorted arrays keep golden output byte-stable."""
     anchors = anchors_from_page_links(links)
     per_page = anchors.groupBy("url").agg(
         F.sort_array(
@@ -496,13 +496,24 @@ def wat_records_full(links: DataFrame) -> DataFrame:
             )
         ).alias("links")
     )
+    metas = head_meta_from_page_links(links).groupBy("url").agg(
+        F.sort_array(
+            F.collect_list(F.struct("kind", "key", "value"))
+        ).alias("metas")
+    )
     titles = links.select(
         "url", squeeze_text(F.col("title_raw")).alias("title")
     )
     return (
-        titles.join(per_page, "url", "left")
+        titles.join(metas, "url", "left").join(per_page, "url", "left")
         .select(
             "url", "title",
+            F.coalesce(
+                "metas",
+                F.array().cast(
+                    "array<struct<kind:string,key:string,value:string>>"
+                ),
+            ).alias("metas"),
             F.coalesce(
                 "links",
                 F.array().cast(

@@ -50,6 +50,9 @@ WARC_PAGES_SCHEMA = T.StructType(
         T.StructField("html", T.BinaryType(), True),
         T.StructField("http_status", T.IntegerType(), True),
         T.StructField("content_type", T.StringType(), True),
+        # Location header verbatim (3xx hops — a real crawl stores the
+        # redirect response and schedules the target; null otherwise)
+        T.StructField("redirect_to", T.StringType(), True),
         T.StructField("warc_file", T.StringType(), True),
         # WARC-Payload-Digest check: True/False when the record carries
         # a sha1 digest (CC convention), null when absent — lets a
@@ -108,15 +111,21 @@ def _chunked(body: bytes, chunk: int = 512) -> bytes:
 
 def build_http_response(body: bytes, *, charset: str = "utf-8",
                         chunked: bool = False, status: int = 200,
-                        content_type: str | None = None) -> bytes:
+                        content_type: str | None = None,
+                        location: str | None = None) -> bytes:
     """A raw HTTP/1.1 response message around ``body`` (the WARC
     response payload).  ``chunked`` switches the framing arm;
     ``content_type`` overrides the text/html default (e.g.
-    ``application/pdf`` rows in a mixed crawl)."""
-    reason = {200: "OK", 404: "Not Found"}.get(status, "OK")
+    ``application/pdf`` rows in a mixed crawl); ``location`` adds the
+    redirect header a 3xx row carries."""
+    reason = {200: "OK", 301: "Moved Permanently", 302: "Found",
+              307: "Temporary Redirect",
+              404: "Not Found"}.get(status, "OK")
     ctype = content_type or f"text/html; charset={charset}"
     lines = [f"HTTP/1.1 {status} {reason}",
              f"Content-Type: {ctype}"]
+    if location is not None:
+        lines.append(f"Location: {location}")
     if chunked:
         lines.append("Transfer-Encoding: chunked")
         payload = _chunked(body)
@@ -169,7 +178,9 @@ def write_warc_gz(path: str, pages: list[dict],
              ("Content-Type", "application/http; msgtype=response")],
             build_http_response(p["body"],
                                 chunked=bool(p.get("chunked")),
-                                content_type=p.get("content_type")),
+                                content_type=p.get("content_type"),
+                                status=p.get("status", 200),
+                                location=p.get("location")),
         ))
     with open(path, "wb") as f:
         if member_gzip:
@@ -476,6 +487,8 @@ def _make_warc_batches(errors: str = "strict"):
                             "http_status": status,
                             "content_type":
                                 http_headers.get("content-type"),
+                            "redirect_to":
+                                http_headers.get("location"),
                             "warc_file": path,
                             "digest_ok": _check_digest(headers, body),
                         })
