@@ -313,6 +313,35 @@ def test_extract_head_meta_semantics(spark):
     ).count() == 0
 
 
+def test_link_metadata_plan_shapes(spark, sf_dir):
+    """The raw bundle is ONE Arrow stage (the fused kernel, not one
+    per field family); every Catalyst twin is Python-free."""
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        extract_anchors,
+        extract_head_meta,
+        page_links,
+        page_links_raw,
+        page_titles,
+    )
+    from web_content_extraction_benchmark_spark.sources.pages import (
+        synthesize_pages,
+    )
+
+    raw_plan = page_links_raw(
+        synthesize_pages(spark, sf_dir)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert raw_plan.count("ArrowEvalPython") == 1
+
+    pages = _pages(spark, [("https://a.example/1",
+                            '<title>t</title><a href="/x">1</a>')])
+    for df in (extract_anchors(pages), extract_head_meta(pages),
+               page_titles(page_links(pages))):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for marker in ("ArrowEvalPython", "BatchEvalPython",
+                       "FlatMapsInPandas"):
+            assert marker not in plan
+
+
 def test_page_links_raw_equals_string_path(spark, sf_dir):
     """The fused decode+links kernel must produce exactly the bundle of
     the Catalyst twin over decoded text — anchors, titles and hrefs,
