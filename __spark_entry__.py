@@ -1058,11 +1058,55 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         F.lit(1).cast("long").alias("n"),
     )
+    # redirect arm (r8): planted per-doc chains of doc_id%4+1 hops plus
+    # a 2-cycle every 13th doc — resolve_redirects' saturating pointer
+    # doubling must equal the recursive-CTE hop-capped walk, cycles
+    # included (n carries the hop count)
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        resolve_redirects,
+    )
+
+    def _r(i_col) -> F.Column:
+        return F.concat(
+            F.lit("https://"), F.col("h"), F.lit("/r/"),
+            F.col("doc_id").cast("string"), F.lit("/"),
+            i_col.cast("string"),
+        )
+
+    chain = docs.select(
+        "doc_id", r_host.alias("h"),
+        F.explode(F.sequence(F.lit(0), did % 4)).alias("i"),
+    )
+    redir_edges = chain.select(
+        _r(F.col("i")).alias("url"),
+        _r(F.col("i") + 1).alias("redirect_to"),
+    )
+    cyc_base = docs.filter(did % 13 == 0).select(
+        F.concat(F.lit("https://"), r_host, F.lit("/c/"),
+                 did.cast("string")).alias("c"),
+    )
+    cycles = cyc_base.select(
+        F.concat("c", F.lit("/a")).alias("url"),
+        F.concat("c", F.lit("/b")).alias("redirect_to"),
+    ).unionByName(cyc_base.select(
+        F.concat("c", F.lit("/b")).alias("url"),
+        F.concat("c", F.lit("/a")).alias("redirect_to"),
+    ))
+    redir_arm = resolve_redirects(
+        redir_edges.unionByName(cycles), max_hops=8
+    ).select(
+        F.lit("redir").alias("op"),
+        F.col("url").alias("a"),
+        F.concat(
+            "final_url", F.lit("|"), F.col("terminated").cast("string")
+        ).alias("b"),
+        F.col("hops").alias("n"),
+    )
     return (
         ol_arm.unionByName(edge_arm).unionByName(rank_arm)
         .unionByName(anchor_arm).unionByName(title_arm)
         .unionByName(meta_arm).unionByName(robots_arm)
-        .unionByName(sitemap_arm)
+        .unionByName(sitemap_arm).unionByName(redir_arm)
     )
 
 
@@ -1125,6 +1169,10 @@ def _host_graph_sql() -> str:
                    changefreq || '|' || priority,
                CAST(1 AS BIGINT)
         FROM ({_sitemap_rows_sql()})
+        UNION ALL
+        SELECT 'redir', url,
+               final_url || '|' || CAST(terminated AS VARCHAR), hops
+        FROM ({_redirects_sql()})
     """
 
 
@@ -2158,6 +2206,32 @@ def _sitemap_rows_sql() -> str:
         FROM documents
     """
     return sitemaps_sql(corpus)
+
+
+def _redirects_sql() -> str:
+    """Mirror of the host_graph redirect arm: the same planted chains +
+    2-cycles, resolved by the operator's recursive-CTE mirror."""
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        redirects_sql,
+    )
+
+    host = _host_sql_for("doc_id")
+    d = "CAST(doc_id AS VARCHAR)"
+    base = f"('https://' || {host} || '/r/' || {d} || '/')"
+    cyc = f"('https://' || {host} || '/c/' || {d})"
+    edges = f"""
+        SELECT {base} || CAST(i AS VARCHAR) AS url,
+               {base} || CAST(i + 1 AS VARCHAR) AS redirect_to
+        FROM documents,
+             UNNEST(generate_series(0, doc_id % 4)) AS t(i)
+        UNION ALL
+        SELECT {cyc} || '/a', {cyc} || '/b'
+        FROM documents WHERE doc_id % 13 = 0
+        UNION ALL
+        SELECT {cyc} || '/b', {cyc} || '/a'
+        FROM documents WHERE doc_id % 13 = 0
+    """
+    return redirects_sql(edges, max_hops=8)
 
 
 def _redact_pii_sql_expr() -> str:

@@ -135,7 +135,7 @@ def test_driver_row_arms(spark, sf_dir):
     arms = {r["op"]: r["cnt"] for r in
             out.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
     assert set(arms) == {"outlink", "edge", "rank", "anchor", "title",
-                         "meta", "robots", "sitemap"}
+                         "meta", "robots", "sitemap", "redir"}
     # hubs carry the full head-metadata kind set
     kinds = {r.b.split("|")[0] for r in
              out.filter(F.col("op") == "meta").select("b").collect()}
@@ -389,3 +389,42 @@ def test_extract_outlinks_raw_equals_string_path(spark, sf_dir):
     assert via_raw.columns == via_string.columns
     assert via_raw.exceptAll(via_string).count() == 0
     assert via_string.exceptAll(via_raw).count() == 0
+
+
+def test_resolve_redirects_semantics(spark):
+    import duckdb
+
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        redirects_sql,
+        resolve_redirects,
+    )
+
+    rows = [
+        ("a1", "a2"), ("a2", "a3"), ("a3", "afinal"),   # 3-hop chain
+        ("b1", "bfinal"),                               # 1 hop
+        ("c1", "c2"), ("c2", "c1"),                     # 2-cycle
+    ] + [(f"l{i}", f"l{i+1}") for i in range(12)]       # 12-hop > cap
+    edges = spark.createDataFrame(
+        rows, "url string, redirect_to string")
+    got = {r.url: (r.final_url, r.hops, r.terminated)
+           for r in resolve_redirects(edges, max_hops=8).collect()}
+    assert got["a1"] == ("afinal", 3, True)
+    assert got["a2"] == ("afinal", 2, True)
+    assert got["b1"] == ("bfinal", 1, True)
+    # cycle: exactly max_hops hops, back at the start, not terminated
+    assert got["c1"] == ("c1", 8, False)
+    assert got["c2"] == ("c2", 8, False)
+    # over-cap chain: cut at 8 hops, not terminated
+    assert got["l0"] == ("l8", 8, False)
+    assert got["l5"] == ("l12", 7, True)
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(url VARCHAR, redirect_to VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    want = {u: (f, h, t) for u, f, h, t in con.execute(
+        redirects_sql("SELECT * FROM e", max_hops=8)).fetchall()}
+    assert got == want
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="power of two"):
+        resolve_redirects(edges, max_hops=6)

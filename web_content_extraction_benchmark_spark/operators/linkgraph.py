@@ -473,6 +473,88 @@ def _squeeze_sql(expr: str) -> str:
     )
 
 
+def resolve_redirects(edges: DataFrame, max_hops: int = 8) -> DataFrame:
+    """Follow redirect chains to their final target: (url, redirect_to)
+    edges — e.g. ``read_warc`` rows with a non-null ``redirect_to`` —
+    become (url, final_url, hops, terminated).
+
+    ``terminated=False`` marks chains cut by the ``max_hops`` cap
+    (cycles, or pathologically long chains a crawler abandons anyway —
+    browsers cap around 20).  Semantics are EXACT and mirrored by
+    ``redirects_sql``: final_url is the node reached after
+    min(chain length, max_hops) hops.
+
+    Scale shape: saturating pointer doubling — ``log2(max_hops)``
+    self-joins on the EDGE table (size = number of redirect rows, a
+    tiny fraction of any crawl), not a per-hop loop over the corpus;
+    each round composes jumps and adds hop counts, so round r covers
+    2^r hops.  ``max_hops`` must be a power of two (the doubling and
+    the mirror's hop-capped walk then agree exactly, cycles included).
+    Inputs are localCheckpoint-ed before the loop per the repo's
+    iterative-operator rule."""
+    if max_hops < 1 or max_hops & (max_hops - 1):
+        raise ValueError(f"max_hops must be a power of two: {max_hops}")
+    m = edges.select(
+        F.col("url").alias("src"),
+        F.col("redirect_to").alias("dst"),
+        F.lit(1).cast("long").alias("hops"),
+    ).filter(F.col("dst").isNotNull()).localCheckpoint()
+    rounds = max_hops.bit_length() - 1  # log2
+    for _ in range(rounds):
+        nxt = m.select(
+            F.col("src").alias("j_src"),
+            F.col("dst").alias("j_dst"),
+            F.col("hops").alias("j_hops"),
+        )
+        m = m.join(nxt, m["dst"] == nxt["j_src"], "left").select(
+            "src",
+            F.coalesce("j_dst", "dst").alias("dst"),
+            (F.col("hops") + F.coalesce(
+                F.col("j_hops"), F.lit(0).cast("long")
+            )).alias("hops"),
+        ).localCheckpoint()
+    # terminated = the final node has NO outgoing edge (anti join beats
+    # collecting the edge set; both sides are edge-sized)
+    starts = m.select(F.col("src").alias("k")).distinct()
+    return m.join(
+        starts, m["dst"] == starts["k"], "left"
+    ).select(
+        F.col("src").alias("url"),
+        F.col("dst").alias("final_url"),
+        "hops",
+        F.col("k").isNull().alias("terminated"),
+    )
+
+
+def redirects_sql(edges_cte: str, max_hops: int = 8) -> str:
+    """DuckDB mirror of ``resolve_redirects``: a recursive CTE walking
+    ONE hop per level with a hop cap, then the last row per start —
+    decision-for-decision equal to the saturating doubling (both
+    compute the node after min(chain length, max_hops) hops)."""
+    return f"""
+        WITH RECURSIVE edges AS ({edges_cte}),
+        walk(src, dst, hops) AS (
+            SELECT url, redirect_to, CAST(1 AS BIGINT)
+            FROM edges WHERE redirect_to IS NOT NULL
+            UNION ALL
+            SELECT w.src, e.redirect_to, w.hops + 1
+            FROM walk w JOIN edges e ON w.dst = e.url
+            WHERE w.hops < {max_hops} AND e.redirect_to IS NOT NULL
+        ),
+        last AS (
+            SELECT src, dst, hops,
+                   row_number() OVER (PARTITION BY src
+                                      ORDER BY hops DESC) AS rn
+            FROM walk
+        )
+        SELECT l.src AS url, l.dst AS final_url, l.hops,
+               (l.dst NOT IN (SELECT url FROM edges
+                              WHERE redirect_to IS NOT NULL))
+                   AS terminated
+        FROM last l WHERE l.rn = 1
+    """
+
+
 def wat_records_full(links: DataFrame) -> DataFrame:
     """WAT-parity per-page metadata records off a ``page_links`` bundle:
     (url, title, metas, links, n_links) where ``links`` holds the
