@@ -149,3 +149,6 @@ def test_plan_is_aggregation_not_window(spark):
     )._jdf.queryExecution().executedPlan().toString()
     assert "Window" not in plan
     assert "partial_max" in plan
+    # the per-host rules side broadcasts: the frontier never shuffles
+    # for the join
+    assert "Broadcast" in plan and "SortMergeJoin" not in plan

@@ -104,6 +104,41 @@ def _embedding_candidates_plan(spark, emb):
     return plan_df
 
 
+def _anchor_corpus_plan(spark, pages):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        anchor_corpus,
+        anchors_from_page_links,
+        page_links_raw,
+    )
+
+    return anchor_corpus(anchors_from_page_links(page_links_raw(pages)))
+
+
+def _robots_plan(spark):
+    from web_content_extraction_benchmark_spark.operators.robots import (
+        robots_filter,
+        robots_rules,
+    )
+
+    robots = spark.createDataFrame(
+        [("h.example", "User-agent: *\nDisallow: /p/\nAllow: /p/ok/")],
+        "host string, robots_txt string",
+    )
+    frontier = spark.createDataFrame(
+        [("https://h.example/p/x",)], "url string")
+    return robots_filter(frontier, robots_rules(robots), keep_denied=True)
+
+
+def _redirects_plan(spark):
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        resolve_redirects,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "url string, redirect_to string")
+    return resolve_redirects(edges, max_hops=8)
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -380,6 +415,37 @@ def main() -> None:
             "binaryFile scan -> ONE mapInPandas (object layer + content "
             "interpreter + layout); no Exchange, pure per-row kernel",
             _pdf_extract_plan(spark, sf_dir),
+        ),
+        (
+            "WAT link-metadata bundle off raw bytes (r8)",
+            "exactly ONE ArrowEvalPython (the fused decode + hrefs + "
+            "anchor pairs + title + head-meta kernel) — not one stage "
+            "per field family; no Exchange",
+            __import__(
+                "web_content_extraction_benchmark_spark.operators.linkgraph",
+                fromlist=["page_links_raw"],
+            ).page_links_raw(pages),
+        ),
+        (
+            "anchor-text corpus tail (r8)",
+            "explode + resolution CASE chain stay Python-free; the "
+            "(target, text) aggregation has a map-side partial_count "
+            "before its exchange",
+            _anchor_corpus_plan(spark, pages),
+        ),
+        (
+            "robots longest-match verdict (r8)",
+            "rules side BROADCAST (frontier never shuffles for the "
+            "join) + ONE max(struct) aggregation with partial_max "
+            "map-side; NO Window/sort in the per-URL verdict",
+            _robots_plan(spark),
+        ),
+        (
+            "redirect-chain resolution (r8)",
+            "log2(max_hops) EDGE-SIZED self-joins (pointer doubling) — "
+            "inputs localCheckpoint-ed, so the plan shows scans of "
+            "materialized RDDs, never a re-derivation per round",
+            _redirects_plan(spark),
         ),
     ]
 

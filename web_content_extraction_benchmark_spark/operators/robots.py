@@ -124,13 +124,17 @@ def robots_rules(robots: DataFrame, agent: str = "*",
 
 def robots_filter(frontier: DataFrame, rules: DataFrame,
                   url_col: str = "url",
-                  keep_denied: bool = False) -> DataFrame:
+                  keep_denied: bool = False,
+                  broadcast_rules: bool = True) -> DataFrame:
     """Frontier URLs -> the same rows plus ``robots_allowed`` (and only
     the allowed ones unless ``keep_denied``).  Longest-prefix-wins with
     Allow tie-break via one ``max(struct)`` aggregation — no Window, so
     the per-URL cost is a map-side-combinable agg after the rule join.
     The join key is the URL's host; rules tables are per-host and tiny
-    relative to any frontier — broadcast when they fit."""
+    relative to any frontier, so the rules side is BROADCAST by default
+    (the frontier then never shuffles for the join — only the verdict
+    agg exchanges, at frontier-row cardinality); pass
+    ``broadcast_rules=False`` for a pathological rules table."""
     host = F.lower(
         F.regexp_extract(F.col(url_col),
                          r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
@@ -138,13 +142,13 @@ def robots_filter(frontier: DataFrame, rules: DataFrame,
     path_raw = F.regexp_extract(F.col(url_col), _PATH_RE, 1)
     path = F.when(path_raw == "", "/").otherwise(path_raw)
     staged = frontier.withColumn("_host", host).withColumn("_path", path)
-    joined = staged.join(
-        rules.select(
-            F.col("host").alias("_host"), "path",
-            F.col("allow").cast("int").alias("_allow"),
-        ),
-        "_host", "left",
+    rules_side = rules.select(
+        F.col("host").alias("_host"), "path",
+        F.col("allow").cast("int").alias("_allow"),
     )
+    if broadcast_rules:
+        rules_side = F.broadcast(rules_side)
+    joined = staged.join(rules_side, "_host", "left")
     hit = F.col("path").isNotNull() & F.col("_path").startswith(
         F.col("path")
     )
