@@ -165,3 +165,59 @@ def test_assign_split_rejects_bad_fraction(docs):
         assign_split(docs, 1.2)
     with pytest.raises(ValueError):
         assign_split(docs, -0.1)
+
+
+def test_mixture_fractions_solver():
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        mixture_fractions,
+    )
+
+    counts = {"en": 8000, "de": 1000, "fr": 500}
+    # fr is the binding stratum: N* = 500/0.2 = 2500
+    fr, n = mixture_fractions(counts, {"en": 0.5, "de": 0.3, "fr": 0.2})
+    assert n == 2500
+    assert fr == {"en": 2500 * 0.5 / 8000, "de": 2500 * 0.3 / 1000,
+                  "fr": 1.0}
+    # requested total caps below N*
+    fr2, n2 = mixture_fractions(counts, {"en": 1.0, "de": 1.0}, total=400)
+    assert n2 == 400 and fr2 == {"en": 200 / 8000, "de": 200 / 1000}
+    # weight on an absent stratum is an error, not silent skew
+    with pytest.raises(ValueError, match="no rows"):
+        mixture_fractions(counts, {"en": 0.5, "xx": 0.5})
+    with pytest.raises(ValueError):
+        mixture_fractions(counts, {"en": 0.0})
+    with pytest.raises(ValueError):
+        mixture_fractions(counts, {"en": 1.0}, total=0)
+
+
+def test_mixture_sample_hits_weights_and_mirrors(docs, sf_dir):
+    from web_content_extraction_benchmark_spark.operators.sampling import (
+        mixture_fractions,
+        mixture_sample,
+        stratified_predicate_sql,
+    )
+
+    weights = {"en": 0.6, "de": 0.4}
+    kept = mixture_sample(docs, weights, strata_col="lang", seed=3)
+    by_lang = {r["lang"]: r["n"] for r in kept.groupBy("lang")
+               .agg(F.count("*").alias("n")).collect()}
+    assert set(by_lang) <= {"en", "de"}  # unweighted strata dropped
+    total = sum(by_lang.values())
+    # hash-binomial around the target: generous tolerance at sf0.001
+    assert abs(by_lang.get("en", 0) / total - 0.6) < 0.12
+
+    # determinism + exact DuckDB member-set mirror on the SAME solved
+    # fractions
+    counts = {r["lang"]: r["n"] for r in docs.groupBy("lang")
+              .agg(F.count("*").alias("n")).collect()}
+    fractions, _ = mixture_fractions(counts, weights)
+    pred = stratified_predicate_sql("lang", "doc_id", fractions, seed=3)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = {r[0] for r in con.execute(
+        f"SELECT doc_id FROM documents WHERE {pred}").fetchall()}
+    got = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    assert got == want

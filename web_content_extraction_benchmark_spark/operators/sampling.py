@@ -136,3 +136,80 @@ def quota_predicate_sql(table_sql: str, quota: int, key_expr: str,
         f"PARTITION BY {key_expr} ORDER BY {order_expr}) AS INT) AS _rn "
         f"FROM {table_sql}) WHERE _rn <= {quota}"
     )
+
+
+def stratified_predicate_sql(strata_expr: str, key_expr: str,
+                             fractions: dict[str, float], seed: int = 0,
+                             default_fraction: float = 0.0) -> str:
+    """DuckDB mirror of ``stratified_sample``'s membership predicate:
+    the same per-stratum bounds as a CASE over the shared md5 hash
+    terms (generated from the SAME constants, so the member sets are
+    identical engine-to-engine)."""
+    digest = f"md5('{seed}:' || CAST({key_expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substr({digest}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    )
+    cases = " ".join(
+        f"WHEN {strata_expr} = '{stratum}' "
+        f"THEN {int(round(fraction * _BUCKETS))}"
+        for stratum, fraction in sorted(fractions.items())
+    )
+    default = int(round(default_fraction * _BUCKETS))
+    return f"(({terms}) < (CASE {cases} ELSE {default} END))"
+
+
+def mixture_fractions(counts: dict[str, int], weights: dict[str, float],
+                      total: int | None = None
+                      ) -> tuple[dict[str, float], int]:
+    """Solve target mixture weights against observed stratum counts:
+    the per-stratum keep fractions for the largest corpus (or the
+    requested ``total``, capped) in which stratum k holds weight w_k
+    WITHOUT upsampling any stratum.
+
+    N* = min_k(n_k / w_k) is the binding constraint (the stratum that
+    runs out first); fraction_k = N*w_k / n_k.  Driver-side arithmetic
+    over the (tiny) stratum histogram — the per-row work stays the
+    oracled md5 membership predicate."""
+    w_total = sum(weights.values())
+    if w_total <= 0:
+        raise ValueError("weights must sum > 0")
+    norm = {k: w / w_total for k, w in weights.items() if w > 0}
+    missing = [k for k in norm if counts.get(k, 0) == 0]
+    if missing:
+        raise ValueError(
+            f"strata with target weight but no rows: {sorted(missing)}"
+        )
+    n_star = min(counts[k] / w for k, w in norm.items())
+    if total is not None:
+        if total <= 0:
+            raise ValueError(f"total must be positive: {total}")
+        n_star = min(n_star, float(total))
+    fractions = {k: min(1.0, n_star * w / counts[k])
+                 for k, w in norm.items()}
+    return fractions, int(n_star)
+
+
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   strata_col: str, key_col: str = "doc_id",
+                   seed: int = 0, total: int | None = None) -> DataFrame:
+    """Deterministic domain-mixture sampling — the data-mixing step of
+    a pretraining pipeline: downsample strata (domains, languages,
+    sources) so the kept corpus matches target ``weights``.
+
+    One tiny aggregation collects the stratum histogram (cardinality =
+    number of strata, NOT rows — the only driver materialization),
+    ``mixture_fractions`` solves the keep rates, and membership is the
+    hash predicate of ``stratified_sample`` — reproducible under
+    retries/repartition/AQE and mirrored by
+    ``stratified_predicate_sql`` on the same computed fractions.
+    Realized proportions are hash-binomial around the target (exact in
+    expectation; tight at corpus scale)."""
+    counts = {
+        r["k"]: r["n"]
+        for r in df.groupBy(F.col(strata_col).alias("k"))
+        .agg(F.count("*").alias("n")).collect()
+    }
+    fractions, _ = mixture_fractions(counts, weights, total)
+    return stratified_sample(df, fractions, strata_col, key_col, seed)
