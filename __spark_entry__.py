@@ -1256,9 +1256,17 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     full scrubbed text against the DuckDB mirror (operators/redaction's
     Java/RE2 common-subset patterns).  The IPv6 group and phone tail are
     decimal renderings of doc_id (decimal digits are valid hex, so both
-    engines build the literal identically)."""
+    engines build the literal identically).
+
+    r8 adds the ``nfc`` column: planted combining-sequence strings
+    (decomposed accents by doc_id%3, one precomposed idempotence
+    witness) normalized by ``nfc_normalize_col`` and byte-compared
+    against DuckDB's built-in ``nfc_normalize``."""
     from web_content_extraction_benchmark_spark.operators.redaction import (
         redact_pii_col,
+    )
+    from web_content_extraction_benchmark_spark.operators.textstats import (
+        nfc_normalize_col,
     )
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
@@ -1275,11 +1283,31 @@ def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
         ),
     ).otherwise(F.col("text"))
+    nfc_src = (
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            # DECOMPOSED e + U+0301 -> must compose to U+00E9
+            F.concat(F.lit("e\u0301cole "),
+                     F.col("doc_id").cast("string")),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            # precomposed idempotence witness (U+00E9, U+00E0)
+            F.concat(F.lit("d\u00e9j\u00e0 "),
+                     F.col("doc_id").cast("string")),
+        )
+        .otherwise(
+            # DECOMPOSED A + U+030A -> must compose to U+00C5
+            F.concat(F.lit("A\u030a-"),
+                     F.col("doc_id").cast("string"))
+        )
+    )
     return token_counts(
         docs.withColumn("_spliced", spliced), "text"
     ).select(
         "doc_id", "n_ws_tokens", "n_bpe_tokens", "n_text_chars",
         redact_pii_col(F.col("_spliced")).alias("redacted"),
+        nfc_normalize_col(nfc_src).alias("nfc"),
     )
 
 
@@ -3409,7 +3437,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]{{1,4}}'))
                        AS INT) AS n_bpe_tokens,
                    CAST(length(text) AS INT) AS n_text_chars,
-                   {_redact_pii_sql_expr()} AS redacted
+                   {_redact_pii_sql_expr()} AS redacted,
+                   nfc_normalize(
+                       CASE doc_id % 3
+                         WHEN 0 THEN 'e' || chr(769) || 'cole '
+                                     || CAST(doc_id AS VARCHAR)
+                         WHEN 1 THEN 'd' || chr(233) || 'j' || chr(224)
+                                     || ' ' || CAST(doc_id AS VARCHAR)
+                         ELSE 'A' || chr(778) || '-'
+                                  || CAST(doc_id AS VARCHAR)
+                       END
+                   ) AS nfc
             FROM (
                 SELECT doc_id, text,
                        CASE WHEN doc_id % 10 = 0 THEN

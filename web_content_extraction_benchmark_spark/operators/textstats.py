@@ -14,6 +14,7 @@ the hot path), so they survive 100 TB scans inside whole-stage codegen:
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -198,3 +199,30 @@ def winnowing_fingerprints(
         F.col("id").alias(id_col),
         F.explode("_fps").alias("fingerprint"),
     )
+
+
+def nfc_normalize_col(col: Column) -> Column:
+    """Unicode NFC normalization — the dedup-prep step real web text
+    needs: 'é' arrives both precomposed (U+00E9) and decomposed
+    (e + U+0301), and exact/shingle dedup treats them as different
+    documents unless canonicalized first.
+
+    Arrow-batched kernel with an ASCII fast path (`str.isascii` is a
+    C-level flag check, and ~all crawl text is ASCII-dominated — those
+    rows never enter the normalizer).  DuckDB mirrors it exactly with
+    its built-in ``nfc_normalize`` (both sides implement Unicode NFC;
+    the oracle plants combining-sequence rows to pin the agreement).
+    NULLs pass through as NULL, like every column op here."""
+    from pyspark.sql import types as T
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.StringType())
+    def _nfc(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(
+            lambda t: t if t is None or t.isascii()
+            else unicodedata.normalize("NFC", t)
+        )
+
+    return _nfc(col)
