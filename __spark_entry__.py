@@ -1336,9 +1336,33 @@ def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint counts + (r8) the passage-split arm:
+    op='winnow' (doc_id, k=n_fingerprints) unioned with op='passage'
+    rows (k=passage_idx, txt='{n_tokens}|{passage text}') at
+    window=32/stride=24 — the tail-containment start rule and exact
+    slice text are value-compared against the generate_series mirror."""
+    from web_content_extraction_benchmark_spark.operators.packing import (
+        passage_split,
+    )
+
     docs = _docs(spark, sf_dir)
     fp = winnowing_fingerprints(docs, "text")
-    return fp.groupBy("doc_id").agg(F.count("*").alias("n_fingerprints"))
+    winnow_arm = fp.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("k")
+    ).select(
+        F.lit("winnow").alias("op"), "doc_id", "k", F.lit("").alias("txt")
+    )
+    passages = passage_split(docs, window=32, stride=24)
+    passage_arm = passages.select(
+        F.lit("passage").alias("op"),
+        F.col("id").alias("doc_id"),
+        F.col("passage_idx").alias("k"),
+        F.concat(
+            F.col("n_tokens").cast("string"), F.lit("|"),
+            F.col("passage_text"),
+        ).alias("txt"),
+    )
+    return winnow_arm.unionByName(passage_arm)
 
 
 def q_block_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2234,6 +2258,16 @@ def _sitemap_rows_sql() -> str:
         FROM documents
     """
     return sitemaps_sql(corpus)
+
+
+def _passages_sql_arm() -> str:
+    from web_content_extraction_benchmark_spark.operators.packing import (
+        passages_sql,
+    )
+
+    return passages_sql(
+        "SELECT doc_id, text FROM documents", window=32, stride=24
+    )
 
 
 def _redirects_sql() -> str:
@@ -3509,7 +3543,7 @@ def oracle_sql() -> dict[str, str]:
                    coalesce(t.top_bigram_frac, 0.0) AS top_bigram_frac
             FROM dup d LEFT JOIN top t ON t.doc_id = d.doc_id
         """,
-        "fingerprints": """
+        "fingerprints": f"""
             WITH words AS (
                 SELECT doc_id,
                        unnest(string_split(text, ' ')) AS word,
@@ -3530,7 +3564,12 @@ def oracle_sql() -> dict[str, str]:
                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
                 FROM grams
             )
-            SELECT doc_id, count(DISTINCT wmin) AS n_fingerprints
+            SELECT 'winnow' AS op, doc_id,
+                   CAST(count(DISTINCT wmin) AS INT) AS k, '' AS txt
             FROM wmins GROUP BY doc_id
+            UNION ALL
+            SELECT 'passage', id, passage_idx,
+                   CAST(n_tokens AS VARCHAR) || '|' || passage_text
+            FROM ({_passages_sql_arm()})
         """,
     }

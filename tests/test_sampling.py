@@ -221,3 +221,43 @@ def test_mixture_sample_hits_weights_and_mirrors(docs, sf_dir):
         f"SELECT doc_id FROM documents WHERE {pred}").fetchall()}
     got = {r["doc_id"] for r in kept.select("doc_id").collect()}
     assert got == want
+
+
+def test_passage_split_semantics(spark):
+    from web_content_extraction_benchmark_spark.operators.packing import (
+        passage_split,
+    )
+
+    def passages(text, window, stride):
+        df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+        rows = passage_split(df, window, stride).collect()
+        return [(r.passage_idx, r.passage_text, r.n_tokens)
+                for r in sorted(rows, key=lambda r: r.passage_idx)]
+
+    words = " ".join(f"w{i}" for i in range(10))
+    # window 4 / stride 3: starts 0,3,6; start 9 dropped (9+1 !< 10 is
+    # false -> 9+1=10 not < 10 -> dropped; [6:10] already covers w9)
+    got = passages(words, 4, 3)
+    assert got == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w3 w4 w5 w6", 4),
+        (2, "w6 w7 w8 w9", 4),
+    ]
+    # tail passage shorter than window but not contained in predecessor
+    got = passages(" ".join(f"w{i}" for i in range(6)), 4, 2)
+    assert got == [
+        (0, "w0 w1 w2 w3", 4),
+        (1, "w2 w3 w4 w5", 4),
+    ]
+    # doc shorter than one window -> single short passage
+    assert passages("a b", 8, 4) == [(0, "a b", 2)]
+    # stride == window -> disjoint chunks, ragged tail kept
+    assert passages(words, 3, 3) == [
+        (0, "w0 w1 w2", 3), (1, "w3 w4 w5", 3),
+        (2, "w6 w7 w8", 3), (3, "w9", 1),
+    ]
+    import pytest as _p
+    with _p.raises(ValueError, match="stride"):
+        passage_split(
+            spark.createDataFrame([(1, "a")], "doc_id long, text string"),
+            4, 5)

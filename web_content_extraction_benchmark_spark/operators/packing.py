@@ -127,3 +127,78 @@ def pack_sequences_sql(table_sql: str, capacity: int,
            tok > {capacity} AS oversize
     FROM state
     """
+
+
+def passage_split(df: DataFrame, window: int, stride: int,
+                  text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Overlapping fixed-size passages — the retrieval/RAG indexing
+    prep: (id, passage_idx, passage_text, n_tokens) with ``window``
+    tokens per passage and ``stride`` tokens between starts (overlap =
+    window - stride).
+
+    Start rule, chosen to be exactly mirrorable (``passages_sql``):
+    starts are 0, stride, 2*stride, ... and a start s > 0 is kept only
+    while ``s + (window - stride) < n`` — the tail passage may be short
+    but is never fully contained in its predecessor, and every token is
+    covered.  Expects SINGLE-SPACED text like the shingle operators
+    (CLAUDE.md contract).  Pure Catalyst: split + one filtered
+    ``sequence`` + posexplode + ``slice`` — per-row flatMap, no
+    shuffle, no Python."""
+    if stride < 1 or stride > window:
+        raise ValueError(
+            f"need 1 <= stride <= window, got {stride}/{window}")
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    keep_gap = window - stride
+    starts = F.filter(
+        F.sequence(F.lit(0), n - 1, F.lit(stride)),
+        lambda s: (s == 0) | (s + F.lit(keep_gap) < n),
+    )
+    staged = df.select(
+        F.col(id_col).alias("id"), toks.alias("_toks"),
+        F.posexplode(starts).alias("passage_idx", "_start"),
+    )
+    passage = F.array_join(
+        F.slice(F.col("_toks"), F.col("_start") + 1, window), " "
+    )
+    return staged.select(
+        "id", "passage_idx", passage.alias("passage_text"),
+        F.least(
+            F.lit(window), F.size("_toks") - F.col("_start")
+        ).cast("int").alias("n_tokens"),
+    )
+
+
+def passages_sql(table_sql: str, window: int, stride: int,
+                 text_expr: str = "text",
+                 id_expr: str = "doc_id") -> str:
+    """DuckDB mirror of ``passage_split`` (same start rule; 1-based
+    inclusive list slicing vs Spark's 1-based slice(start, length) —
+    the end index is clamped identically)."""
+    keep_gap = window - stride
+    return f"""
+        WITH src AS (
+            SELECT {id_expr} AS id,
+                   string_split({text_expr}, ' ') AS toks
+            FROM ({table_sql})
+        ),
+        starts AS (
+            SELECT id, toks, s,
+                   row_number() OVER (PARTITION BY id ORDER BY s) - 1
+                       AS passage_idx
+            FROM (
+                SELECT id, toks,
+                       unnest(generate_series(0, len(toks) - 1,
+                                              {stride})) AS s
+                FROM src
+            )
+            WHERE s = 0 OR s + {keep_gap} < len(toks)
+        )
+        SELECT id, CAST(passage_idx AS INT) AS passage_idx,
+               array_to_string(
+                   toks[s + 1 : least(s + {window}, len(toks))], ' '
+               ) AS passage_text,
+               CAST(least({window}, len(toks) - s) AS INT) AS n_tokens
+        FROM starts
+    """
