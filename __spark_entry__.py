@@ -1243,9 +1243,25 @@ def q_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality score + (r8) the frozen bigram-LM columns:
+    integer micro-log10 document scores summed from the pinned table
+    (operators/lm.py) — the CCNet-style perplexity filter, exact BIGINT
+    both sides (the mirror renders the SAME frozen dict as VALUES)."""
+    from web_content_extraction_benchmark_spark.operators.lm import (
+        lm_score,
+    )
+
     docs = _docs(spark, sf_dir)
     out = quality_score(docs, "text")
-    return out.select("doc_id", F.round("quality", 6).alias("quality"))
+    lm = lm_score(docs)
+    return out.select(
+        "doc_id", F.round("quality", 6).alias("quality")
+    ).join(
+        lm.select(
+            F.col("id").alias("doc_id"), "lm_score_micro", "lm_bigrams"
+        ),
+        "doc_id", "left",
+    )
 
 
 def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2258,6 +2274,21 @@ def _sitemap_rows_sql() -> str:
         FROM documents
     """
     return sitemaps_sql(corpus)
+
+
+def _quality_with_lm_sql(quality_sql: str) -> str:
+    """quality mirror + the frozen-LM columns (operators/lm.py mirror
+    over the documents view, joined by doc id)."""
+    from web_content_extraction_benchmark_spark.operators.lm import (
+        lm_score_sql,
+    )
+
+    lm = lm_score_sql("SELECT doc_id, text FROM documents")
+    return f"""
+        SELECT q.doc_id, q.quality, lm.lm_score_micro, lm.lm_bigrams
+        FROM ({quality_sql}) q
+        LEFT JOIN ({lm}) lm ON q.doc_id = lm.id
+    """
 
 
 def _passages_sql_arm() -> str:
@@ -3464,7 +3495,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST({hits['es']} AS INT) AS hits_es, CAST({hits['fr']} AS INT) AS hits_fr
             FROM documents
         """,
-        "quality_score": quality_sql,
+        "quality_score": _quality_with_lm_sql(quality_sql),
         "token_counts": f"""
             SELECT doc_id,
                    CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS n_ws_tokens,
