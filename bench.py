@@ -672,6 +672,20 @@ def main() -> None:
             F.count("*"), F.sum("rank_micro")
         ).collect()
 
+    # q19: WAT link-metadata bundle (r8) — the fused decode + hrefs +
+    # anchor pairs + title + head-meta kernel over the full page volume
+    # plus the anchor-corpus aggregation tail.
+    def q19():
+        from web_content_extraction_benchmark_spark.operators.linkgraph import (
+            anchor_corpus,
+            anchors_from_page_links,
+            page_links_raw,
+        )
+
+        anchor_corpus(
+            anchors_from_page_links(page_links_raw(pages))
+        ).agg(F.count("*"), F.sum("n_anchors")).collect()
+
     timed("q8_sessionize", q8)
     timed("q9_rollup_agg", q9)
     timed("q10_convert_cleaneval", q10)
@@ -683,6 +697,7 @@ def main() -> None:
     timed("q16_pdf_parse_40k", q16)
     timed("q17_substr_dedup", q17)
     timed("q18_host_pagerank", q18)
+    timed("q19_wat_bundle", q19)
     neardup_pairs.unpersist()
     unique_docs.unpersist()
     ivf_lists.unpersist()
