@@ -1102,11 +1102,29 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("b"),
         F.col("hops").alias("n"),
     )
+    # depth arm (r8): BFS min-hops from seed hosts (k%7==0) over the
+    # SAME host edges the rank arm uses — frontier BFS vs the
+    # recursive-CTE UNION mirror
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        bfs_depths,
+    )
+
+    seeds = docs.select(
+        r_host.alias("host"),
+        F.regexp_extract(r_host, "host([0-9]+)", 1).cast("long").alias("k"),
+    ).distinct().filter(F.col("k") % 7 == 0).select("host")
+    depth_arm = bfs_depths(edges, seeds, max_depth=16).select(
+        F.lit("depth").alias("op"),
+        F.col("host").alias("a"),
+        F.lit("").alias("b"),
+        F.col("depth").cast("long").alias("n"),
+    )
     return (
         ol_arm.unionByName(edge_arm).unionByName(rank_arm)
         .unionByName(anchor_arm).unionByName(title_arm)
         .unionByName(meta_arm).unionByName(robots_arm)
         .unionByName(sitemap_arm).unionByName(redir_arm)
+        .unionByName(depth_arm)
     )
 
 
@@ -1116,6 +1134,7 @@ def _host_graph_sql() -> str:
     UNION the hub pages, then the linkgraph mirrors layered on top."""
     from web_content_extraction_benchmark_spark.operators.linkgraph import (
         anchors_sql,
+        bfs_depths_sql,
         head_meta_sql,
         outlinks_sql,
         pagerank_sql,
@@ -1173,6 +1192,16 @@ def _host_graph_sql() -> str:
         SELECT 'redir', url,
                final_url || '|' || CAST(terminated AS VARCHAR), hops
         FROM ({_redirects_sql()})
+        UNION ALL
+        SELECT 'depth', host, '', CAST(depth AS BIGINT)
+        FROM ({bfs_depths_sql(
+            edges,
+            "SELECT DISTINCT 'host' || CAST(k AS VARCHAR) || '.example'"
+            " AS host FROM (SELECT DISTINCT (CASE WHEN doc_id % 5 = 0"
+            " THEN 0 ELSE doc_id % 41 END) AS k FROM documents)"
+            " WHERE k % 7 = 0",
+            max_depth=16,
+        )})
     """
 
 

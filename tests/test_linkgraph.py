@@ -135,7 +135,7 @@ def test_driver_row_arms(spark, sf_dir):
     arms = {r["op"]: r["cnt"] for r in
             out.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
     assert set(arms) == {"outlink", "edge", "rank", "anchor", "title",
-                         "meta", "robots", "sitemap", "redir"}
+                         "meta", "robots", "sitemap", "redir", "depth"}
     # hubs carry the full head-metadata kind set
     kinds = {r.b.split("|")[0] for r in
              out.filter(F.col("op") == "meta").select("b").collect()}
@@ -428,3 +428,46 @@ def test_resolve_redirects_semantics(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="power of two"):
         resolve_redirects(edges, max_hops=6)
+
+
+def test_bfs_depths_semantics(spark):
+    import duckdb
+
+    from web_content_extraction_benchmark_spark.operators.linkgraph import (
+        bfs_depths,
+        bfs_depths_sql,
+    )
+
+    rows = [
+        ("s", "a"), ("a", "b"), ("b", "c"),   # chain s->a->b->c
+        ("a", "s"),                           # back edge (cycle safety)
+        ("x", "y"),                           # disconnected island
+        ("c", "a"),                           # cycle c->a
+    ]
+    edges = spark.createDataFrame(rows, "src_host string, dst_host string")
+    seeds = spark.createDataFrame([("s",), ("lonely",)], "host string")
+    got = {r.host: r.depth for r in bfs_depths(edges, seeds).collect()}
+    # seed not in the graph still gets depth 0; island unreachable
+    assert got == {"s": 0, "lonely": 0, "a": 1, "b": 2, "c": 3}
+
+    # depth cap drops the deeper tail
+    capped = {r.host: r.depth
+              for r in bfs_depths(edges, seeds, max_depth=2).collect()}
+    assert capped == {"s": 0, "lonely": 0, "a": 1, "b": 2}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE e(src_host VARCHAR, dst_host VARCHAR)")
+    con.executemany("INSERT INTO e VALUES (?,?)", rows)
+    con.execute("CREATE TABLE sd(host VARCHAR)")
+    con.executemany("INSERT INTO sd VALUES (?)", [("s",), ("lonely",)])
+    for cap in (16, 2):
+        want = dict(con.execute(bfs_depths_sql(
+            "SELECT * FROM e", "SELECT * FROM sd", max_depth=cap
+        )).fetchall())
+        have = {r.host: r.depth
+                for r in bfs_depths(edges, seeds, max_depth=cap).collect()}
+        assert have == want
+
+    import pytest as _p
+    with _p.raises(ValueError, match="max_depth"):
+        bfs_depths(edges, seeds, max_depth=-1)

@@ -555,6 +555,70 @@ def redirects_sql(edges_cte: str, max_hops: int = 8) -> str:
     """
 
 
+def bfs_depths(edges: DataFrame, seeds: DataFrame,
+               max_depth: int = 16) -> DataFrame:
+    """Crawl-depth labeling: min hops from any seed host over
+    (src_host, dst_host) edges -> (host, depth INT); hosts unreachable
+    within ``max_depth`` are absent.  The seed-distance signal crawl
+    schedulers and quality pipelines use (deep pages correlate with
+    spam/boilerplate; cf. the harmonic-centrality style metrics).
+
+    Frontier BFS: each round joins ONLY the frontier (hosts first
+    reached last round) to the edge table and anti-joins already-
+    visited hosts — per-round work is O(frontier-adjacent edges), total
+    O(E) across all rounds, host-cardinality rows only.  Terminates on
+    frontier exhaustion (the ``isEmpty`` probe is a driver round trip
+    per level, bounded by ``max_depth``); inputs localCheckpoint-ed
+    per the iterative-operator rule.  ``bfs_depths_sql`` mirrors it as
+    a recursive CTE with UNION dedup + depth cap, min(depth) per host
+    — first-visit depth IS min depth, so the two agree exactly."""
+    if max_depth < 0:
+        raise ValueError(f"max_depth must be >= 0: {max_depth}")
+    e = edges.select(
+        F.col("src_host").alias("s"), F.col("dst_host").alias("d")
+    ).distinct().localCheckpoint()
+    depths = seeds.select(F.col("host")).distinct().select(
+        "host", F.lit(0).cast("int").alias("depth")
+    ).localCheckpoint()
+    frontier = depths.select("host")
+    for level in range(1, max_depth + 1):
+        nxt = (
+            frontier.join(e, frontier["host"] == e["s"])
+            .select(F.col("d").alias("host"))
+            .distinct()
+            .join(depths.select("host"), "host", "left_anti")
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        new_rows = nxt.select(
+            "host", F.lit(level).cast("int").alias("depth")
+        )
+        depths = depths.unionByName(new_rows).localCheckpoint()
+        frontier = nxt
+    return depths
+
+
+def bfs_depths_sql(edges_cte: str, seeds_cte: str,
+                   max_depth: int = 16) -> str:
+    """DuckDB mirror of ``bfs_depths``: recursive CTE with UNION (NOT
+    UNION ALL — the dedup bounds exploration at (host, depth) pairs
+    instead of path-count explosion on cyclic host graphs)."""
+    return f"""
+        WITH RECURSIVE bfs_edges AS ({edges_cte}),
+        bfs_seeds AS ({seeds_cte}),
+        walk(host, depth) AS (
+            SELECT DISTINCT host, 0 FROM bfs_seeds
+            UNION
+            SELECT e.dst_host, w.depth + 1
+            FROM walk w JOIN bfs_edges e ON w.host = e.src_host
+            WHERE w.depth < {max_depth}
+        )
+        SELECT host, CAST(min(depth) AS INT) AS depth
+        FROM walk GROUP BY host
+    """
+
+
 def wat_records_full(links: DataFrame) -> DataFrame:
     """WAT-parity per-page metadata records off a ``page_links`` bundle:
     (url, title, metas, links, n_links) where ``links`` holds the
