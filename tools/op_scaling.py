@@ -78,6 +78,29 @@ def run():
     anchors_from_page_links(links).agg(
         F.count("*"), F.sum(F.length("anchor_text"))).collect()
 """,
+    # frozen bigram-LM scoring — explode to bigrams, two broadcast
+    # joins against the vocab-sized frozen tables, map-side sum.
+    "lm": r"""
+from web_content_extraction_benchmark_spark.operators.lm import lm_score
+docs = pages.select(F.xxhash64("url").alias("doc_id"),
+                    F.col("gold").alias("text"))
+
+def run():
+    lm_score(docs).agg(
+        F.sum("lm_score_micro"), F.sum("lm_bigrams")).collect()
+""",
+    # passage splitting — per-row flatMap (split + filtered sequence +
+    # posexplode + slice), no shuffle besides the final count agg.
+    "passages": r"""
+from web_content_extraction_benchmark_spark.operators.packing import (
+    passage_split)
+docs = pages.select(F.xxhash64("url").alias("doc_id"),
+                    F.col("gold").alias("text"))
+
+def run():
+    passage_split(docs, window=64, stride=48).agg(
+        F.count("*"), F.sum("n_tokens")).collect()
+""",
     # PageRank iteration loop alone — O(hosts + host-pairs), constant in
     # corpus volume (41 hosts here).  Reported as absolute seconds: two
     # tiny exchanges per iteration are scheduler-latency-bound, and that
