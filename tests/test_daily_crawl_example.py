@@ -86,6 +86,8 @@ def test_daily_crawl_two_microbatches_equal_scratch(spark, tmp_path):
     assert stats["rows"] == 6
     assert stats["errors"] == 1
     assert stats["packed_chunks"] >= 1
+    # clean fixture text sails over the permissive LM floor
+    assert stats["lm_dropped"] == 0
 
     # from-scratch truth over the SAME pipeline output, batch-read
     src = F.regexp_extract("url", r"/(\d+)$", 1)
