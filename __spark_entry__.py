@@ -916,6 +916,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     from web_content_extraction_benchmark_spark.operators.robots import (
+        crawl_delays,
         robots_filter,
         robots_rules,
     )
@@ -983,6 +984,14 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
                   "\nUser-agent: *\nDisallow: /p/\nAllow: /p/ok/\n"),
             F.when(F.col("k") % 3 == 0, F.lit("Disallow: /q/\n"))
             .otherwise(F.lit("")),
+            # r8: pacing directive for every even host — parsed back by
+            # the delay arm and matched against the closed-form mirror
+            F.when(
+                F.col("k") % 2 == 0,
+                F.concat(F.lit("Crawl-delay: "),
+                         (F.col("k") % 5 + 1).cast("string"),
+                         F.lit("\n")),
+            ).otherwise(F.lit("")),
         ).alias("robots_txt"),
     )
     probe_path = (
@@ -1113,6 +1122,12 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_host.alias("host"),
         F.regexp_extract(r_host, "host([0-9]+)", 1).cast("long").alias("k"),
     ).distinct().filter(F.col("k") % 7 == 0).select("host")
+    delay_arm = crawl_delays(robots).select(
+        F.lit("delay").alias("op"),
+        F.col("host").alias("a"),
+        F.lit("").alias("b"),
+        F.col("crawl_delay").cast("long").alias("n"),
+    )
     depth_arm = bfs_depths(edges, seeds, max_depth=16).select(
         F.lit("depth").alias("op"),
         F.col("host").alias("a"),
@@ -1124,7 +1139,7 @@ def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(anchor_arm).unionByName(title_arm)
         .unionByName(meta_arm).unionByName(robots_arm)
         .unionByName(sitemap_arm).unionByName(redir_arm)
-        .unionByName(depth_arm)
+        .unionByName(depth_arm).unionByName(delay_arm)
     )
 
 
@@ -1192,6 +1207,13 @@ def _host_graph_sql() -> str:
         SELECT 'redir', url,
                final_url || '|' || CAST(terminated AS VARCHAR), hops
         FROM ({_redirects_sql()})
+        UNION ALL
+        SELECT 'delay', 'host' || CAST(k AS VARCHAR) || '.example', '',
+               CAST(k % 5 + 1 AS BIGINT)
+        FROM (SELECT DISTINCT (CASE WHEN doc_id % 5 = 0 THEN 0
+                               ELSE doc_id % 41 END) AS k
+              FROM documents)
+        WHERE k % 2 = 0
         UNION ALL
         SELECT 'depth', host, '', CAST(depth AS BIGINT)
         FROM ({bfs_depths_sql(

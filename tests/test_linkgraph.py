@@ -135,7 +135,7 @@ def test_driver_row_arms(spark, sf_dir):
     arms = {r["op"]: r["cnt"] for r in
             out.groupBy("op").agg(F.count("*").alias("cnt")).collect()}
     assert set(arms) == {"outlink", "edge", "rank", "anchor", "title",
-                         "meta", "robots", "sitemap", "redir", "depth"}
+                         "meta", "robots", "sitemap", "redir", "depth", "delay"}
     # hubs carry the full head-metadata kind set
     kinds = {r.b.split("|")[0] for r in
              out.filter(F.col("op") == "meta").select("b").collect()}

@@ -152,3 +152,33 @@ def test_plan_is_aggregation_not_window(spark):
     # the per-host rules side broadcasts: the frontier never shuffles
     # for the join
     assert "Broadcast" in plan and "SortMergeJoin" not in plan
+
+
+def test_parse_crawl_delay():
+    from web_content_extraction_benchmark_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    txt = ("User-agent: fast\nCrawl-delay: 0.5\n"
+           "User-agent: *\nCrawl-delay: 2\nDisallow: /x\n"
+           "User-agent: *\nCrawl-delay: 7\n")
+    # merged * groups -> MAX wins (politeness-safe)
+    assert parse_crawl_delay(txt) == 7.0
+    assert parse_crawl_delay(txt, agent="fast") == 0.5
+    # no delay anywhere -> None; malformed ignored
+    assert parse_crawl_delay("User-agent: *\nDisallow: /x") is None
+    assert parse_crawl_delay("User-agent: *\nCrawl-delay: soon") is None
+    assert parse_crawl_delay("") is None
+
+
+def test_crawl_delays_frame(spark):
+    from web_content_extraction_benchmark_spark.operators.robots import (
+        crawl_delays,
+    )
+
+    robots = spark.createDataFrame(
+        [("a.example", "User-agent: *\nCrawl-delay: 3"),
+         ("b.example", "User-agent: *\nDisallow: /x")],
+        "host string, robots_txt string")
+    got = {r.host: r.crawl_delay for r in crawl_delays(robots).collect()}
+    assert got == {"a.example": 3.0}

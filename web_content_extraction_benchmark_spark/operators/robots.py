@@ -61,14 +61,15 @@ RULES_TYPE = T.ArrayType(
 _PATH_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)"
 
 
-def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
-    """robots.txt text -> ordered [(path_prefix, allow)] rules for
-    ``agent`` (exact case-insensitive token match, falling back to the
-    ``*`` group).  Empty-path rules are dropped (REP no-ops)."""
-    agent = agent.lower()
-    groups: list[tuple[list[str], list[tuple[str, bool]]]] = []
+def _parse_groups(txt: str):
+    """robots.txt -> [(agents, rules, delays)] per group: the shared
+    line discipline behind ``parse_robots_txt`` and
+    ``parse_crawl_delay`` (comments stripped, header names
+    case-insensitive, consecutive User-agent lines share one group)."""
+    groups: list[tuple[list[str], list[tuple[str, bool]], list[float]]] = []
     cur_agents: list[str] = []
     cur_rules: list[tuple[str, bool]] = []
+    cur_delays: list[float] = []
     in_header = False
     for raw_line in (txt or "").splitlines():
         line = raw_line.split("#", 1)[0].strip()
@@ -80,22 +81,47 @@ def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
         if field == "user-agent":
             if not in_header:
                 if cur_agents:
-                    groups.append((cur_agents, cur_rules))
-                cur_agents, cur_rules = [], []
+                    groups.append((cur_agents, cur_rules, cur_delays))
+                cur_agents, cur_rules, cur_delays = [], [], []
                 in_header = True
             cur_agents.append(value.lower())
         else:
             in_header = False
             if field in ("allow", "disallow") and value:
                 cur_rules.append((value, field == "allow"))
+            elif field == "crawl-delay":
+                try:
+                    cur_delays.append(float(value))
+                except ValueError:
+                    pass  # malformed delay: ignored like any bad line
     if cur_agents:
-        groups.append((cur_agents, cur_rules))
+        groups.append((cur_agents, cur_rules, cur_delays))
+    return groups
 
-    exact = [r for agents, rules in groups if agent in agents
-             for r in rules]
-    if any(agent in agents for agents, _ in groups):
-        return exact
-    return [r for agents, rules in groups if "*" in agents for r in rules]
+
+def _matched_groups(groups, agent: str):
+    agent = agent.lower()
+    if any(agent in agents for agents, _, _ in groups):
+        return [g for g in groups if agent in g[0]]
+    return [g for g in groups if "*" in g[0]]
+
+
+def parse_robots_txt(txt: str, agent: str = "*") -> list[tuple[str, bool]]:
+    """robots.txt text -> ordered [(path_prefix, allow)] rules for
+    ``agent`` (exact case-insensitive token match, falling back to the
+    ``*`` group).  Empty-path rules are dropped (REP no-ops)."""
+    return [r for _, rules, _ in _matched_groups(_parse_groups(txt), agent)
+            for r in rules]
+
+
+def parse_crawl_delay(txt: str, agent: str = "*") -> float | None:
+    """The agent's Crawl-delay in seconds, or None.  Same group
+    selection as the rules; when merged groups disagree the MAXIMUM
+    wins (the politeness-safe reading — Crawl-delay is not in RFC 9309,
+    so the conservative choice is the defensible one)."""
+    delays = [d for _, _, ds in _matched_groups(_parse_groups(txt), agent)
+              for d in ds]
+    return max(delays) if delays else None
 
 
 def robots_rules(robots: DataFrame, agent: str = "*",
@@ -119,6 +145,26 @@ def robots_rules(robots: DataFrame, agent: str = "*",
         )
         .select("host", F.col("r.path").alias("path"),
                 F.col("r.allow").alias("allow"))
+    )
+
+
+def crawl_delays(robots: DataFrame, agent: str = "*",
+                 host_col: str = "host",
+                 txt_col: str = "robots_txt") -> DataFrame:
+    """(host, robots_txt) -> (host, crawl_delay DOUBLE) for hosts whose
+    policy sets one — the per-host pacing input of a fetch scheduler.
+    Same once-per-host Arrow kernel shape as ``robots_rules``."""
+
+    @pandas_udf(T.DoubleType())
+    def _delay(txt: pd.Series) -> pd.Series:
+        return txt.map(lambda t: parse_crawl_delay(t, agent))
+
+    return (
+        robots.select(
+            F.col(host_col).alias("host"),
+            _delay(F.col(txt_col)).alias("crawl_delay"),
+        )
+        .filter(F.col("crawl_delay").isNotNull())
     )
 
 
