@@ -29,6 +29,9 @@ built entirely from the crawl-metadata suite:
 5. ``quota_per_key``        — per-host politeness cap, applied
    map-side before the exchange (WindowGroupLimit), so a hot host
    cannot flood the frontier.
+6. ``crawl_delays``         — each host's Crawl-delay joins on so the
+   scheduler that consumes this frontier has its pacing next to its
+   work (null = no directive, scheduler default applies).
 
 The pytest twin (tests/test_frontier_example.py) drives a synthetic
 host set through `build_frontier` and pins the policy, dedup, quota
@@ -43,6 +46,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from web_content_extraction_benchmark_spark.operators.robots import (
+    crawl_delays,
     robots_filter,
     robots_rules,
 )
@@ -63,8 +67,8 @@ PER_HOST_QUOTA = 100
 def build_frontier(robots: DataFrame, sitemaps: DataFrame,
                    quota: int = PER_HOST_QUOTA) -> DataFrame:
     """(host, robots_txt) + (url, xml) -> frontier rows
-    (surt, url, host, lastmod, priority), robots-filtered, canonical-
-    deduplicated, per-host capped, SURT-ordered."""
+    (surt, url, host, lastmod, priority, crawl_delay), robots-filtered,
+    canonical-deduplicated, per-host capped, SURT-ordered."""
     candidates = (
         parse_sitemaps(sitemaps)
         .filter(F.col("kind") == "url")
@@ -92,7 +96,10 @@ def build_frontier(robots: DataFrame, sitemaps: DataFrame,
         )).alias("host"),
         "lastmod", "priority",
     )
-    return quota_per_key(keyed, quota, key_col="host", order_col="surt")
+    capped = quota_per_key(keyed, quota, key_col="host", order_col="surt")
+    return capped.join(
+        F.broadcast(crawl_delays(robots)), "host", "left"
+    )
 
 
 def main() -> None:

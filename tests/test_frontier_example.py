@@ -19,7 +19,8 @@ _spec.loader.exec_module(_spec and frontier_example)
 
 def test_build_frontier_properties(spark):
     robots = spark.createDataFrame(
-        [("a.example", "User-agent: *\nDisallow: /private/\n"),
+        [("a.example",
+          "User-agent: *\nDisallow: /private/\nCrawl-delay: 2\n"),
          ("b.example", "User-agent: *\nDisallow: /\n")],
         "host string, robots_txt string",
     )
@@ -57,3 +58,5 @@ def test_build_frontier_properties(spark):
     # SURT keys are the deterministic order key
     surts = [r.surt for r in rows]
     assert surts == sorted(surts)
+    # pacing rides along: a.example's Crawl-delay joined onto every row
+    assert all(r.crawl_delay == 2.0 for r in rows)
