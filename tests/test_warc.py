@@ -507,3 +507,33 @@ def test_redirect_records_expose_location(spark, tmp_path):
     for i in range(2):
         ok = rows[f"https://h{i}.example/src/{i}"]
         assert ok.http_status == 200 and ok.redirect_to is None
+
+
+def test_sink_digest_dedup_writes_revisits(spark, tmp_path):
+    """dedup_by_digest: repeated payloads become revisit records (CC
+    storage dedup) — the reader's skip-by-type then yields exactly the
+    first instance of each payload."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("https://h.example/a1", b"<html>same body</html>"),
+        ("https://h.example/a2", b"<html>same body</html>"),   # dup
+        ("https://h.example/b1", b"<html>other body</html>"),
+        ("https://h.example/a3", b"<html>same body</html>"),   # dup
+    ]
+    out = str(tmp_path / "dedup")
+    df = spark.createDataFrame(rows, "url string, html binary").coalesce(
+        1
+    ).select(
+        "url", F.lit(TS).cast("timestamp").alias("warc_ts"), "html")
+    manifest = W.write_warc(df, out, dedup_by_digest=True)
+    assert sum(m["n_records"] for m in manifest) == 2
+    assert sum(m["n_revisits"] for m in manifest) == 2
+    got = {r.url: r for r in W.read_warc(spark, out).collect()}
+    assert set(got) == {"https://h.example/a1", "https://h.example/b1"}
+    assert all(r.digest_ok for r in got.values())
+    # without dedup all four are full responses
+    out2 = str(tmp_path / "plain")
+    manifest2 = W.write_warc(df, out2)
+    assert sum(m["n_records"] for m in manifest2) == 4
+    assert sum(m["n_revisits"] for m in manifest2) == 0

@@ -649,7 +649,8 @@ def read_wet(spark: SparkSession, path: str,
 
 
 def write_warc(df: DataFrame, out_dir: str,
-               chunked_every: int = 3, cdxj: bool = False) -> list[dict]:
+               chunked_every: int = 3, cdxj: bool = False,
+               dedup_by_digest: bool = False) -> list[dict]:
     """Pages -> ``part-{partition:05d}.warc.gz`` response records
     (member-per-record gzip), executor-side like `write_wet` — the
     scalable way to materialize a Common-Crawl-style corpus (the
@@ -669,7 +670,18 @@ def write_warc(df: DataFrame, out_dir: str,
     touching the rest of the file.  Lines are sorted by (key, ts), so a
     global index is a merge, not a re-sort.  The SURT key is computed
     JVM-side by ``operators.urls.surt_key`` (the single implementation
-    the oracle pins — no Python twin to drift)."""
+    the oracle pins — no Python twin to drift).
+
+    ``dedup_by_digest=True`` writes the Common-Crawl storage dedup: a
+    repeated payload (same sha1) within a file becomes a ``revisit``
+    record (WARC-Profile identical-payload-digest, zero-length block,
+    WARC-Payload-Digest naming the stored copy) instead of a second
+    full response — the capture event is preserved, the bytes are
+    stored once.  The seen-set is per FILE (the local form of CC's
+    CDX-backed dedup); `read_warc` skips revisit records by type, so a
+    round trip yields exactly the first instance of each payload.
+    Revisit records are not CDXJ-indexed (only fetchable full
+    responses are)."""
     import json as _json
     import os
 
@@ -687,6 +699,8 @@ def write_warc(df: DataFrame, out_dir: str,
         fname = os.path.basename(path)
         tmp = f"{path}.inprogress-{ctx.taskAttemptId()}"
         n = 0
+        n_revisits = 0
+        seen_digests: set[str] = set()
         index: list[tuple[str, str, str]] = []
         with open(tmp, "wb") as f:
             f.write(gzip.compress(_warc_record(
@@ -712,6 +726,19 @@ def write_warc(df: DataFrame, out_dir: str,
                         ts14 = dt.strftime("%Y%m%d%H%M%S")
                     body = bytes(row.html) if row.html is not None else b""
                     digest = payload_digest(body)
+                    if dedup_by_digest and digest in seen_digests:
+                        headers[0] = ("WARC-Type", "revisit")
+                        headers.append(
+                            ("WARC-Profile",
+                             "http://netpreserve.org/warc/1.0/revisit/"
+                             "identical-payload-digest"))
+                        headers.append(("WARC-Payload-Digest", digest))
+                        f.write(gzip.compress(
+                            _warc_record(headers, b""),
+                            compresslevel=1, mtime=0))
+                        n_revisits += 1
+                        continue
+                    seen_digests.add(digest)
                     headers.append(("WARC-Payload-Digest", digest))
                     member = gzip.compress(_warc_record(
                         headers,
@@ -735,11 +762,13 @@ def write_warc(df: DataFrame, out_dir: str,
                 for key, ts14, blob in sorted(index):
                     g.write(f"{key} {ts14} {blob}\n")
             os.replace(itmp, ipath)
-        yield pd.DataFrame({"path": [path], "n_records": [n]})
+        yield pd.DataFrame({"path": [path], "n_records": [n],
+                            "n_revisits": [n_revisits]})
 
     manifest_schema = T.StructType([
         T.StructField("path", T.StringType(), False),
         T.StructField("n_records", T.LongType(), False),
+        T.StructField("n_revisits", T.LongType(), False),
     ])
     cols = [F.col("url"), F.col("warc_ts"), F.col("html")]
     if cdxj:
