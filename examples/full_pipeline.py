@@ -207,6 +207,20 @@ def main() -> None:
     print(f"[10] containers: {crawl_pages.count()} pages round-tripped "
           f"through WARC; {n_wet} WET conversion records in "
           f"{len(manifest)} files")
+
+    # [11] wayback-style random access off the CDXJ sidecar: filter the
+    # index (a SURT prefix scan at scale), seek ONE gzip member, and
+    # verify the replayed payload re-digests to the indexed sha1.
+    from web_content_extraction_benchmark_spark.sources.warc import (
+        fetch_warc_record, payload_digest, read_cdxj,
+    )
+
+    idx_row = read_cdxj(spark, warc_dir).orderBy("surt").first()
+    headers, status, body = fetch_warc_record(
+        warc_dir, idx_row.filename, idx_row.offset, idx_row.length)
+    assert status == 200 and payload_digest(body) == idx_row.digest
+    print(f"[11] cdxj replay: {idx_row.surt} -> {len(body)} payload "
+          f"bytes from {idx_row.filename}@{idx_row.offset}, digest ok")
     print("PIPELINE OK", out_dir)
 
 
