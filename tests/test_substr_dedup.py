@@ -116,3 +116,41 @@ def test_plan_one_exchange_no_text(spark):
     # window keys and ids shuffle, full text never enters an exchange
     assert "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_plan_no_window_partial_agg_crushes_hot_keys(spark):
+    """r9 skew defuse (VERDICT r8 #1): the duplicated-window count must
+    be a groupBy with MAP-SIDE PARTIAL aggregation (a key seen 10^7
+    times leaves each map task as one row), never a count-over-Window
+    (no partial agg — one hot boilerplate key lands its whole
+    occurrence list in a single sorted task)."""
+    df = _spark_df(spark, ROWS)
+    out = dedup_exact_substrings(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "partial_count" in plan
+
+
+def test_planted_hot_key_correctness(spark):
+    """>= 30% of docs share ONE window (site-chrome boilerplate shape):
+    the hot key's occurrences must still resolve correctly — boilerplate
+    removed everywhere, unique tails kept."""
+    chrome = "nav home about contact login search footer copyright"
+    rows = [
+        (i, f"{chrome} u{i}a u{i}b u{i}c u{i}d u{i}e u{i}f u{i}g u{i}h")
+        for i in range(40)
+    ] + [
+        (100 + i, f"q{i}a q{i}b q{i}c q{i}d q{i}e q{i}f q{i}g q{i}h")
+        for i in range(60)
+    ]
+    got = _run(spark, rows)
+    for i in range(40):
+        # exactly the chrome window (start 0) is duplicated; the 8
+        # unique tail tokens survive
+        n_dup, n_removed, kept = got[i]
+        assert n_dup == 1 and n_removed == 8
+        assert kept == " ".join(
+            f"u{i}{c}" for c in "abcdefgh"
+        )
+    for i in range(60):
+        assert got[100 + i] == (0, 0, rows[40 + i][1])

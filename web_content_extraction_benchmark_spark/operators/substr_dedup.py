@@ -35,11 +35,15 @@ Scale design:
   corrupt a window decision with probability ~n_windows^2 / 2^64
   (~1e-7 at 10^9 windows) — acceptable for corpus prep, and the exact
   mode exists for anyone who disagrees.
-- duplicated starts come from ONE count window over the key (not a
-  groupBy + join-back, which would shuffle the occurrence list twice
-  and recompute the O(tokens x window) gram build per consumer); the
-  per-doc tail (interval merge + token filter) is a pure Catalyst
-  projection, no Python, no second pass over the text.
+- duplicated starts come from a partially-aggregated groupBy count over
+  a lineage-truncated occurrence table plus a semi-join back (r9): the
+  count-over-Window formulation this replaces had no map-side partial
+  aggregation, so one corpus-wide boilerplate window would serialize
+  its whole occurrence list through a single sorted task; the
+  localCheckpoint keeps the gram build at ONE execution, which is why
+  the groupBy plan was previously rejected.  The per-doc tail
+  (interval merge + token filter) is a pure Catalyst projection, no
+  Python, no second pass over the text.
 
 Reference parity note: the reference engine (cf. its R24 dict-key dedup)
 has no substring-level dedup at all; this operator exists for the
@@ -50,7 +54,6 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.window import Window
 
 from .grams import positional_kgrams
 
@@ -127,25 +130,45 @@ def dedup_exact_substrings(df: DataFrame, text_col: str = "text",
             idx,
             lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(window)]),
         )
-        occ = hashed.select(
-            F.col(id_col), F.posexplode(keys).alias("pos", "_k")
-        )
+        keyed = hashed.select(F.col(id_col), keys.alias("_keys"))
     else:
         grams = positional_kgrams(toks, window)
-        occ = df.select(
-            F.col(id_col), F.posexplode(grams).alias("pos", "_k")
-        )
+        keyed = df.select(F.col(id_col), grams.alias("_keys"))
 
-    # duplicated-window starts in ONE shuffle: a count window over the
-    # key keeps the (id, pos) rows flowing (the former
-    # groupBy-count + join-back plan shuffled occ twice AND recomputed
-    # the O(tokens x window) gram build for each consumer).  Skewed keys
-    # (a corpus-wide boilerplate phrase) buffer one sorted partition
-    # group with spill — same exposure the groupBy plan had.
-    w = Window.partitionBy("_k")
+    # duplicated-window starts WITHOUT a hot-key straggler (r9, VERDICT
+    # r8 #1): window functions get no map-side partial aggregation, so
+    # the former count-over-Window plan shuffled every occurrence of a
+    # key raw into one sorted task group — a corpus-wide boilerplate
+    # window (10^7+ pages sharing site chrome) serializes its entire
+    # occurrence list through a single task.  The replacement:
+    #   1. lazily localCheckpoint the PER-DOC key arrays (one row per
+    #      document, ~8 B per window in hash mode) — lineage truncation
+    #      so the two consumers below do NOT each recompute the
+    #      O(tokens x window) key build (the reason the Window plan was
+    #      chosen in r8); checkpointing BEFORE the explode keeps the
+    #      stored bytes at array payload, not per-occurrence rows;
+    #   2. groupBy(key).count() over the (recomputed-cheaply) explode:
+    #      partial aggregation collapses a key seen 10^7 times to ONE
+    #      row per map task before the exchange, so the duplicated-key
+    #      set is built skew-free;
+    #   3. semi-join occ against the duplicated-key set — AQE
+    #      broadcasts it at realistic duplication rates; even when it
+    #      shuffles, a hash semi join STREAMS the probe side, so a hot
+    #      key never has to be buffered or sorted in one task (and AQE
+    #      skew-join splitting applies — it never does to a Window).
+    # Planted-skew profile: tools/substr_skew_bench.py +
+    # tests/test_substr_dedup.py::test_planted_hot_key_correctness.
+    keyed = keyed.localCheckpoint(eager=False)
+    occ = keyed.select(
+        F.col(id_col), F.posexplode("_keys").alias("pos", "_k")
+    )
+    dup_keys = (
+        occ.groupBy("_k").count()
+        .filter(F.col("count") >= 2)
+        .select("_k")
+    )
     starts = (
-        occ.withColumn("_c", F.count("*").over(w))
-        .filter(F.col("_c") >= 2)
+        occ.join(dup_keys, ["_k"], "left_semi")
         .groupBy(id_col)
         .agg(F.array_sort(F.collect_list("pos")).alias("_starts"))
     )
