@@ -580,6 +580,40 @@ def test_connected_components_matches_union_find(spark):
         assert got == expected
 
 
+def test_connected_components_loop_equals_fast_path(spark, monkeypatch):
+    """r9: small graphs resolve via driver union-find; the distributed
+    pointer-jumping loop must stay bit-identical.  Force the loop by
+    zeroing the fast-path threshold and compare on a chain + random
+    edges (string ids too — the loop is type-agnostic)."""
+    import random
+
+    from web_content_extraction_benchmark_spark.operators import dedup
+
+    rng = random.Random(11)
+    edges = [(i, i + 1) for i in range(40)] + [
+        (rng.randrange(200), rng.randrange(200)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    fast = {(r.id, r.component)
+            for r in dedup.connected_components(df).collect()}
+    monkeypatch.setattr(dedup, "CC_LOCAL_EDGE_THRESHOLD", 0)
+    loop = {(r.id, r.component)
+            for r in dedup.connected_components(df).collect()}
+    assert fast == loop
+
+    sdf = spark.createDataFrame(
+        [("u" + str(a), "u" + str(b)) for a, b in edges[:30]],
+        "id_a string, id_b string",
+    )
+    loop_s = {(r.id, r.component)
+              for r in dedup.connected_components(sdf).collect()}
+    monkeypatch.undo()
+    fast_s = {(r.id, r.component)
+              for r in dedup.connected_components(sdf).collect()}
+    assert fast_s == loop_s
+
+
 def test_simhash_contract_on_random_unicode(spark):
     """Catalyst == Python kernel on randomized unicode text covering the
     whole token contract surface: ASCII whitespace runs, unicode

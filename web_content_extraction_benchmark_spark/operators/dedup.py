@@ -32,6 +32,7 @@ use PROD_NUM_HASHES/PROD_BANDS (128/16 -> r=8, S-curve midpoint
 from __future__ import annotations
 
 import math
+import os
 import warnings
 
 import numpy as np
@@ -61,6 +62,30 @@ def exact_duplicates(df: DataFrame, text_col: str = "text",
     )
 
 
+# Logical-plan node names of the engine's Python kernel stages: inputs
+# whose lineage contains one are expensive to traverse twice (the
+# keys-only dedup plan below scans its input once for digests and once
+# for the kept rows — free for a parquet rescan, a full second kernel
+# run for an extraction lineage).
+_PYTHON_STAGE_TOKENS = (
+    "MapInArrow", "MapInPandas", "FlatMapGroupsInPandas",
+    "EvalPython", "PythonUDF",
+)
+
+
+def _expensive_lineage(df: DataFrame) -> bool:
+    """True when the DataFrame's lineage contains a Python kernel stage
+    and the frame itself is not already persisted (a persisted frame's
+    second scan reads cached blocks, not the kernel)."""
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return False
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:
+        return False
+    return any(tok in plan for tok in _PYTHON_STAGE_TOKENS)
+
+
 def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
                           id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id doc per identical text (deterministic winner).
@@ -80,7 +105,20 @@ def drop_exact_duplicates(df: DataFrame, text_col: str = "text",
     semantics and ``exact_duplicates``' null-safe groupBy): the digest
     maps NULL to a sentinel that cannot collide with any md5 hex string,
     because an equi join on a NULL digest would never match and every
-    NULL row would silently survive."""
+    NULL row would silently survive.
+
+    r9: this plan traverses ``df`` twice (digest side + kept side).
+    When the lineage contains a Python kernel stage (extraction — the
+    q13 shape), the second traversal re-runs the whole kernel, so such
+    inputs are lazily ``localCheckpoint``-ed first: the kernel runs
+    once, its output is stored MEMORY_AND_DISK on executors (the
+    pipeline-stage checkpoint a production run pays anyway), and both
+    traversals read the stored rows.  Plain scans and already-persisted
+    inputs keep the zero-copy two-scan plan.  On clusters needing fault
+    tolerance of this intermediate, swap for ``checkpoint()`` against
+    the job's checkpoint dir — the plan shape is identical."""
+    if _expensive_lineage(df):
+        df = df.localCheckpoint(eager=False)
     digest = F.when(
         F.col(text_col).isNull(), F.lit("__NULL_TEXT__")
     ).otherwise(F.md5(F.col(text_col)))
@@ -655,6 +693,46 @@ def release_local_checkpoint(df: DataFrame) -> None:
         pass
 
 
+# Graphs at or below this many (distinct, symmetrized) edges resolve on
+# the driver with union-find instead of the Spark label-propagation loop:
+# each Spark round costs two join+aggregate shuffles plus a checkpoint
+# and a convergence-count job (~0.4-0.5 s of fixed overhead per round at
+# local[32]), which dwarfs the actual work for small pair sets — the
+# common case after LSH verification at moderate duplication rates.  The
+# collect is BOUNDED by this threshold (~16 B/edge -> a few MB), the
+# same bounded-driver-materialization pattern as the IVF codebook and
+# the bloom bitmap.  Web-scale pair sets exceed it and take the
+# distributed path unchanged.  Tunable for clusters via env.
+CC_LOCAL_EDGE_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_CC_LOCAL_EDGES", "200000")
+)
+
+
+def _components_union_find(edge_rows) -> dict:
+    """Min-label union-find over collected (a, b) edge rows: returns
+    {node: component} with component = min member id — exactly the
+    fixpoint the distributed loop converges to."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by label order so the root is always the min id
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {node: find(node) for node in parent}
+
+
 def connected_components(pairs: DataFrame, id_a: str = "id_a",
                          id_b: str = "id_b",
                          max_iterations: int = 30,
@@ -662,6 +740,11 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     """(id, component) for every node in ``pairs``; component = min
     member id — the canonical representative.  Ids may be any orderable
     type (long doc ids, url strings, ...).
+
+    Edge sets at or below ``CC_LOCAL_EDGE_THRESHOLD`` (default 200k,
+    env ``SPARK_GRAFT_CC_LOCAL_EDGES``) resolve on the driver with
+    min-label union-find — bit-identical output, none of the per-round
+    distributed overhead (r9).  Larger graphs take the loop below.
 
     Min-label propagation with POINTER JUMPING: every node starts
     labeled with itself; each round labels flow across edges AND each
@@ -705,6 +788,29 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
     edges = sym.unionByName(
         sym.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).distinct().localCheckpoint()
+
+    # Small-graph fast path (r9): the edge set is already materialized
+    # by the checkpoint, so its count is free; below the bounded
+    # threshold resolve on the driver with min-label union-find — the
+    # identical fixpoint — instead of paying ~6 Spark jobs (two
+    # join+agg shuffles, a checkpoint, a convergence count) per
+    # propagation round for a graph that fits in a few MB.  Kept OFF
+    # when an on_round observer is attached (the stress harness samples
+    # per-round shuffle metrics from the distributed loop).
+    if on_round is None and edges.count() <= CC_LOCAL_EDGE_THRESHOLD:
+        comp = _components_union_find(
+            (r[0], r[1]) for r in edges.collect()
+        )
+        spark = pairs.sparkSession
+        dtype = edges.schema["a"].dataType
+        schema = T.StructType([
+            T.StructField("id", dtype, True),
+            T.StructField("component", dtype, True),
+        ])
+        out = spark.createDataFrame(sorted(comp.items()), schema)
+        release_local_checkpoint(edges)
+        return out
+
     labels = (
         edges.select(F.col("a").alias("id")).distinct()
         .select("id", F.col("id").alias("component"))
@@ -727,12 +833,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a",
         hop = merged.select(
             F.col("id").alias("__cid"), F.col("component").alias("__cc")
         )
+        # lazy checkpoint: the convergence count below is the job that
+        # materializes (and caches) this round's labels — one Spark job
+        # per round instead of two (r9; the eager form ran a dedicated
+        # checkpoint job, then the count re-read the blocks)
         new_labels = (
             merged.join(hop, merged.component == F.col("__cid"))
             .select(
                 "id", F.least("component", "__cc").alias("component")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.join(
