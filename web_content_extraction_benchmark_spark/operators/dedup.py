@@ -897,32 +897,132 @@ def contaminated_ids(docs: DataFrame, benchmark: DataFrame,
                      id_col: str = "doc_id") -> DataFrame:
     """Ids of docs sharing at least one word k-gram with the benchmark.
 
-    Scale shape: the benchmark side is SMALL (eval sets are thousands of
-    rows) — its distinct grams broadcast, so the exploded corpus grams
-    stream through a broadcast hash join with NO exchange of the
-    exploded volume (plan-tested); only the matched ids (tiny) ever
-    shuffle for the distinct.
+    r9 plan — hash prefilter, exact verify (was: explode the corpus's
+    gram STRINGS through a broadcast join; building ~n_tokens gram
+    strings per doc was 6-8x the cost of the equivalent hash windows,
+    measured 3.7 s vs 0.45 s on the q14 bench corpus):
 
-    Size bound: the broadcast carries the DISTINCT gram strings —
-    ~10^5 grams (a large eval suite) is a few MB, benched as
-    q14_decontam_100kgrams; it stays practical to ~10^7 grams
-    (hundreds of MB of driver+executor copies).  Above that, use
-    ``contaminated_ids_bloom`` (r6): a from-scratch Bloom filter
-    (m/8 BYTES broadcast instead of gram strings) applied map-side,
-    with the exact gram join only on filter survivors — pytest pins
-    output equality with this function at any fpp."""
-    doc_grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_col(F.col(text_col), k)).alias("gram"),
-    )
+    1. corpus side: hash each token once, key every positional k-gram
+       window by one ``xxhash64`` over its k token hashes (the
+       substr-dedup trick) — no gram strings are materialized;
+    2. probe the broadcast distinct benchmark window keys: survivors
+       are a SUPERSET of true matches (string equality implies key
+       equality — no false negatives, so exactness is preserved);
+    3. per surviving doc, rebuild gram strings for the SURVIVING
+       POSITIONS only (positions re-attached to the doc's token array
+       via an id join that AQE broadcasts at realistic leak rates) and
+       verify with the exact gram-string broadcast join.  False
+       positives of the 64-bit keys only cost verify work, exactly
+       like the Bloom path.
+
+    At realistic contamination rates the verify side is ~0 and the
+    whole operator is the hash pass over a SINGLE traversal of docs
+    (the probe marks surviving positions per row, so the gram strings
+    for the exact verify are built in the same pass — no join back, no
+    second scan).
+
+    Size bound (unchanged in kind): the driver/executors hold the
+    benchmark's distinct window keys (8 B each) plus the broadcast of
+    its gram strings — ~10^5 grams (a large eval suite) is a few MB,
+    benched as q14_decontam_100kgrams; it stays practical to ~10^7
+    grams.  Above that, use ``contaminated_ids_bloom`` (r6): m/8 BYTES
+    broadcast, same survivors-verified-exactly shape."""
+    spark = docs.sparkSession
+    # benchmark side: eval slices routinely arrive behind a limit()
+    # (collapsed to ONE partition — CLAUDE.md gotcha), which would run
+    # the whole gram build serially; the set is small by contract, so a
+    # round-robin repartition is free insurance.  Distinct gram strings
+    # are lazily checkpointed — used twice (window keys + exact
+    # verify), computed once.
     bench_grams = (
-        benchmark.select(
+        benchmark.repartition(spark.sparkContext.defaultParallelism)
+        .select(
             F.explode(shingle_col(F.col(text_col), k)).alias("gram")
         )
         .distinct()
+        .localCheckpoint(eager=False)
+    )
+    bt = F.split(F.col("gram"), " ")
+    bench_keys = bench_grams.select(
+        F.xxhash64(
+            *[F.xxhash64(F.get(bt, j)) for j in range(k)]
+        ).alias("_h")
+    ).distinct()
+    # bounded by the documented benchmark-set contract (8 B per
+    # distinct gram; ~10^5 typical, ~80 MB at the 10^7 ceiling) — the
+    # same driver-side footprint the Bloom path's bitmap has
+    keys_arr = np.sort(np.array(
+        [r["_h"] for r in bench_keys.collect()], dtype=np.int64
+    ))
+    bc = spark.sparkContext.broadcast(keys_arr)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(T.ArrayType(T.IntegerType()))
+    def surviving_positions(key_col: pd.Series) -> pd.Series:
+        """Per doc: positions whose window key is in the benchmark key
+        set (sorted-array membership, vectorized across the batch)."""
+        ks = bc.value
+        m = len(key_col)
+        if m == 0:
+            return pd.Series([], dtype=object)
+        lengths = np.fromiter(
+            (len(a) for a in key_col), dtype=np.int64, count=m
+        )
+        total = int(lengths.sum())
+        if total == 0 or ks.size == 0:
+            empty = np.empty(0, dtype=np.int32)
+            return pd.Series([empty] * m)
+        flat = np.concatenate(
+            [np.asarray(a, dtype=np.int64) for a in key_col]
+        )
+        ins = np.searchsorted(ks, flat)
+        hit = (ins < ks.size) & (ks[np.minimum(ins, ks.size - 1)] == flat)
+        starts = np.concatenate(([0], np.cumsum(lengths)))
+        pos_within = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts[:-1], lengths)
+        ).astype(np.int32)
+        out = []
+        for i in range(m):
+            seg = slice(starts[i], starts[i + 1])
+            out.append(pos_within[seg][hit[seg]])
+        return pd.Series(out)
+
+    # corpus side, ONE traversal: token hashes -> positional window
+    # keys -> Arrow probe -> gram strings for surviving positions only
+    # -> exact broadcast verify.  Each derived array gets its own
+    # projection (CollapseProject would otherwise inline the token-hash
+    # transform into every window expression — CLAUDE.md gotcha).
+    words = F.split(F.col(text_col), " ")
+    s0 = docs.select(F.col(id_col).alias("id"), words.alias("_w"))
+    s1 = s0.select(
+        "id", "_w",
+        F.transform(F.col("_w"), lambda x: F.xxhash64(x)).alias("_th"),
+    )
+    th = F.col("_th")
+    n = F.size(th)
+    idx = F.when(
+        n >= k, F.sequence(F.lit(0), n - k)
+    ).otherwise(F.array().cast("array<int>"))
+    keys = F.transform(
+        idx, lambda i: F.xxhash64(*[F.get(th, i + j) for j in range(k)])
+    )
+    s2 = s1.select("id", "_w", keys.alias("_wk"))
+    s3 = s2.select(
+        "id", "_w", surviving_positions(F.col("_wk")).alias("_sp")
+    )
+    cand = s3.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.col("_sp"),
+                lambda p: F.concat_ws(" ", F.slice(F.col("_w"), p + 1, k)),
+            )
+        ).alias("gram"),
     )
     return (
-        doc_grams.join(F.broadcast(bench_grams), "gram")
+        cand.join(F.broadcast(bench_grams), "gram")
         .select("id")
         .distinct()
         .select(F.col("id").alias(id_col))
