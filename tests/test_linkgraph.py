@@ -104,6 +104,33 @@ def test_pagerank_zero_iterations_and_validation(spark):
         pagerank_hosts(edges, -1)
 
 
+def test_pagerank_loop_equals_fast_path(spark, monkeypatch):
+    """r9: small host graphs iterate on the driver; the distributed
+    loop must stay exactly equal (integer micro-units, DIV truncation
+    included).  Force the loop by zeroing the fast-path threshold."""
+    import random
+
+    from web_content_extraction_benchmark_spark.operators import linkgraph
+
+    rng = random.Random(5)
+    hosts = [f"h{i}" for i in range(30)]
+    edges = list({
+        (rng.choice(hosts), rng.choice(hosts), rng.randrange(1, 5))
+        for _ in range(120)
+    })
+    df = spark.createDataFrame(
+        edges, "src_host string, dst_host string, n_links long"
+    )
+    for iters in (1, 3):
+        fast = {(r.host, r.rank_micro)
+                for r in linkgraph.pagerank_hosts(df, iters).collect()}
+        monkeypatch.setattr(linkgraph, "PR_LOCAL_EDGE_THRESHOLD", 0)
+        loop = {(r.host, r.rank_micro)
+                for r in linkgraph.pagerank_hosts(df, iters).collect()}
+        monkeypatch.undo()
+        assert fast == loop
+
+
 def test_pagerank_cycle_converges_toward_uniform(spark):
     # symmetric 2-cycle: ranks stay equal and head toward 1_000_000
     edges = spark.createDataFrame(

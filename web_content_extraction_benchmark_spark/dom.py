@@ -96,11 +96,26 @@ class Node:
         return "".join(c.text for c in self.children if c.is_text)
 
     def text_content(self, skip: frozenset = NON_TEXT_ELEMENTS) -> str:
-        """All descendant text in document order, raw concatenation."""
+        """All descendant text in document order, raw concatenation.
+
+        Inlined pre-order walk (r9): same traversal as ``iter`` without
+        the generator frame per node — this accessor is on the
+        extraction hot path (text nodes have no children, so the
+        child-push is elided for them)."""
         parts = []
-        for node in self.iter(skip_tags=skip):
-            if node.is_text:
-                parts.append(node.text)
+        stack = [self]
+        pop = stack.pop
+        extend = stack.extend
+        append = parts.append
+        while stack:
+            node = pop()
+            tag = node.tag
+            if tag in skip:
+                continue
+            if tag is None:
+                append(node.text)
+            elif node.children:
+                extend(reversed(node.children))
         return "".join(parts)
 
 

@@ -44,6 +44,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -68,6 +70,13 @@ _WS_CLASS = "[ \\t\\n\\r\\f]+"
 DAMPING_NUM = 850       # 0.85 in thousandths
 BASE_MICRO = 150_000    # (1 - 0.85) in micro-units
 INIT_MICRO = 1_000_000  # rank_0
+# Host graphs at or below this many weighted edges iterate on the
+# driver (exact same integer arithmetic) instead of paying 2 shuffles +
+# a plan analysis per PageRank round — the bounded-collect pattern of
+# connected_components' union-find fast path (~50 B/edge, a few MB).
+PR_LOCAL_EDGE_THRESHOLD = int(
+    os.environ.get("SPARK_GRAFT_PR_LOCAL_EDGES", "100000")
+)
 
 
 def _host_of(url: Column) -> Column:
@@ -400,6 +409,42 @@ def pagerank_hosts(edges: DataFrame, iterations: int = 5) -> DataFrame:
     # lineage truncation BEFORE the loop: persist() would re-analyze the
     # full upstream plan every iteration (CLAUDE.md, connected_components)
     e = edges.join(out_w, "src_host").localCheckpoint()
+
+    # Small-graph fast path (r9): the weighted edge set is already
+    # materialized by the checkpoint, so its count is free; below the
+    # bounded threshold the iteration runs on the driver over collected
+    # (src, dst, n_links, out_w) rows — the identical exact integer
+    # arithmetic (Python // == BIGINT DIV on the non-negative values
+    # here), skipping 2 shuffles + a plan re-analysis per iteration.
+    # Host graphs are O(hosts^2) edges at worst but crawl-real ones at
+    # 100 TB (~10^8 hosts) exceed the threshold and take the
+    # distributed loop unchanged.  Collect bounded at ~50 B/edge.
+    if iterations > 0 and e.count() <= PR_LOCAL_EDGE_THRESHOLD:
+        rows = e.select(
+            "src_host", "dst_host", "n_links", "out_w"
+        ).collect()
+        rank = {}
+        for r in rows:
+            rank.setdefault(r[0], INIT_MICRO)
+            rank.setdefault(r[1], INIT_MICRO)
+        for _ in range(iterations):
+            contrib: dict = {}
+            for src, dst, n_links, ow in rows:
+                c = (rank[src] * n_links) // ow
+                contrib[dst] = contrib.get(dst, 0) + c
+            rank = {
+                h: BASE_MICRO + (contrib.get(h, 0) * DAMPING_NUM) // 1000
+                for h in rank
+            }
+        spark = edges.sparkSession
+        from pyspark.sql import types as T
+
+        schema = T.StructType([
+            T.StructField("host", edges.schema["src_host"].dataType, True),
+            T.StructField("rank_micro", T.LongType(), True),
+        ])
+        return spark.createDataFrame(sorted(rank.items()), schema)
+
     nodes = nodes.localCheckpoint()
 
     ranks = nodes.select(

@@ -331,9 +331,14 @@ def ensemble_extract(
                     answers = {}
                     for model in input_models:
                         try:
-                            answers[model] = normalize_answer(
-                                _extract_one(model, html, root)[0]
+                            # the "plain" member IS the full-text render
+                            # just computed (same pure fn, same tree) —
+                            # don't walk the tree twice (r9)
+                            text = (
+                                full_text if model == "plain"
+                                else _extract_one(model, html, root)[0]
                             )
+                            answers[model] = normalize_answer(text)
                         except Exception:
                             answers[model] = ""
                     texts.append(
