@@ -79,3 +79,29 @@ def test_in_distribution_scores_higher(spark, sf_dir):
     # collision note), so the attainable gap is small but real:
     # measured 9.6k micro-log10 (~2% perplexity) at sf0.001
     assert real > shuffled + 5_000
+
+
+def test_lm_kernel_equals_join_plan(spark, sf_dir):
+    """r9: the Arrow-kernel lm_score and the pure-JVM broadcast-join
+    twin must return bit-identical rows (incl. the no-bigram and NULL
+    exclusions and the empty-token bigrams of multi-space text)."""
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.operators.lm import (
+        lm_score,
+        lm_score_join,
+    )
+
+    hand = spark.createDataFrame(
+        [(1, "the cat sat"), (2, "x"), (3, None), (4, ""), (5, "a  b")],
+        "doc_id long, text string",
+    )
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    ).limit(300)
+    for df in (hand, docs):
+        a = {tuple(r) for r in lm_score(df).collect()}
+        b = {tuple(r) for r in lm_score_join(df).collect()}
+        assert a == b and a
+    # schema parity (nullability included — the oracle row hashes it)
+    assert lm_score(hand).schema == lm_score_join(hand).schema

@@ -187,6 +187,76 @@ if __name__ == "__main__":
 """
 
 
+# Matched zero-framework pool controls for the lm / passages arms
+# (VERDICT r8 advisory: their 0.56 efficiencies at 0.7-5 s windows had
+# no same-kernel control bounding the attainable ceiling).  Each runs
+# the operator's per-doc WORK (tokenize -> bigram dict lookups -> sum;
+# tokenize -> passage slices -> join) in an mp.Pool over the same gold
+# texts — the in-RAM ceiling the Spark arm is judged against.
+_GENERIC_POOL_CHILD = r"""
+import json, multiprocessing as mp, sys, time
+sys.path.insert(0, {repo!r})
+
+{kernel}
+
+def main():
+    import pandas as pd
+    cpus = {cpus}
+    texts = pd.read_parquet({pages!r}, columns=["gold"])["gold"].tolist()
+    texts = texts * {rep}
+    with mp.get_context("spawn").Pool(cpus) as pool:
+        total = sum(pool.imap_unordered(_kernel, texts[:2000],
+                                        chunksize=256))  # warm-up
+        best = None
+        for _ in range({rounds}):
+            t0 = time.perf_counter()
+            total = sum(pool.imap_unordered(_kernel, texts,
+                                            chunksize=256))
+            dt = time.perf_counter() - t0
+            best = dt if best is None or dt < best else best
+    print(json.dumps({{"cpus": cpus, "n_pages": len(texts),
+                       "total": total, "sec": round(best, 3),
+                       "docs_per_sec": round(len(texts) / best, 1)}}))
+
+if __name__ == "__main__":
+    main()
+"""
+
+_POOL_KERNELS = {
+    "lm_pool": r"""
+from web_content_extraction_benchmark_spark.operators.lm import (
+    DEFAULT_SCORE, FROZEN_BACKOFF, FROZEN_BIGRAM)
+
+def _kernel(text):
+    toks = text.split(" ")
+    bi = FROZEN_BIGRAM
+    bo = FROZEN_BACKOFF
+    s = 0
+    for w1, w2 in zip(toks, toks[1:]):
+        v = bi.get((w1, w2))
+        if v is None:
+            v = bo.get(w1, DEFAULT_SCORE)
+        s += v
+    return s
+""",
+    "passages_pool": r"""
+WINDOW, STRIDE = 64, 48
+KEEP_GAP = WINDOW - STRIDE
+
+def _kernel(text):
+    toks = text.split(" ")
+    n = len(toks)
+    total = 0
+    for s in range(0, n, STRIDE):
+        if s > 0 and not (s + KEEP_GAP < n):
+            continue
+        passage = " ".join(toks[s:s + WINDOW])
+        total += min(WINDOW, n - s)
+    return total
+""",
+}
+
+
 def run_level(arm: str, cpus: int, rounds: int = 2) -> dict:
     import tempfile
 
@@ -194,6 +264,11 @@ def run_level(arm: str, cpus: int, rounds: int = 2) -> dict:
     if arm == "linkgraph_pool":
         code = _POOL_CHILD.format(repo=REPO, cpus=cpus, pages=PAGES,
                                   rep=rep, rounds=rounds)
+    elif arm in _POOL_KERNELS:
+        code = _GENERIC_POOL_CHILD.format(
+            repo=REPO, cpus=cpus, pages=PAGES, rep=rep, rounds=rounds,
+            kernel=_POOL_KERNELS[arm],
+        )
     else:
         code = _CHILD.format(repo=REPO, cpus=cpus, pages=PAGES, rep=rep,
                              body=_ARMS[arm], rounds=rounds)
@@ -221,7 +296,7 @@ def main() -> None:
     # kernel (decode+findall over the same bytes): the attainable host
     # ceiling the Spark arm's efficiency is judged against.
     arms = sys.argv[1:] or list(_ARMS) + ["linkgraph_pool"]
-    unknown = set(arms) - set(_ARMS) - {"linkgraph_pool"}
+    unknown = set(arms) - set(_ARMS) - {"linkgraph_pool"} - set(_POOL_KERNELS)
     if unknown:
         raise SystemExit(f"unknown arms: {sorted(unknown)}")
     load = os.getloadavg()[0]
@@ -253,9 +328,11 @@ def main() -> None:
             "fixed_cost_arm": arm == "pagerank_tail",
             "loadavg_at_start": round(load, 2),
         }
+        rec["rep"] = int(os.environ.get("SPARK_GRAFT_OPSCALE_REP", "1"))
         line = json.dumps(rec)
-        with open(os.path.join(REPO, "BENCH", "op_scaling_r8.jsonl"),
-                  "a") as fh:
+        out_name = os.environ.get("SPARK_GRAFT_OPSCALE_OUT",
+                                  "op_scaling_r9.jsonl")
+        with open(os.path.join(REPO, "BENCH", out_name), "a") as fh:
             fh.write(line + "\n")
         print(line)
 
