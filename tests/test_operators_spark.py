@@ -979,3 +979,45 @@ def test_ivf_tune_n_probe_picks_smallest_meeting_target(spark, sf_dir):
         n_probe_grid=(16,),
     )
     assert full["n_probe"] == 16 and full["recall"] == 1.0
+
+
+def test_band_keys_selectexpr_equals_column_form(spark, docs):
+    """r9: lsh_band_keys builds its signature columns as SQL strings
+    (one selectExpr) instead of per-seed Column trees — the expressions
+    must be IDENTICAL.  Reconstruct the old column form for both hash
+    families and compare full (id, band, key) sets."""
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.operators.dedup import (
+        lsh_band_keys,
+        minhash_signature,
+        minhash_signature_fast,
+        shingle_col,
+    )
+
+    base = docs.select("doc_id", "text").filter(F.col("doc_id") < 60)
+    for hash_fn, num_hashes, bands in (("md5", 8, 4), ("xxhash64", 32, 8)):
+        new = {(r.id, r.band, r.key) for r in lsh_band_keys(
+            base, id_col="doc_id", num_hashes=num_hashes, bands=bands,
+            hash_fn=hash_fn).collect()}
+        shingled = base.select(
+            F.col("doc_id").alias("id"),
+            shingle_col(F.col("text")).alias("_sh"),
+        ).filter(F.size("_sh") > 0)
+        if hash_fn == "xxhash64":
+            sig = shingled.select(
+                "id", F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs")
+            ).select("id", *minhash_signature_fast(F.col("_hs"), num_hashes))
+        else:
+            sig = shingled.select(
+                "id", *minhash_signature(F.col("_sh"), num_hashes))
+        rpb = num_hashes // bands
+        band_cols = [
+            F.concat_ws("|", *[F.col(f"mh{b * rpb + r}") for r in range(rpb)]
+                        ).alias(f"band{b}")
+            for b in range(bands)
+        ]
+        old = {(r.id, r.band, r.key) for r in sig.select(
+            "id", F.posexplode(F.array(*band_cols)).alias("band", "key")
+        ).collect()}
+        assert new == old and new

@@ -335,6 +335,13 @@ def lsh_band_keys(
         F.col(id_col).alias("id"),
         shingle_col(F.col(text_col)).alias("_sh"),
     ).filter(F.size("_sh") > 0)
+    # NB (r9): the per-seed signature columns are built as SQL STRINGS
+    # through one selectExpr, not as num_hashes Column trees — each
+    # F.transform/F.array_min/F.xxhash64 chain costs several py4j round
+    # trips plus lambda-wrapper construction, measured 1.8 s of pure
+    # driver-side plan BUILDING at 128 hashes (the SQL parser does the
+    # same work JVM-side in ~0.1 s).  Expressions are identical
+    # (pytest-pinned old==new band keys; the md5 path stays oracled).
     if hash_fn in ("oph", "oph_sql"):
         # one-permutation hashing: the whole signature in O(shingles)
         # per doc (vs O(shingles x num_hashes) for the remix paths) —
@@ -369,22 +376,34 @@ def lsh_band_keys(
             "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
         )
     if hash_fn == "xxhash64":
-        sig = shingled.select(
+        staged = shingled.select(
             "id",
             F.transform("_sh", lambda s: F.xxhash64(s)).alias("_hs"),
-        ).select("id", *minhash_signature_fast(F.col("_hs"), num_hashes))
-    else:
-        sig = shingled.select(
-            "id", *minhash_signature(F.col("_sh"), num_hashes)
         )
-    band_keys = [
-        F.concat_ws(
-            "|", *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)]
-        ).alias(f"band{b}")
+        def mh(seed: int) -> str:
+            return f"array_min(transform(_hs, h -> xxhash64(h, {seed})))"
+    else:
+        staged = shingled
+        def mh(seed: int) -> str:
+            return (
+                f"array_min(transform(_sh, s -> md5(concat('{seed}:', s))))"
+            )
+    # one projection from the staged hash/shingle array straight to the
+    # exploded (id, band, key) rows: the intermediate 128-column sig
+    # schema made every subsequent Dataset step re-analyze a 128-wide
+    # plan (and the band self-join carried it twice) — measured ~1 s of
+    # pure driver-side analysis at 128/16.  The array/min terms still
+    # evaluate once per row (posexplode's array argument), and _hs/_sh
+    # stay materialized in their own projection (CollapseProject
+    # gotcha).
+    band_keys = ", ".join(
+        "concat_ws('|', " + ", ".join(
+            mh(b * rows_per_band + r) for r in range(rows_per_band)
+        ) + ")"
         for b in range(bands)
-    ]
-    return sig.select(
-        "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+    )
+    return staged.selectExpr(
+        "id", f"posexplode(array({band_keys})) AS (band, key)"
     )
 
 
