@@ -362,18 +362,14 @@ def lsh_band_keys(
                     F.col("_hs"), num_hashes
                 ).alias("_sig"),
             )
-        band_keys = [
-            F.concat_ws(
-                "|",
-                F.transform(
-                    F.slice("_sig", b * rows_per_band + 1, rows_per_band),
-                    lambda x: x.cast("string"),
-                ),
-            ).alias(f"band{b}")
+        oph_bands = ", ".join(
+            "concat_ws('|', transform("
+            f"slice(_sig, {b * rows_per_band + 1}, {rows_per_band}), "
+            "x -> cast(x as string)))"
             for b in range(bands)
-        ]
-        return sig_arr.select(
-            "id", F.posexplode(F.array(*band_keys)).alias("band", "key")
+        )
+        return sig_arr.selectExpr(
+            "id", f"posexplode(array({oph_bands})) AS (band, key)"
         )
     if hash_fn == "xxhash64":
         staged = shingled.select(
