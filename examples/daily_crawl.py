@@ -149,8 +149,12 @@ def run_daily_crawl(spark: SparkSession, drop_dir: str, index_dir: str,
         F.col("id").alias("doc_id"),
         (F.col("lm_score_micro") / F.col("lm_bigrams")).alias("_avg"),
     )
+    # no-evidence = keep (ADVICE r8): a doc with fewer than two tokens
+    # has no bigram row, so _avg is NULL — the permissive floor must
+    # not silently drop it (coalesce(False) contradicted the
+    # "keeps any plausible text" contract above)
     gated = uniq.join(lm, "doc_id", "left").filter(
-        F.coalesce(F.col("_avg") >= LM_FLOOR_MICRO, F.lit(False))
+        F.coalesce(F.col("_avg") >= LM_FLOOR_MICRO, F.lit(True))
     )
     stats["lm_dropped"] = uniq.count() - gated.count()
     unique = gated.select(

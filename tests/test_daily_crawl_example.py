@@ -109,3 +109,28 @@ def test_daily_crawl_two_microbatches_equal_scratch(spark, tmp_path):
     # maintenance ran (maint_every=2 over 2 batches) and kept the
     # three stores at one consistent version
     idx.assert_consistent()
+
+
+def test_lm_gate_keeps_no_evidence_docs(spark):
+    """ADVICE r8: a doc with fewer than two tokens produces no lm_score
+    row; the permissive floor must KEEP it (no evidence = keep), not
+    silently drop it through coalesce(False)."""
+    from pyspark.sql import functions as F
+
+    from examples.daily_crawl import LM_FLOOR_MICRO
+    from web_content_extraction_benchmark_spark.operators.lm import (
+        lm_score,
+    )
+
+    uniq = spark.createDataFrame(
+        [(1, "ok"), (2, "the cat sat on the mat")],
+        "doc_id long, text string",
+    )
+    lm = lm_score(uniq).select(
+        F.col("id").alias("doc_id"),
+        (F.col("lm_score_micro") / F.col("lm_bigrams")).alias("_avg"),
+    )
+    gated = uniq.join(lm, "doc_id", "left").filter(
+        F.coalesce(F.col("_avg") >= LM_FLOOR_MICRO, F.lit(True))
+    )
+    assert {r.doc_id for r in gated.collect()} >= {1}

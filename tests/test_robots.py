@@ -182,3 +182,47 @@ def test_crawl_delays_frame(spark):
         "host string, robots_txt string")
     got = {r.host: r.crawl_delay for r in crawl_delays(robots).collect()}
     assert got == {"a.example": 3.0}
+
+
+def test_parse_crawl_delay_rejects_nonfinite_and_negative():
+    """ADVICE r8: NaN poisons the max() merge and negative/inf delays
+    corrupt scheduler pacing — only finite non-negative values count."""
+    from web_content_extraction_benchmark_spark.operators.robots import (
+        parse_crawl_delay,
+    )
+
+    txt = ("User-agent: *\n"
+           "Crawl-delay: nan\n"
+           "Crawl-delay: inf\n"
+           "Crawl-delay: -3\n"
+           "Crawl-delay: 4\n")
+    assert parse_crawl_delay(txt) == 4.0
+    only_bad = "User-agent: *\nCrawl-delay: nan\nCrawl-delay: -1\n"
+    assert parse_crawl_delay(only_bad) is None
+
+
+def test_robots_filter_reserved_columns_and_path_passthrough(spark):
+    """ADVICE r8: a frontier carrying a 'path' column must filter
+    cleanly (the rules side uses reserved _r_path now), and reserved
+    working columns collide loudly."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from web_content_extraction_benchmark_spark.operators.robots import (
+        robots_filter,
+    )
+
+    rules = spark.createDataFrame(
+        [("a.example", "/private", False), ("a.example", "/", True)],
+        "host string, path string, allow boolean",
+    )
+    frontier = spark.createDataFrame(
+        [("https://a.example/private/x", "keep-me"),
+         ("https://a.example/ok", "keep-me-too")],
+        "url string, path string",  # user 'path' column must pass through
+    )
+    got = {(r.url, r.path) for r in robots_filter(frontier, rules).collect()}
+    assert got == {("https://a.example/ok", "keep-me-too")}
+    bad = frontier.withColumn("_host", F.lit("x"))
+    with pytest.raises(ValueError, match="reserved"):
+        robots_filter(bad, rules)

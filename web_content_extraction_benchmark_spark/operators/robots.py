@@ -45,6 +45,8 @@ Two layers:
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -91,9 +93,15 @@ def _parse_groups(txt: str):
                 cur_rules.append((value, field == "allow"))
             elif field == "crawl-delay":
                 try:
-                    cur_delays.append(float(value))
+                    delay = float(value)
                 except ValueError:
                     pass  # malformed delay: ignored like any bad line
+                else:
+                    # ADVICE r8: 'Crawl-delay: nan' poisons the max()
+                    # merge and a negative/inf delay corrupts scheduler
+                    # pacing — only finite non-negative values count
+                    if math.isfinite(delay) and delay >= 0:
+                        cur_delays.append(delay)
     if cur_agents:
         groups.append((cur_agents, cur_rules, cur_delays))
     return groups
@@ -181,6 +189,19 @@ def robots_filter(frontier: DataFrame, rules: DataFrame,
     (the frontier then never shuffles for the join — only the verdict
     agg exchanges, at frontier-row cardinality); pass
     ``broadcast_rules=False`` for a pathological rules table."""
+    # ADVICE r8: the staged/rules working columns are reserved — a
+    # frontier already carrying one would silently produce ambiguous
+    # references or wrong grouping, so collide loudly instead.  NB the
+    # groupBy(*frontier.columns) also collapses fully-duplicate
+    # frontier rows to one (documented behavior: the verdict is a
+    # per-URL-row fact, identical rows get one identical verdict row).
+    reserved = {"_host", "_path", "_r_path", "_allow"}
+    clash = reserved & set(frontier.columns)
+    if clash:
+        raise ValueError(
+            f"frontier carries reserved robots_filter column(s) "
+            f"{sorted(clash)} — rename them before filtering"
+        )
     host = F.lower(
         F.regexp_extract(F.col(url_col),
                          r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
@@ -189,21 +210,22 @@ def robots_filter(frontier: DataFrame, rules: DataFrame,
     path = F.when(path_raw == "", "/").otherwise(path_raw)
     staged = frontier.withColumn("_host", host).withColumn("_path", path)
     rules_side = rules.select(
-        F.col("host").alias("_host"), "path",
+        F.col("host").alias("_host"),
+        F.col("path").alias("_r_path"),
         F.col("allow").cast("int").alias("_allow"),
     )
     if broadcast_rules:
         rules_side = F.broadcast(rules_side)
     joined = staged.join(rules_side, "_host", "left")
-    hit = F.col("path").isNotNull() & F.col("_path").startswith(
-        F.col("path")
+    hit = F.col("_r_path").isNotNull() & F.col("_path").startswith(
+        F.col("_r_path")
     )
     verdict = (
         joined.groupBy(*frontier.columns)
         .agg(
             F.max(
                 F.when(hit, F.struct(
-                    F.length("path").alias("l"),
+                    F.length("_r_path").alias("l"),
                     F.col("_allow").alias("a"),
                 ))
             ).alias("m")

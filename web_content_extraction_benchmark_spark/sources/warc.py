@@ -740,15 +740,30 @@ def write_warc(df: DataFrame, out_dir: str,
                         continue
                     seen_digests.add(digest)
                     headers.append(("WARC-Payload-Digest", digest))
+                    # the index row derives mime/status from the SAME
+                    # values passed to the response builder (ADVICE r8:
+                    # hardcoded index literals would silently drift if
+                    # this writer ever gains the status/location
+                    # passthrough write_warc_gz has)
+                    rec_status, rec_mime = 200, "text/html"
                     member = gzip.compress(_warc_record(
                         headers,
                         build_http_response(
-                            body, chunked=n % chunked_every == 1),
+                            body, chunked=n % chunked_every == 1,
+                            status=rec_status,
+                            content_type=f"{rec_mime}; charset=utf-8"),
                     ), compresslevel=1, mtime=0)
                     if cdxj:
-                        index.append((row.cdx_surt or "-", ts14, _json.dumps(
+                        # a SURT key containing whitespace would shift
+                        # the space-delimited ts/json fields on read —
+                        # fall back to '-' like the null case (ADVICE
+                        # r8; raw-space URLs produce such keys)
+                        key = row.cdx_surt or "-"
+                        if len(key.split()) != 1:
+                            key = "-"
+                        index.append((key, ts14, _json.dumps(
                             {"url": row.url, "digest": digest,
-                             "mime": "text/html", "status": "200",
+                             "mime": rec_mime, "status": str(rec_status),
                              "offset": f.tell(), "length": len(member),
                              "filename": fname},
                             sort_keys=True, separators=(",", ":"))))
