@@ -86,15 +86,22 @@ _DELIM = frozenset(b"()<>[]{}/%")
 # token-at-a-time lexer.  Group order matters — '<<' before '<'.
 # Literal/hex strings need stateful scanning (nesting, escapes), so
 # their openers just route to the manual scanners.
+# Whitespace/comments are a NON-CAPTURING PREFIX of every token match
+# (r9): the former ws ALTERNATIVE made next_token match twice per token
+# (~870 regex calls per bench PDF, half of them pure ws skips) plus a
+# lastgroup string compare per token.  One prefixed match consumes the
+# same byte runs; token branches that re-lex from the token start
+# (literal/hex strings, #-escaped names) use m.start(m.lastindex) — the
+# GROUP start — because m.start() now points at the skipped ws.
 _MASTER_RE = re.compile(
-    rb"(?P<ws>(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)+)"
-    rb"|(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
+    rb"(?:[\x00\t\n\x0c\r ]+|%[^\r\n]*)*"
+    rb"(?:(?P<num>[+-]?(?:\d+\.\d*|\.\d+|\d+))"
     rb"|(?P<name>/[^\x00\t\n\x0c\r ()<>\[\]{}/%]*)"
     rb"|(?P<delim><<|>>|[\[\]{}])"
     rb"|(?P<kw>[^\x00\t\n\x0c\r ()<>\[\]{}/%]+)"
     rb"|(?P<lit>\()"
     rb"|(?P<hex><)"
-    rb"|(?P<other>.)",
+    rb"|(?P<other>.))",
     re.DOTALL,
 )
 
@@ -217,34 +224,31 @@ class _Lexer:
             raise PdfError(f"bad hex string: {e}") from e
 
     def next_token(self):
-        buf = self.buf
-        m = _MASTER_RE.match(buf, self.pos)
-        if m is not None and m.lastgroup == "ws":
-            self.pos = m.end()
-            m = _MASTER_RE.match(buf, self.pos)
+        m = _MASTER_RE.match(self.buf, self.pos)
         if m is None:
             return None
         kind = m.lastgroup
+        idx = m.lastindex
         self.pos = m.end()
         if kind == "num":
-            tok = m.group()
+            tok = m.group(idx)
             return float(tok) if b"." in tok else int(tok)
         if kind == "kw":
-            return m.group().decode("latin-1")
+            return m.group(idx).decode("latin-1")
         if kind == "name":
-            raw = m.group()
+            raw = m.group(idx)
             if b"#" in raw:  # rare: #xx hex escapes in the name
-                self.pos = m.start()
+                self.pos = m.start(idx)
                 return self._name()
             return raw.decode("latin-1")
         if kind == "lit":
-            self.pos = m.start()
+            self.pos = m.start(idx)
             return self._literal_string()
         if kind == "hex":
-            self.pos = m.start()
+            self.pos = m.start(idx)
             return self._hex_string()
         # delim ('<<' '>>' '[' ']' '{' '}') or a stray byte
-        return m.group().decode("latin-1")
+        return m.group(idx).decode("latin-1")
 
 
 def _parse_value(lex: _Lexer, tok):
